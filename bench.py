@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Measures end-to-end training throughput (traces/sec/chip) of the flagship
+BiLSTM DETR model at the BASELINE.json shape — seq=500, batch=32, d=128,
+Q=30 — through the FULL jitted train step (on-device augmentation +
+featurization + forward + Hungarian matching + CE/L1/GIoU loss + backward +
+clip + AdamW), plus inference throughput as a secondary number.
+
+Baseline: the PyTorch-CPU reference measured by the same protocol
+(train step incl. scipy Hungarian + backward + AdamW); see
+BASELINE_MEASURED.json. North star (BASELINE.json): >= 10x.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from room_slam_tpu.config import (DataConfig, ExperimentConfig,
+                                      ModelConfig, TrainConfig)
+    from room_slam_tpu.data.features import featurize
+    from room_slam_tpu.models.factory import build_model, init_params
+    from room_slam_tpu.train.loop import (TrainState, make_optimizer,
+                                          make_train_step)
+
+    B, L = 32, 500
+    cfg = ExperimentConfig(
+        data=DataConfig(max_trace_len=L),
+        model=ModelConfig(model_type="lstm", d_model=128, num_queries=30,
+                          use_pallas_rnn=False),
+        train=TrainConfig(batch_size=B),
+    )
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=L, batch=B)
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    train_step = make_train_step(model, tx, cfg, augment=True)
+
+    rng = np.random.default_rng(0)
+    raw = rng.normal(size=(B, L, 4)).astype(np.float32)
+    raw[..., 3] = np.cumsum(np.abs(raw[..., 3]) * 0.03 + 1e-3, axis=-1)
+    boxes = np.abs(rng.normal(size=(B, 50, 6))).astype(np.float32)
+    labels = rng.integers(0, 4, (B, 50)).astype(np.int32)
+    valid = np.zeros((B, 50), bool)
+    valid[:, :8] = True
+    batch = {
+        "raw": jnp.asarray(raw),
+        "length": jnp.full((B,), L, jnp.int32),
+        "boxes": jnp.asarray(boxes),
+        "labels": jnp.asarray(labels),
+        "valid": jnp.asarray(valid),
+        "rotation_k": jnp.zeros((B,), jnp.int32),
+        "weight": jnp.ones((B,), jnp.float32),
+    }
+
+    key = jax.random.key(0)
+
+    # --- train throughput ---
+    for i in range(5):  # warmup + compile
+        key, sub = jax.random.split(key)
+        state, losses = train_step(state, batch, sub)
+    jax.block_until_ready(losses["total_loss"])
+
+    n = 30
+    t0 = time.perf_counter()
+    for i in range(n):
+        key, sub = jax.random.split(key)
+        state, losses = train_step(state, batch, sub)
+    jax.block_until_ready(losses["total_loss"])
+    train_dt = time.perf_counter() - t0
+    train_tps = n * B / train_dt
+
+    # --- inference throughput ---
+    @jax.jit
+    def infer(params, raw, length):
+        feats, mask = featurize(raw, length)
+        return model.apply(params, feats, mask, deterministic=True)
+
+    out = infer(state.params, batch["raw"], batch["length"])
+    jax.block_until_ready(out["pred_boxes"])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = infer(state.params, batch["raw"], batch["length"])
+    jax.block_until_ready(out["pred_boxes"])
+    infer_tps = n * B / (time.perf_counter() - t0)
+
+    # --- baseline ---
+    base_path = Path(__file__).parent / "BASELINE_MEASURED.json"
+    base_train = 56.95  # measured torch-CPU fallback (see BASELINE_MEASURED)
+    base_infer = 270.87
+    if base_path.exists():
+        b = json.loads(base_path.read_text())
+        base_train = b.get("torch_cpu_train_traces_per_sec", base_train)
+        base_infer = b.get("torch_cpu_infer_traces_per_sec", base_infer)
+
+    print(json.dumps({
+        "metric": "train traces/sec/chip (seq=500, batch=32, BiLSTM-DETR, "
+                  "full step incl. device augmentation + Hungarian)",
+        "value": round(train_tps, 2),
+        "unit": "traces/sec",
+        "vs_baseline": round(train_tps / base_train, 2),
+        "infer_traces_per_sec": round(infer_tps, 2),
+        "infer_vs_baseline": round(infer_tps / base_infer, 2),
+        "platform": jax.devices()[0].platform,
+        "loss_final": float(losses["total_loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

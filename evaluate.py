@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""Evaluation CLI (ref: README.md:76-79 and src/benchmark/train.py:234-328).
+
+Benchmark surface:
+    python evaluate.py --checkpoint checkpoints/best_model \
+        --data_dir dataset/val
+Legacy surface (GRU checkpoint; rotated-box mAP + baseline comparison):
+    python evaluate.py --checkpoint checkpoints/best_model_legacy \
+        --data_dir data/sample --compare_baseline --visualize out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def evaluate_benchmark(args) -> dict:
+    from room_slam_tpu.config import BENCH_ID_TO_LABEL
+    from room_slam_tpu.data.dataset import TraceColliderArrays
+    from room_slam_tpu.ops.nms import post_process
+    from room_slam_tpu.train.driver import load_model_for_inference
+    from room_slam_tpu.train.metrics import (average_precision_3d,
+                                             make_metrics_step,
+                                             summarize_metrics)
+
+    model, params, cfg = load_model_for_inference(args.checkpoint)
+    ds = TraceColliderArrays(args.data_dir, cfg.data, augment=False)
+    mstep = make_metrics_step(model, iou_thresh=args.iou_thresh)
+
+    from room_slam_tpu.data.features import featurize
+    from room_slam_tpu.train.loop import make_forward
+
+    fwd = make_forward(model)
+
+    acc = None
+    pred_rows, gt_rows = [], []
+    img = 0
+    for batch in ds.epoch_batches(args.batch_size, shuffle=False):
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        sums = {k: float(v) for k, v in mstep(params, db).items()}
+        acc = sums if acc is None else {k: acc[k] + sums[k] for k in sums}
+
+        feats, mask = featurize(db["raw"], db["length"])
+        out = fwd(params, feats, mask)
+        for b in range(db["raw"].shape[0]):
+            if batch["weight"][b] == 0:
+                continue
+            keep, labels, conf = post_process(
+                out["pred_boxes"][b], out["pred_classes"][b],
+                confidence_threshold=args.threshold,
+                nms_threshold=args.nms)
+            keep = np.asarray(keep)
+            boxes = np.asarray(out["pred_boxes"][b])
+            for q in np.where(keep)[0]:
+                pred_rows.append((boxes[q], int(labels[q]),
+                                  float(conf[q]), img))
+            v = batch["valid"][b]
+            for m in np.where(v)[0]:
+                gt_rows.append((batch["boxes"][b, m],
+                                int(batch["labels"][b, m]), img))
+            img += 1
+
+    metrics = summarize_metrics(acc)
+    if pred_rows and gt_rows:
+        mAP, aps = average_precision_3d(
+            np.stack([r[0] for r in pred_rows]),
+            np.asarray([r[1] for r in pred_rows]),
+            np.asarray([r[2] for r in pred_rows]),
+            np.asarray([r[3] for r in pred_rows]),
+            np.stack([r[0] for r in gt_rows]),
+            np.asarray([r[1] for r in gt_rows]),
+            np.asarray([r[2] for r in gt_rows]),
+            iou_thresh=args.iou_thresh,
+        )
+        metrics["mAP"] = mAP
+        metrics["AP_per_class"] = {
+            BENCH_ID_TO_LABEL[c]: round(v, 4) for c, v in aps.items()}
+    return metrics
+
+
+def evaluate_legacy(args) -> dict:
+    from room_slam_tpu.data.legacy import LegacyArrays
+    from room_slam_tpu.models.baseline import OccupancyBaseline
+    from room_slam_tpu.models.legacy_gru import RoomSlamGRU
+    from room_slam_tpu.train import checkpoint as ckpt_lib
+    from room_slam_tpu.train.metrics import average_precision_rotated_2d
+
+    ds = LegacyArrays(args.data_dir)
+    model = RoomSlamGRU(hidden_size=args.hidden_size,
+                        max_objects=args.max_objects)
+    dummy = jnp.zeros((1, ds.traces.shape[1], 2), jnp.float32)
+    template = jax.jit(lambda k: model.init(
+        {"params": k}, dummy, deterministic=True))(jax.random.key(0))
+    params, _, side = ckpt_lib.load_checkpoint(args.checkpoint, template)
+
+    @jax.jit
+    def fwd(p, traces):
+        return model.apply(p, traces, deterministic=True)
+
+    def collect_model_preds():
+        rows = []
+        for i in range(len(ds)):
+            out = fwd(params, jnp.asarray(ds.traces[i:i + 1, :, 1:3]))
+            val = jax.nn.sigmoid(out["validity"][0, :, 0])
+            prob = jax.nn.softmax(out["classes"][0], axis=-1)
+            conf = np.asarray(val) * np.asarray(prob.max(axis=-1))
+            labels = np.asarray(prob.argmax(axis=-1))
+            boxes = np.asarray(out["pred_boxes"][0])  # [N, 5]
+            for s in np.where(conf > args.threshold)[0]:
+                rows.append((boxes[s], int(labels[s]), float(conf[s]), i))
+        return rows
+
+    def collect_gt():
+        rows = []
+        for i in range(len(ds)):
+            for m in np.where(ds.valid[i])[0]:
+                rows.append((ds.boxes[i, m], int(ds.labels[i, m]), i))
+        return rows
+
+    def score(pred_rows, gt_rows):
+        if not pred_rows or not gt_rows:
+            return 0.0, {}
+        return average_precision_rotated_2d(
+            np.stack([r[0] for r in pred_rows]),
+            np.asarray([r[1] for r in pred_rows]),
+            np.asarray([r[2] for r in pred_rows]),
+            np.asarray([r[3] for r in pred_rows]),
+            np.stack([r[0] for r in gt_rows]),
+            np.asarray([r[1] for r in gt_rows]),
+            np.asarray([r[2] for r in gt_rows]),
+            iou_thresh=args.iou_thresh,
+        )
+
+    gt_rows = collect_gt()
+    mAP, aps = score(collect_model_preds(), gt_rows)
+    result = {"mAP": mAP, "AP_per_class": aps,
+              "checkpoint_epoch": side.get("epoch")}
+
+    if args.compare_baseline:
+        baseline = OccupancyBaseline(max_objects=args.max_objects)
+        rows = []
+        for i in range(len(ds)):
+            objs = baseline.predict(ds.traces[i])
+            for o in objs:
+                box = np.asarray(
+                    o["position"] + o["size"] + [o["orientation"]],
+                    np.float32)
+                rows.append((box, o["class_id"], o["confidence"], i))
+        b_mAP, b_aps = score(rows, gt_rows)
+        result["baseline_mAP"] = b_mAP
+        result["baseline_AP_per_class"] = b_aps
+    return result
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--data_dir", type=str, default="dataset/val")
+    p.add_argument("--surface", choices=["auto", "bench", "legacy"],
+                   default="auto")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--iou_thresh", type=float, default=0.5)
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="confidence threshold for detection metrics")
+    p.add_argument("--nms", type=float, default=0.3)
+    p.add_argument("--hidden_size", type=int, default=128)
+    p.add_argument("--max_objects", type=int, default=10)
+    p.add_argument("--compare_baseline", action="store_true")
+    p.add_argument("--output", type=str, default=None)
+    args = p.parse_args()
+
+    surface = args.surface
+    if surface == "auto":
+        surface = "legacy" if "legacy" in args.checkpoint else "bench"
+        print(f"[evaluate] auto-detected surface: {surface}")
+
+    metrics = (evaluate_legacy(args) if surface == "legacy"
+               else evaluate_benchmark(args))
+    print(json.dumps(metrics, indent=2, default=float))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Inference CLI (ref: src/benchmark/inference.py:277-331).
+
+    python inference.py --checkpoint checkpoints/best_model \
+        --input dataset/val/human_data_20251016_204024.json \
+        --output predictions.json --threshold 0.7 --nms 0.3
+
+Accepts our msgpack checkpoints or a reference ``.pth`` (imported through
+room_slam_tpu.train.torch_import).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from room_slam_tpu.data import formats
+from room_slam_tpu.data.features import process_traces_np
+from room_slam_tpu.ops.nms import post_process
+from room_slam_tpu.train.driver import load_model_for_inference
+
+
+def predict(model, params, traces_file: str, max_trace_len: int = 3000,
+            confidence_threshold: float = 0.7, nms_threshold: float = 0.3):
+    """Featurize one trace file, forward, confidence-filter + per-class NMS
+    (ref: inference.py:200-275).
+
+    The forward + NMS run as ONE jitted dispatch at the fixed shape
+    [1, max_trace_len, 11] (zero-padded + masked), so repeated calls reuse
+    the compiled program regardless of trace length."""
+    import jax
+
+    arr = formats.load_trace_json(traces_file)
+    if arr.shape[0] == 0:
+        print("Warning: No traces found in file")
+        return []
+    if arr.shape[0] > max_trace_len:
+        print(f"Downsampling traces from {arr.shape[0]} to "
+              f"{max_trace_len} points")
+    feats = process_traces_np(arr, max_len=max_trace_len)  # [n, 11]
+    n = feats.shape[0]
+    padded = np.zeros((1, max_trace_len, 11), np.float32)
+    padded[0, :n] = feats
+    mask = np.zeros((1, max_trace_len), bool)
+    mask[0, :n] = True
+
+    @jax.jit
+    def run(params, traces, mask):
+        out = model.apply(params, traces, mask, deterministic=True)
+        keep, labels, conf = post_process(
+            out["pred_boxes"][0], out["pred_classes"][0],
+            confidence_threshold=confidence_threshold,
+            nms_threshold=nms_threshold)
+        return out, keep, labels, conf
+
+    out, keep, labels, conf = run(
+        params, jnp.asarray(padded), jnp.asarray(mask))
+
+    keep = np.asarray(keep)
+    boxes = np.asarray(out["pred_boxes"][0])
+    labels = np.asarray(labels)
+    conf = np.asarray(conf)
+    order = np.argsort(-conf * keep)
+    preds = [
+        formats.collider_to_dict(boxes[i], labels[i], conf[i])
+        for i in order if keep[i]
+    ]
+    return preds
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="Path to model checkpoint (.msgpack stem or "
+                             "reference .pth)")
+    parser.add_argument("--input", type=str, required=True,
+                        help="Input trace file (JSON)")
+    parser.add_argument("--output", type=str, default=None,
+                        help="Output file for predictions")
+    parser.add_argument("--threshold", type=float, default=0.7,
+                        help="Confidence threshold (default: 0.7)")
+    parser.add_argument("--nms", type=float, default=0.3,
+                        help="NMS IoU threshold (default: 0.3)")
+    args = parser.parse_args()
+
+    print(f"Loading model from {args.checkpoint}")
+    model, params, cfg = load_model_for_inference(args.checkpoint)
+
+    print(f"Processing {args.input}")
+    predictions = predict(
+        model, params, args.input,
+        max_trace_len=cfg.data.max_trace_len,
+        confidence_threshold=args.threshold, nms_threshold=args.nms)
+
+    print(f"\nFound {len(predictions)} colliders:")
+    for i, pred in enumerate(predictions):
+        c = pred["center"]
+        print(f"  {i + 1}. {pred['label']} at "
+              f"({c['x']:.2f}, {c['y']:.2f}, {c['z']:.2f}) "
+              f"- confidence: {pred['confidence']:.3f}")
+
+    if args.output:
+        formats.save_predictions_json(
+            args.output, predictions, args.threshold, args.nms)
+        print(f"\nResults saved to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

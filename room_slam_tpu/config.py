@@ -1,0 +1,173 @@
+"""Configuration dataclasses for room_slam_tpu.
+
+One serializable config tree with CLI overrides replaces the reference's
+hard-coded dict (``src/benchmark/train.py:366-380``) and scattered argparse
+defaults (``src/benchmark/inference.py:278-289``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+# Class labels of the benchmark (3D JSON) surface.
+# Reference: src/benchmark/dataloader.py:67-72
+BENCH_LABELS: Dict[str, int] = {"BLOCK": 0, "LOW": 1, "MID": 2, "HIGH": 3}
+BENCH_ID_TO_LABEL: Dict[int, str] = {v: k for k, v in BENCH_LABELS.items()}
+NUM_BENCH_CLASSES = 4
+
+# Class labels of the legacy (CSV 2D) surface.
+# Reference: README.md:18-23
+LEGACY_LABELS: Dict[str, int] = {"GROUND": 0, "LOW": 1, "MID": 2, "BLOCK": 3}
+LEGACY_ID_TO_LABEL: Dict[int, str] = {v: k for k, v in LEGACY_LABELS.items()}
+NUM_LEGACY_CLASSES = 4
+
+
+@dataclass
+class DataConfig:
+    """Dataset + augmentation settings.
+
+    Mirrors the reference dataloader kwargs (src/benchmark/dataloader.py:24-37)
+    but everything stochastic is a pure function of a PRNG key on device.
+    """
+
+    data_dir: str = "dataset/train"
+    val_dir: str = "dataset/val"
+    max_trace_len: int = 3000   # fixed window length L (ref: dataloader.py:27)
+    max_colliders: int = 50     # fixed object slots M (ref: dataloader.py:28)
+
+    augment_rotation: bool = True
+    augment_translation: bool = True
+    augment_scale: bool = True
+    augment_collider_dropout: bool = True
+    rotation_angles: Tuple[int, ...] = (0, 90, 180, 270)
+    scale_range: Tuple[float, float] = (0.8, 1.2)
+    translation_range: float = 1.0
+    collider_dropout_prob: float = 0.2
+
+    # extra stochastic augmentations (ref: dataloader.py:357-392)
+    reverse_prob: float = 0.5        # inert in the reference: see augment.py
+    noise_prob: float = 0.8
+    noise_sigma: Tuple[float, float, float] = (0.02, 0.01, 0.02)
+    crop_prob: float = 0.5
+    time_warp_prob: float = 0.5
+    dropout_gate_prob: float = 0.5
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture. Defaults follow the reference training config
+    (src/benchmark/train.py:366-380), not build_model's larger defaults."""
+
+    model_type: str = "lstm"    # 'lstm' | 'transformer' | 'gru' (legacy)
+    d_model: int = 128
+    num_queries: int = 30
+    nhead: int = 4
+    enc_layers: int = 3
+    dec_layers: int = 3
+    dim_feedforward: int = 512
+    dropout: float = 0.1
+    lstm_layers: int = 2
+    input_dim: int = 11
+    num_classes: int = NUM_BENCH_CLASSES
+    # precision of the compute path; params stay fp32
+    compute_dtype: str = "float32"
+    # use the Pallas fused recurrence kernel when on TPU
+    use_pallas_rnn: bool = True
+
+
+@dataclass
+class TrainConfig:
+    """Optimization settings (ref: src/benchmark/train.py:366-380,433-458)."""
+
+    batch_size: int = 20
+    num_epochs: int = 200
+    lr: float = 2e-4
+    weight_decay: float = 1e-4
+    warmup_epochs: int = 10
+    val_every: int = 1
+    iou_thresh: float = 0.5
+    grad_clip: float = 1.0
+    seed: int = 0
+    save_dir: str = "./checkpoints"
+    # class_loss / l1_loss / giou_loss weights (ref: train.py:433-437)
+    loss_weights: Tuple[float, float, float] = (2.0, 5.0, 2.0)
+    # ReduceLROnPlateau equivalents (ref: train.py:454-458)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+    plateau_cooldown: int = 1
+    plateau_min_scale: float = 1e-6 / 2e-4  # min_lr / lr
+    # steps per epoch for fixed-shape batching; 0 => derived from dataset size
+    steps_per_epoch: int = 0
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh / sharding settings (no analog in the reference, which is
+    single-device — SURVEY.md section 2.3)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # (n_data, n_model); (0, 1) means use all devices on the data axis
+    mesh_shape: Tuple[int, int] = (0, 1)
+
+
+@dataclass
+class ExperimentConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2))
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+        def build(tp, sub):
+            fields = {f.name: f for f in dataclasses.fields(tp)}
+            kwargs = {}
+            for k, v in (sub or {}).items():
+                if k in fields:
+                    # JSON round-trips tuples as lists
+                    if isinstance(v, list):
+                        v = tuple(v)
+                    kwargs[k] = v
+            return tp(**kwargs)
+
+        return cls(
+            data=build(DataConfig, d.get("data")),
+            model=build(ModelConfig, d.get("model")),
+            train=build(TrainConfig, d.get("train")),
+            mesh=build(MeshConfig, d.get("mesh")),
+        )
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+    def apply_overrides(self, overrides: List[str]) -> "ExperimentConfig":
+        """Apply 'section.key=value' CLI overrides in place."""
+        for ov in overrides:
+            key, _, raw = ov.partition("=")
+            section, _, name = key.partition(".")
+            target = getattr(self, section)
+            old = getattr(target, name)  # raises if unknown
+            if isinstance(old, bool):
+                val: Any = raw.lower() in ("1", "true", "yes")
+            elif isinstance(old, int):
+                val = int(raw)
+            elif isinstance(old, float):
+                val = float(raw)
+            elif isinstance(old, tuple):
+                val = tuple(json.loads(raw))
+            else:
+                val = raw
+            setattr(target, name, val)
+        return self

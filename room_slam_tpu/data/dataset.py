@@ -1,0 +1,174 @@
+"""Host dataset: parse every trace/collider file ONCE into fixed-shape arrays.
+
+The reference re-parses JSON and re-runs Python-loop augmentation for every
+``__getitem__`` on every epoch (ref: src/benchmark/dataloader.py:317-408) —
+its dominant training cost. Here files are parsed a single time at
+construction; an epoch is just shuffled integer indices gathered on device,
+with augmentation + featurization fused into the jitted train step
+(see augment.py / features.py).
+
+Fixed-shape batch contract (one XLA compilation serves every step):
+    raw        [B, L, 4] float32  (x, y, z, t) time-sorted, zero-padded
+    length     [B]       int32
+    boxes      [B, M, 6] float32
+    labels     [B, M]    int32    (-1 padding)
+    valid      [B, M]    bool
+    rotation_k [B]       int32    rotation index 0..3 (epoch expansion)
+    weight     [B]       float32  1.0 for real samples, 0.0 for batch padding
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+from room_slam_tpu.config import DataConfig
+from room_slam_tpu.data import formats
+
+
+class TraceColliderArrays:
+    """All samples of a directory as padded numpy arrays.
+
+    The 4x rotation expansion of the reference (dataloader.py:80-92) is an
+    index-space expansion here: sample i corresponds to base pair
+    ``i // n_rot`` at rotation angle ``rotation_angles[i % n_rot]``; the actual
+    rotation happens on device in augment.rotate_sample.
+    """
+
+    def __init__(self, data_dir: str | Path, cfg: DataConfig,
+                 augment: bool = True, verbose: bool = True):
+        self.cfg = cfg
+        self.augment = augment
+        self.data_dir = Path(data_dir)
+        pairs = formats.find_data_pairs(self.data_dir)
+        if not pairs:
+            raise ValueError(f"No valid data files found in {data_dir}")
+        if verbose:
+            print(f"Found {len(pairs)} base samples in {data_dir}")
+
+        L, M = cfg.max_trace_len, cfg.max_colliders
+        n = len(pairs)
+        self.raw = np.zeros((n, L, 4), dtype=np.float32)
+        self.length = np.zeros((n,), dtype=np.int32)
+        self.boxes = np.zeros((n, M, 6), dtype=np.float32)
+        self.labels = np.full((n, M), -1, dtype=np.int32)
+        self.valid = np.zeros((n, M), dtype=bool)
+        self.names: List[str] = []
+
+        collider_cache: Dict[Path, Tuple[np.ndarray, np.ndarray]] = {}
+        for i, (trace_file, collider_file) in enumerate(pairs):
+            arr = formats.load_trace_json(trace_file)          # [N, 4]
+            arr = formats.sort_by_time(arr)
+            arr = formats.linspace_downsample(arr, L)
+            k = max(arr.shape[0], 1)
+            self.raw[i, : arr.shape[0]] = arr
+            self.length[i] = k
+
+            if collider_file not in collider_cache:
+                collider_cache[collider_file] = formats.load_colliders_json(
+                    collider_file)
+            b, lab = collider_cache[collider_file]
+            m = min(b.shape[0], M)
+            self.boxes[i, :m] = b[:m]
+            self.labels[i, :m] = lab[:m]
+            self.valid[i, :m] = True
+            self.names.append(trace_file.name)
+
+        rot = (
+            list(cfg.rotation_angles)
+            if (augment and cfg.augment_rotation)
+            else [0]
+        )
+        self.rotation_angles = rot
+        self.n_base = n
+        self.num_samples = n * len(rot)
+        if verbose and len(rot) > 1:
+            print(
+                f"Augmented to {self.num_samples} samples with rotations: "
+                f"{rot}°"
+            )
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def sample_spec(self, i: int) -> Tuple[int, int]:
+        """Map an expanded index to (base_pair_index, rotation_k)."""
+        n_rot = len(self.rotation_angles)
+        return i // n_rot, self.rotation_angles[i % n_rot] // 90
+
+    def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        """Assemble a batch dict for the given expanded indices (host numpy;
+        callers put it on device)."""
+        n_rot = len(self.rotation_angles)
+        base = indices // n_rot
+        rot_k = np.asarray(
+            [self.rotation_angles[j % n_rot] // 90 for j in indices],
+            dtype=np.int32,
+        )
+        return {
+            "raw": self.raw[base],
+            "length": self.length[base],
+            "boxes": self.boxes[base],
+            "labels": self.labels[base],
+            "valid": self.valid[base],
+            "rotation_k": rot_k,
+            "weight": np.ones((len(indices),), dtype=np.float32),
+        }
+
+    def epoch_batches(
+        self, batch_size: int, seed: int = 0, shuffle: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield fixed-shape batches covering the epoch once.
+
+        The final partial batch is padded by repeating index 0 with
+        ``weight = 0`` so every step compiles to the same shape (the
+        reference instead pads traces to the per-batch max length and
+        recompiles nothing because it is eager — dataloader.py:510-559).
+        """
+        rng = np.random.default_rng(seed)
+        order = (
+            rng.permutation(self.num_samples)
+            if shuffle
+            else np.arange(self.num_samples)
+        )
+        for lo in range(0, self.num_samples, batch_size):
+            chunk = order[lo: lo + batch_size]
+            pad = batch_size - len(chunk)
+            idx = np.concatenate([chunk, np.zeros((pad,), dtype=chunk.dtype)])
+            batch = self.gather(idx)
+            if pad:
+                batch["weight"][-pad:] = 0.0
+            yield batch
+
+    def num_batches(self, batch_size: int) -> int:
+        return -(-self.num_samples // batch_size)
+
+
+def print_dataset_statistics(data_dir: str, cfg: DataConfig | None = None,
+                             augment_rotation: bool = True) -> None:
+    """Analog of the reference's dataset report
+    (ref: src/benchmark/dataloader.py:626-686)."""
+    cfg = cfg or DataConfig()
+    ds = TraceColliderArrays(data_dir, cfg, augment=augment_rotation)
+    print("=" * 50)
+    print("Dataset Statistics")
+    print("=" * 50)
+    print(f"Base samples: {ds.n_base}")
+    print(f"Total samples (with rotation expansion): {len(ds)}")
+    print(f"Rotations: {ds.rotation_angles}°")
+    lengths = ds.length
+    print(f"\nTrace lengths (after window cap {cfg.max_trace_len}):")
+    print(f"  Min: {lengths.min()}  Max: {lengths.max()}  "
+          f"Avg: {lengths.mean():.1f}")
+    counts = ds.valid.sum(axis=1)
+    print(f"\nColliders per sample: min {counts.min()} max {counts.max()} "
+          f"avg {counts.mean():.1f}")
+    from room_slam_tpu.config import BENCH_ID_TO_LABEL
+
+    flat = ds.labels[ds.valid]
+    print("\nLabel distribution (base samples):")
+    for lid, name in BENCH_ID_TO_LABEL.items():
+        print(f"  {name}: {(flat == lid).sum()}")
+    print("=" * 50)

@@ -1,0 +1,275 @@
+"""On-device synthetic room + trace generation.
+
+TPU-native replacement for the reference's Unity data collector:
+- room-layout sampling replaces the hand-built Unity scenes + collider export
+  (ref: collector/Assets/src/ExportColliders.cs:31-79)
+- the random-walk agent with wall-bounce reflection replaces ``RobotAI``
+  (ref: collector/Assets/src/RandomMovement.cs:78-214; walk speed 2.0 m/s from
+  StarterAssets ThirdPersonController.cs:19-22; direction change every ~5 s
+  from RandomMovement.cs:44)
+
+Everything is pure JAX: rooms vmap over a batch, the walk is a ``lax.scan``
+over time, so 10k traces generate in a single device dispatch (BASELINE.json
+config 5). A host wrapper writes the same JSON formats the Unity collector
+produced, so synthetic data round-trips through the normal loaders.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from pathlib import Path
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from room_slam_tpu.config import BENCH_LABELS
+from room_slam_tpu.data import formats
+
+# label ids
+_BLOCK = BENCH_LABELS["BLOCK"]
+_LOW = BENCH_LABELS["LOW"]
+_MID = BENCH_LABELS["MID"]
+_HIGH = BENCH_LABELS["HIGH"]
+
+AGENT_RADIUS = 0.3          # clearance the walker keeps from boxes
+WALK_SPEED = 2.0            # m/s (ThirdPersonController.cs:19)
+TURN_INTERVAL = 5.0         # s between random heading changes (RandomMovement.cs:44)
+WALL_THICKNESS = 0.125
+AGENT_Y = -0.46             # the Unity agent records a constant head height
+                            # (visualization/plot_agent_vs_human.py:277-282)
+
+
+def sample_room(
+    key: jax.Array,
+    max_colliders: int = 50,
+    max_furniture: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample one room: 4 BLOCK walls + 2..max_furniture furniture boxes.
+
+    Returns (boxes [M, 6], labels [M], valid [M]) with M = max_colliders.
+    """
+    kw, kh, kn, kf = jax.random.split(key, 4)
+    M = max_colliders
+
+    width = jax.random.uniform(kw, (), minval=3.5, maxval=9.0)
+    depth = jax.random.uniform(jax.random.fold_in(kw, 1), (), minval=3.5,
+                               maxval=9.0)
+    wall_h = jax.random.uniform(kh, (), minval=2.6, maxval=3.7)
+
+    boxes = jnp.zeros((M, 6), dtype=jnp.float32)
+    labels = jnp.full((M,), -1, dtype=jnp.int32)
+    valid = jnp.zeros((M,), dtype=bool)
+
+    # 4 walls: +x, -x, +z, -z
+    half_w, half_d = width / 2, depth / 2
+    cy = wall_h / 2 - 1.0  # room floor sits below y=0 like the real dataset
+    walls = jnp.stack([
+        jnp.stack([half_w, cy, 0.0, WALL_THICKNESS, wall_h, depth]),
+        jnp.stack([-half_w, cy, 0.0, WALL_THICKNESS, wall_h, depth]),
+        jnp.stack([0.0, cy, half_d, width, wall_h, WALL_THICKNESS]),
+        jnp.stack([0.0, cy, -half_d, width, wall_h, WALL_THICKNESS]),
+    ])
+    boxes = boxes.at[:4].set(walls)
+    labels = labels.at[:4].set(_BLOCK)
+    valid = valid.at[:4].set(True)
+
+    # furniture
+    n_f = jax.random.randint(kn, (), 2, max_furniture + 1)
+    fkeys = jax.random.split(kf, max_furniture)
+
+    def one(i, fkey):
+        kc, ks, kl = jax.random.split(fkey, 3)
+        cls = jax.random.choice(
+            kl, jnp.array([_LOW, _MID, _HIGH]), (),
+            p=jnp.array([0.45, 0.35, 0.2]))
+        # class-conditional height ranges (LOW: sittable, MID: tables,
+        # HIGH: wardrobes) — README.md:18-23 semantics
+        h_lo = jnp.where(cls == _LOW, 0.35, jnp.where(cls == _MID, 0.65, 1.5))
+        h_hi = jnp.where(cls == _LOW, 0.6, jnp.where(cls == _MID, 1.1, 2.3))
+        h = jax.random.uniform(ks, (), minval=h_lo, maxval=h_hi)
+        fx = jax.random.uniform(jax.random.fold_in(ks, 1), (), minval=0.4,
+                                maxval=2.0)
+        fz = jax.random.uniform(jax.random.fold_in(ks, 2), (), minval=0.4,
+                                maxval=2.0)
+        margin_x = jnp.maximum(half_w - fx / 2 - WALL_THICKNESS, 0.1)
+        margin_z = jnp.maximum(half_d - fz / 2 - WALL_THICKNESS, 0.1)
+        px = jax.random.uniform(kc, (), minval=-margin_x, maxval=margin_x)
+        pz = jax.random.uniform(jax.random.fold_in(kc, 1), (),
+                                minval=-margin_z, maxval=margin_z)
+        # keep the walker's spawn point (the origin) clear: if the footprint
+        # (+ agent radius) would cover it, push the box outward along its
+        # larger displacement axis
+        clear_x = fx / 2 + AGENT_RADIUS + 0.2
+        clear_z = fz / 2 + AGENT_RADIUS + 0.2
+        covers = (jnp.abs(px) < clear_x) & (jnp.abs(pz) < clear_z)
+        sgn = jnp.where(px >= 0, 1.0, -1.0)
+        sgz = jnp.where(pz >= 0, 1.0, -1.0)
+        push_x = jnp.abs(px) >= jnp.abs(pz)
+        px = jnp.where(covers & push_x,
+                       jnp.clip(sgn * clear_x, -margin_x, margin_x), px)
+        pz = jnp.where(covers & ~push_x,
+                       jnp.clip(sgz * clear_z, -margin_z, margin_z), pz)
+        box = jnp.stack([px, h / 2 - 1.0, pz, fx, h, fz])
+        return box, cls, i < n_f
+
+    fboxes, fcls, fvalid = jax.vmap(one)(
+        jnp.arange(max_furniture), fkeys)
+    boxes = boxes.at[4:4 + max_furniture].set(fboxes)
+    labels = labels.at[4:4 + max_furniture].set(
+        jnp.where(fvalid, fcls, -1))
+    valid = valid.at[4:4 + max_furniture].set(fvalid)
+    labels = jnp.where(valid, labels, -1)
+    return boxes, labels, valid
+
+
+def _collide(pos_xz: jnp.ndarray, boxes: jnp.ndarray,
+             valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Check a 2D position against box footprints (expanded by the agent
+    radius). Returns (hit: bool, normal [2]) for the deepest collision —
+    the reflection signal of RandomMovement.cs:199-214."""
+    dx = pos_xz[0] - boxes[:, 0]
+    dz = pos_xz[1] - boxes[:, 2]
+    pen_x = boxes[:, 3] / 2 + AGENT_RADIUS - jnp.abs(dx)
+    pen_z = boxes[:, 5] / 2 + AGENT_RADIUS - jnp.abs(dz)
+    inside = (pen_x > 0) & (pen_z > 0) & valid
+    depth = jnp.where(inside, jnp.minimum(pen_x, pen_z), -jnp.inf)
+    j = jnp.argmax(depth)
+    hit = inside[j]
+    # normal along the axis of least penetration
+    use_x = pen_x[j] < pen_z[j]
+    nx = jnp.where(use_x, jnp.sign(dx[j]), 0.0)
+    nz = jnp.where(use_x, 0.0, jnp.sign(dz[j]))
+    return hit, jnp.stack([nx, nz])
+
+
+def simulate_trace(
+    key: jax.Array,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_steps: int = 3000,
+    hz: float = 30.0,
+    human: bool = False,
+) -> jnp.ndarray:
+    """Random-walk through a room with reflection off box colliders.
+
+    Returns raw trace [num_steps, 4] of (x, y, z, t), time-sorted.
+    The walker changes heading every ~TURN_INTERVAL s (RandomMovement.cs:78-89)
+    and reflects its direction off collider normals (RandomMovement.cs:199-214).
+    """
+    dt = 1.0 / hz
+    k0, k1, ky, kscan = jax.random.split(key, 4)
+    ang0 = jax.random.uniform(k0, (), minval=0.0, maxval=2 * math.pi)
+    pos0 = jnp.zeros((2,))
+    y_base = (
+        jax.random.uniform(ky, (), minval=0.7, maxval=0.9)
+        if human
+        else jnp.float32(AGENT_Y)
+    )
+
+    def step(state, skey):
+        pos, ang, until_turn = state
+        kt, ka = jax.random.split(skey)
+        turn = until_turn <= 0.0
+        new_ang = jnp.where(
+            turn,
+            jax.random.uniform(ka, (), minval=0.0, maxval=2 * math.pi),
+            ang,
+        )
+        until_turn = jnp.where(
+            turn,
+            TURN_INTERVAL * jax.random.uniform(kt, (), minval=0.6,
+                                               maxval=1.4),
+            until_turn,
+        )
+        d = jnp.stack([jnp.cos(new_ang), jnp.sin(new_ang)])
+        cand = pos + WALK_SPEED * dt * d
+        hit, n = _collide(cand, boxes, valid)
+        refl = d - 2.0 * jnp.dot(d, n) * n
+        new_ang = jnp.where(hit, jnp.arctan2(refl[1], refl[0]), new_ang)
+        # on hit: hold position, but if the CURRENT position is itself inside
+        # a box (spawned overlapping), step out along the collision normal so
+        # the walker can never get stuck
+        stuck, n0 = _collide(pos, boxes, valid)
+        escape = pos + WALK_SPEED * dt * n0
+        new_pos = jnp.where(hit, jnp.where(stuck, escape, pos), cand)
+        return (new_pos, new_ang, until_turn - dt), new_pos
+
+    skeys = jax.random.split(kscan, num_steps)
+    _, path = jax.lax.scan(step, (pos0, ang0, jnp.float32(0.0)), skeys)
+
+    t = jnp.arange(num_steps, dtype=jnp.float32) * dt
+    # human head height bobs slightly; the Unity agent records a constant y
+    y = y_base + (
+        0.03 * jnp.sin(t * 1.7) + 0.01 * jnp.sin(t * 5.3) if human else 0.0
+    )
+    y = jnp.broadcast_to(y, (num_steps,))
+    return jnp.stack([path[:, 0], y, path[:, 1], t], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rooms", "num_steps", "max_colliders", "hz", "human"))
+def generate_rooms_and_traces(
+    key: jax.Array,
+    n_rooms: int,
+    num_steps: int = 3000,
+    max_colliders: int = 50,
+    hz: float = 30.0,
+    human: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Batched datagen: n_rooms layouts, one trace each, in ONE jitted
+    dispatch (eager per-primitive dispatch through a remote TPU tunnel costs
+    minutes; this compiles once per shape).
+
+    Returns dict of raw [n, T, 4], length [n], boxes [n, M, 6],
+    labels [n, M], valid [n, M].
+    """
+    kr, kt = jax.random.split(key)
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        boxes, labels, valid = sample_room(k1, max_colliders)
+        raw = simulate_trace(k2, boxes, valid, num_steps, hz, human)
+        return raw, boxes, labels, valid
+
+    keys = jax.random.split(kr, n_rooms)
+    raw, boxes, labels, valid = jax.vmap(one)(keys)
+    length = jnp.full((n_rooms,), num_steps, dtype=jnp.int32)
+    return {
+        "raw": raw,
+        "length": length,
+        "boxes": boxes,
+        "labels": labels,
+        "valid": valid,
+    }
+
+
+def write_synthetic_dataset(
+    out_dir: str | Path,
+    n_rooms: int,
+    num_steps: int = 3000,
+    seed: int = 0,
+    max_colliders: int = 50,
+    human: bool = False,
+) -> None:
+    """Generate rooms on device and write *_trace.json / *_collider.json pairs
+    (pairing pattern 1 of the reference loader, dataloader.py:111-125)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    data = jax.device_get(
+        generate_rooms_and_traces(
+            jax.random.key(seed), n_rooms, num_steps,
+            max_colliders=max_colliders, human=human)
+    )
+    for i in range(n_rooms):
+        stem = f"synthetic_{i:04d}"
+        formats.save_trace_json(out_dir / f"{stem}_trace.json",
+                                data["raw"][i])
+        v = data["valid"][i]
+        formats.save_colliders_json(
+            out_dir / f"{stem}_collider.json",
+            data["boxes"][i][v], data["labels"][i][v])
+    print(f"Wrote {n_rooms} synthetic trace/collider pairs to {out_dir}")

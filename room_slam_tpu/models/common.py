@@ -1,0 +1,90 @@
+"""Shared model components: MLP heads, sinusoidal positions, masked attention.
+
+Numerics deliberately mirror the torch building blocks the reference uses
+(``nn.MultiheadAttention`` with packed QKV, post-norm Transformer layers with
+ReLU) so that reference-shaped checkpoints can be imported for parity tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MLP(nn.Module):
+    """N-layer ReLU MLP (ref: src/benchmark/model.py:351-369)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, name=f"layer_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+def sinusoidal_positions(length: int, d_model: int,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    """Standard sinusoidal positional table ``[length, d_model]``
+    (ref: src/benchmark/model.py:156-172). Computed at trace time — length is
+    static under jit, so no dynamic extension machinery is needed."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+        * (-math.log(10000.0) / d_model)
+    )
+    pe = jnp.zeros((length, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe.astype(dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention matching torch ``nn.MultiheadAttention``
+    numerics: per-head scaling 1/sqrt(head_dim), separate q/k/v/out
+    projections (torch packs qkv; the importer splits them)."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,                 # [B, Tq, D]
+        key: jnp.ndarray,                   # [B, Tk, D]
+        value: jnp.ndarray,                 # [B, Tk, D]
+        key_padding_mask: Optional[jnp.ndarray] = None,  # [B, Tk] True=valid
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Tq, D = query.shape
+        H = self.nhead
+        hd = D // H
+        q = nn.Dense(D, name="q_proj")(query)
+        k = nn.Dense(D, name="k_proj")(key)
+        v = nn.Dense(D, name="v_proj")(value)
+
+        def split(x, T):
+            return x.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+
+        q = split(q, Tq) / math.sqrt(hd)
+        k = split(k, key.shape[1])
+        v = split(v, key.shape[1])
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if key_padding_mask is not None:
+            neg = jnp.finfo(scores.dtype).min
+            scores = jnp.where(
+                key_padding_mask[:, None, None, :], scores, neg)
+        attn = nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+        return nn.Dense(D, name="out_proj")(out)

@@ -1,0 +1,180 @@
+"""BiLSTM encoder + learnable-query decoder (the reference's 'lstm' model).
+
+Re-designed for TPU from ``TraceToColliderLSTM`` (ref: src/benchmark/
+model.py:6-153): the input gate matmuls for the whole sequence run as single
+MXU matmuls outside the time loop; the recurrence itself is a ``lax.scan`` or
+a fused Pallas kernel (ops/rnn.py). Decoding is pure batched attention math.
+
+Output contract matches the reference:
+``{'pred_boxes': [B, Q, 6], 'pred_classes': [B, Q, num_classes]}``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from room_slam_tpu.data.features import trace_stats
+from room_slam_tpu.models.common import MLP
+from room_slam_tpu.ops.rnn import lstm_recurrence
+
+
+def _torch_lstm_init(hidden: int):
+    """torch nn.LSTM initializes all weights U(-1/sqrt(H), 1/sqrt(H))."""
+    k = 1.0 / math.sqrt(hidden)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
+
+    return init
+
+
+class BiLSTMLayer(nn.Module):
+    """One bidirectional LSTM layer; output = concat(fwd, bwd) -> [B, N, 2H]."""
+
+    hidden: int
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d_in = x.shape[-1]
+        init = _torch_lstm_init(self.hidden)
+        outs = []
+        for direction, reverse in (("fwd", False), ("bwd", True)):
+            w_ih = self.param(f"w_ih_{direction}", init,
+                              (d_in, 4 * self.hidden))
+            w_hh = self.param(f"w_hh_{direction}", init,
+                              (self.hidden, 4 * self.hidden))
+            b = self.param(f"b_{direction}", init, (4 * self.hidden,))
+            xg = x @ w_ih + b  # one MXU matmul for the full sequence
+            outs.append(
+                lstm_recurrence(xg, w_hh, reverse=reverse,
+                                use_pallas=self.use_pallas))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class LSTMTraceEncoder(nn.Module):
+    """Linear proj -> stacked BiLSTM -> linear out, plus the masked coordinate
+    statistics used for relative decoding (ref: model.py:6-53)."""
+
+    d_model: int = 128
+    num_layers: int = 2
+    dropout: float = 0.1
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        traces: jnp.ndarray,              # [B, N, 11]
+        mask: Optional[jnp.ndarray] = None,  # [B, N] True=valid
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        B, N, _ = traces.shape
+        coords = traces[..., :3]
+        if mask is None:
+            mask = jnp.ones((B, N), dtype=bool)
+        mean, scale = trace_stats(coords, mask)
+
+        x = nn.Dense(self.d_model, name="input_proj")(traces)
+        hidden = self.d_model // 2
+        for layer in range(self.num_layers):
+            x = BiLSTMLayer(hidden, use_pallas=self.use_pallas,
+                            name=f"lstm_{layer}")(x)
+            if layer < self.num_layers - 1:
+                # torch applies inter-layer dropout (model.py:20)
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        memory = nn.Dense(self.d_model, name="out_proj")(x)
+        return memory, coords, mean, scale
+
+
+class SimpleQueryDecoder(nn.Module):
+    """Learnable queries + single-head dot-product attention + FiLM
+    modulation + anchor-relative box heads (ref: model.py:56-136)."""
+
+    d_model: int = 128
+    num_queries: int = 30
+    num_classes: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        memory: jnp.ndarray,   # [B, N, D]
+        coords: jnp.ndarray,   # [B, N, 3]
+        mean: jnp.ndarray,     # [B, 1, 3]
+        scale: jnp.ndarray,    # [B, 1, 1]
+        mask: Optional[jnp.ndarray] = None,  # [B, N]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, N, D = memory.shape
+        queries = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (self.num_queries, D))
+        q_batch = jnp.broadcast_to(queries, (B, self.num_queries, D))
+
+        # global summary for FiLM
+        if mask is not None:
+            m = mask[..., None].astype(memory.dtype)
+            denom = jnp.clip(m.sum(axis=1, keepdims=True), 1.0, None)
+            global_feat = (memory * m).sum(axis=1, keepdims=True) / denom
+        else:
+            global_feat = memory.mean(axis=1, keepdims=True)
+        gamma = nn.Dense(D, name="gamma_1")(global_feat)
+        gamma = nn.Dense(D, name="gamma_2")(nn.relu(gamma))
+        beta = nn.Dense(D, name="beta_1")(global_feat)
+        beta = nn.Dense(D, name="beta_2")(nn.relu(beta))
+
+        q = nn.Dense(D, name="q_proj")(q_batch)
+        k = nn.Dense(D, name="k_proj")(memory)
+        v = nn.Dense(D, name="v_proj")(memory)
+        inv_temp = self.param("inv_temp", nn.initializers.ones, ())
+        scores = jnp.einsum("bqd,bnd->bqn", q, k) * inv_temp / math.sqrt(D)
+        if mask is not None:
+            scores = jnp.where(
+                mask[:, None, :], scores, jnp.finfo(scores.dtype).min)
+        attn = nn.softmax(scores, axis=-1)           # [B, Q, N]
+        qfeat = jnp.einsum("bqn,bnd->bqd", attn, v)
+        decoded = qfeat * (1.0 + gamma) + beta
+
+        norm_coords = (coords - mean) / scale
+        anchor = jnp.einsum("bqn,bnd->bqd", attn, norm_coords)  # [B, Q, 3]
+
+        delta = MLP(D, 3, 2, name="center_delta_head")(decoded)
+        size_raw = MLP(D, 3, 2, name="size_head")(decoded)
+        size_norm = jax.nn.softplus(size_raw) + 1e-4
+
+        center = (anchor + delta) * scale + mean
+        size = size_norm * scale
+        boxes = jnp.concatenate([center, size], axis=-1)
+        classes = nn.Dense(self.num_classes, name="class_head")(decoded)
+        return boxes, classes
+
+
+class TraceToColliderLSTM(nn.Module):
+    """LSTM encoder + simple query decoder (ref: model.py:139-153)."""
+
+    d_model: int = 128
+    num_queries: int = 30
+    lstm_layers: int = 2
+    dropout: float = 0.1
+    num_classes: int = 4
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, traces, mask=None, deterministic: bool = True):
+        memory, coords, mean, scale = LSTMTraceEncoder(
+            d_model=self.d_model,
+            num_layers=self.lstm_layers,
+            dropout=self.dropout,
+            use_pallas=self.use_pallas,
+            name="encoder",
+        )(traces, mask, deterministic)
+        boxes, classes = SimpleQueryDecoder(
+            d_model=self.d_model,
+            num_queries=self.num_queries,
+            num_classes=self.num_classes,
+            name="decoder",
+        )(memory, coords, mean, scale, mask)
+        return {"pred_boxes": boxes, "pred_classes": classes}

@@ -1,0 +1,191 @@
+"""Transformer encoder + DETR-style decoder (the reference's 'transformer'
+model, ref: src/benchmark/model.py:156-403).
+
+Layer numerics follow torch's post-norm ``nn.TransformerEncoderLayer`` /
+``nn.TransformerDecoderLayer`` with ReLU activation so reference-shaped
+checkpoints can be imported for parity testing. The anchor attention over
+normalized raw coordinates and the relative box heads are identical math to
+the reference (model.py:315-347).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from room_slam_tpu.data.features import trace_stats
+from room_slam_tpu.models.common import MLP, MultiHeadAttention, \
+    sinusoidal_positions
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (torch default: ReLU FFN)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 512
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn")(
+            x, x, x, key_padding_mask=mask, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm1")(
+            x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
+        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        x = nn.LayerNorm(name="norm2")(
+            x + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Post-norm transformer decoder layer: query self-attn, cross-attn to
+    memory with key padding, ReLU FFN."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 512
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, memory, mem_mask=None, deterministic: bool = True):
+        sa = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn")(
+            tgt, tgt, tgt, deterministic=deterministic)
+        tgt = nn.LayerNorm(name="norm1")(
+            tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic))
+        ca = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, name="cross_attn")(
+            tgt, memory, memory, key_padding_mask=mem_mask,
+            deterministic=deterministic)
+        tgt = nn.LayerNorm(name="norm2")(
+            tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic))
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(tgt)
+        ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
+        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        tgt = nn.LayerNorm(name="norm3")(
+            tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
+        return tgt
+
+
+class TraceEncoder(nn.Module):
+    """Linear proj + sinusoidal PE + transformer encoder over the trace
+    (ref: model.py:197-247)."""
+
+    d_model: int = 128
+    nhead: int = 4
+    num_layers: int = 3
+    dim_feedforward: int = 512
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, traces, mask=None, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        B, N, _ = traces.shape
+        coords = traces[..., :3]
+        if mask is None:
+            mask = jnp.ones((B, N), dtype=bool)
+        mean, scale = trace_stats(coords, mask)
+
+        x = nn.Dense(self.d_model, name="input_proj")(traces)
+        x = x + sinusoidal_positions(N, self.d_model, x.dtype)[None]
+        for i in range(self.num_layers):
+            x = EncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout, name=f"layer_{i}")(
+                x, mask, deterministic=deterministic)
+        return x, coords, mean, scale
+
+
+class ColliderDecoder(nn.Module):
+    """Learnable queries cross-attending to trace memory, then anchor
+    attention over normalized raw coordinates and relative box heads
+    (ref: model.py:250-348)."""
+
+    d_model: int = 128
+    nhead: int = 4
+    num_layers: int = 3
+    num_queries: int = 30
+    dim_feedforward: int = 512
+    dropout: float = 0.1
+    num_classes: int = 4
+
+    @nn.compact
+    def __call__(
+        self, memory, coords, mean, scale, mask=None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, N, D = memory.shape
+        queries = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (self.num_queries, D))
+        tgt = jnp.broadcast_to(queries, (B, self.num_queries, D))
+        for i in range(self.num_layers):
+            tgt = DecoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout, name=f"layer_{i}")(
+                tgt, memory, mem_mask=mask, deterministic=deterministic)
+
+        # anchor attention over raw coords (single-head, scale sqrt(D))
+        q = nn.Dense(D, name="q_proj")(tgt)
+        k = nn.Dense(D, name="k_proj")(memory)
+        scores = jnp.einsum("bqd,bnd->bqn", q, k) / math.sqrt(D)
+        if mask is not None:
+            scores = jnp.where(
+                mask[:, None, :], scores, jnp.finfo(scores.dtype).min)
+        attn = nn.softmax(scores, axis=-1)
+        norm_coords = (coords - mean) / scale
+        anchor = jnp.einsum("bqn,bnd->bqd", attn, norm_coords)
+
+        delta = MLP(D, 3, 2, name="center_delta_head")(tgt)
+        size_raw = MLP(D, 3, 2, name="size_head")(tgt)
+        size_norm = jax.nn.softplus(size_raw) + 1e-4
+
+        center = (anchor + delta) * scale + mean
+        size = size_norm * scale
+        boxes = jnp.concatenate([center, size], axis=-1)
+        classes = nn.Dense(self.num_classes, name="class_head")(tgt)
+        return boxes, classes
+
+
+class TraceToColliderTransformer(nn.Module):
+    """Complete transformer model (ref: model.py:372-403)."""
+
+    d_model: int = 128
+    nhead: int = 4
+    num_encoder_layers: int = 3
+    num_decoder_layers: int = 3
+    num_queries: int = 30
+    dim_feedforward: int = 512
+    dropout: float = 0.1
+    num_classes: int = 4
+
+    @nn.compact
+    def __call__(self, traces, mask=None, deterministic: bool = True):
+        memory, coords, mean, scale = TraceEncoder(
+            d_model=self.d_model,
+            nhead=self.nhead,
+            num_layers=self.num_encoder_layers,
+            dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout,
+            name="encoder",
+        )(traces, mask, deterministic)
+        boxes, classes = ColliderDecoder(
+            d_model=self.d_model,
+            nhead=self.nhead,
+            num_layers=self.num_decoder_layers,
+            num_queries=self.num_queries,
+            dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout,
+            num_classes=self.num_classes,
+            name="decoder",
+        )(memory, coords, mean, scale, mask, deterministic)
+        return {"pred_boxes": boxes, "pred_classes": classes}

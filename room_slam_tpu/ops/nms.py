@@ -1,0 +1,79 @@
+"""Fixed-shape masked 3D NMS and confidence post-processing.
+
+The reference runs greedy NMS as an O(Q^2) Python loop over tensors one pair
+at a time (ref: src/benchmark/inference.py:87-127). Here the pairwise IoU
+matrix is computed in one shot and the greedy sweep is a ``fori_loop`` over a
+precomputed score order — fully jittable, fixed output shape (a keep mask).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from room_slam_tpu.ops.iou import pairwise_iou_3d
+
+
+def nms_3d_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    mask: jnp.ndarray,
+    iou_threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Greedy per-score NMS at fixed shape.
+
+    Args:
+        boxes: [Q, 6]; scores: [Q]; mask: [Q] candidates to consider.
+
+    Returns:
+        keep: [Q] bool. Matches the reference's greedy semantics
+        (inference.py:103-127): highest score kept, suppress IoU >= threshold.
+    """
+    Q = boxes.shape[0]
+    iou = pairwise_iou_3d(boxes, boxes)
+    neg_inf = jnp.finfo(scores.dtype).min
+    order = jnp.argsort(jnp.where(mask, scores, neg_inf))[::-1]
+
+    def body(i, carry):
+        keep, suppressed = carry
+        idx = order[i]
+        alive = (~suppressed[idx]) & mask[idx]
+        keep = keep.at[idx].set(alive)
+        sup = (iou[idx] >= iou_threshold) & alive
+        return keep, suppressed | sup
+
+    keep = jnp.zeros((Q,), dtype=bool)
+    suppressed = ~mask
+    keep, _ = jax.lax.fori_loop(0, Q, body, (keep, suppressed))
+    return keep
+
+
+def post_process(
+    pred_boxes: jnp.ndarray,
+    pred_logits: jnp.ndarray,
+    confidence_threshold: float = 0.7,
+    nms_threshold: float = 0.3,
+    num_classes: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Confidence filter + per-class NMS (ref: inference.py:130-170).
+
+    Args:
+        pred_boxes: [Q, 6]; pred_logits: [Q, C].
+
+    Returns:
+        (keep [Q] bool, labels [Q] int32, confidences [Q] float32).
+    """
+    probs = jax.nn.softmax(pred_logits, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    passed = conf > confidence_threshold
+
+    def per_class(c):
+        return nms_3d_mask(
+            pred_boxes, conf, passed & (labels == c), nms_threshold)
+
+    keep_per_class = jax.vmap(per_class)(jnp.arange(num_classes))  # [C, Q]
+    keep = jnp.any(keep_per_class, axis=0)
+    return keep, labels, conf

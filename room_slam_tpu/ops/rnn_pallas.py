@@ -1,0 +1,195 @@
+"""Pallas TPU kernel for the LSTM recurrence.
+
+The sequential part of an LSTM is tiny per step (h @ W_hh for a [B, H] state)
+but runs N=500..3000 times. A generic ``lax.scan`` round-trips the carry and
+per-step outputs through layout shuffles each iteration; this kernel instead:
+
+- keeps the (h, c) carry resident in VMEM scratch across the whole sequence
+  (scratch persists across sequential TPU grid steps),
+- streams precomputed input gates ``xg = x @ W_ih + b`` from HBM in chunks of
+  CHUNK timesteps, double-buffered automatically by the Pallas pipeline,
+- unrolls CHUNK steps per grid invocation so the per-step MXU matmul
+  [B, H] x [H, 4H] issues back-to-back.
+
+Training support: the kernel also emits the activated gates and cell states;
+a custom VJP consumes them in a standard reverse-time BPTT written as one
+``lax.scan`` (the backward is bandwidth-bound on the same small state, and
+its gate math reuses the saved activations, so nothing is recomputed).
+
+The input-side matmul for the whole sequence stays OUTSIDE the kernel as one
+large MXU matmul (see models/lstm.py) — that part XLA already does at
+speed-of-light.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 32  # timesteps per grid step
+
+
+def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
+                       h_s, c_s, *, chunk: int, hidden: int):
+    """One grid step: advance the recurrence over ``chunk`` timesteps."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        h_s[:] = jnp.zeros_like(h_s)
+        c_s[:] = jnp.zeros_like(c_s)
+
+    w = w_ref[:]
+    H = hidden
+    for t in range(chunk):
+        g = xg_ref[:, t, :] + jnp.dot(
+            h_s[:], w, preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(g[:, :H])
+        f = jax.nn.sigmoid(g[:, H:2 * H])
+        gg = jnp.tanh(g[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(g[:, 3 * H:])
+        c = f * c_s[:] + i * gg
+        h = o * jnp.tanh(c)
+        h_s[:] = h
+        c_s[:] = c
+        ys_ref[:, t, :] = h
+        cs_ref[:, t, :] = c
+        gates_ref[:, t, :] = jnp.concatenate([i, f, gg, o], axis=-1)
+
+
+def _pad_time(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
+    n = x.shape[1]
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x, n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
+                     interpret: bool = False):
+    """Forward-time recurrence. xg [B, N, 4H] -> (ys, cs, gates)."""
+    B, N0, H4 = xg.shape
+    H = H4 // 4
+    xg_p, N0 = _pad_time(xg, CHUNK)
+    N = xg_p.shape[1]
+    grid = (N // CHUNK,)
+
+    kernel = functools.partial(_lstm_chunk_kernel, chunk=CHUNK, hidden=H)
+    ys, cs, gates = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, H4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK, H4), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK, H4), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, H), xg.dtype),
+            jax.ShapeDtypeStruct((B, N, H), xg.dtype),
+            jax.ShapeDtypeStruct((B, N, H4), xg.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(w_hh, xg_p)
+    return ys[:, :N0], cs[:, :N0], gates[:, :N0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _lstm_core(xg: jnp.ndarray, w_hh: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
+    ys, _, _ = _lstm_fwd_pallas(xg, w_hh, interpret)
+    return ys
+
+
+def _lstm_core_fwd(xg, w_hh, interpret):
+    ys, cs, gates = _lstm_fwd_pallas(xg, w_hh, interpret)
+    return ys, (w_hh, ys, cs, gates)
+
+
+def _lstm_core_bwd(interpret, res, dys):
+    """Reverse-time BPTT over the saved activations (one lax.scan)."""
+    w_hh, ys, cs, gates = res
+    B, N, H = ys.shape
+
+    # previous-step h and c (zeros before t=0)
+    h_prev = jnp.concatenate(
+        [jnp.zeros((B, 1, H), ys.dtype), ys[:, :-1]], axis=1)
+    c_prev = jnp.concatenate(
+        [jnp.zeros((B, 1, H), cs.dtype), cs[:, :-1]], axis=1)
+
+    w_t = w_hh.T  # [4H, H]
+
+    def step(carry, inp):
+        dh, dc = carry
+        g, c, cp, dy = inp  # [B,4H], [B,H], [B,H], [B,H]
+        i, f, gg, o = (g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H],
+                       g[:, 3 * H:])
+        tanh_c = jnp.tanh(c)
+        dh_t = dy + dh
+        do = dh_t * tanh_c
+        dc_t = dc + dh_t * o * (1.0 - tanh_c * tanh_c)
+        di = dc_t * gg
+        df = dc_t * cp
+        dg = dc_t * i
+        dgates = jnp.concatenate([
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - gg * gg),
+            do * o * (1.0 - o),
+        ], axis=-1)  # [B, 4H] pre-activation grads
+        dh_prev = jnp.dot(dgates, w_t, preferred_element_type=jnp.float32)
+        dc_prev = dc_t * f
+        return (dh_prev, dc_prev), dgates
+
+    inputs = (
+        jnp.swapaxes(gates, 0, 1),
+        jnp.swapaxes(cs, 0, 1),
+        jnp.swapaxes(c_prev, 0, 1),
+        jnp.swapaxes(dys, 0, 1),
+    )
+    init = (jnp.zeros((B, H), ys.dtype), jnp.zeros((B, H), ys.dtype))
+    _, dgates_seq = jax.lax.scan(step, init, inputs, reverse=True)
+    dxg = jnp.swapaxes(dgates_seq, 0, 1)  # [B, N, 4H]
+
+    # dW_hh = sum_t h_{t-1}^T dgates_t — one large MXU matmul
+    dw = jnp.einsum("bnh,bng->hg", h_prev, dxg)
+    return dxg, dw
+
+
+_lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
+
+
+def lstm_recurrence_pallas(
+    xg: jnp.ndarray, w_hh: jnp.ndarray, reverse: bool = False,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.rnn.lstm_recurrence_scan.
+
+    ``reverse=True`` (the backward half of a BiLSTM) is handled by flipping
+    the time axis around the forward-time kernel; flips are free-ish layout
+    ops and keep one kernel for both directions.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if reverse:
+        return jnp.flip(
+            _lstm_core(jnp.flip(xg, axis=1), w_hh, interpret), axis=1)
+    return _lstm_core(xg, w_hh, interpret)

@@ -1,0 +1,303 @@
+"""High-level training drivers for both API surfaces.
+
+``train_benchmark`` mirrors the reference's train.py main() flow
+(ref: src/benchmark/train.py:356-507): aggressive augmentation on train,
+clean val, AdamW + clip + ReduceLROnPlateau, per-epoch Hungarian-aligned
+metrics, best + periodic checkpoints. ``train_legacy`` drives the documented
+GRU surface (README.md:147-157).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from room_slam_tpu.config import ExperimentConfig
+from room_slam_tpu.data.dataset import TraceColliderArrays
+from room_slam_tpu.models.factory import build_model, count_parameters, \
+    init_params
+from room_slam_tpu.parallel import mesh as mesh_lib
+from room_slam_tpu.train import checkpoint as ckpt_lib
+from room_slam_tpu.train.loop import (PlateauScheduler, TrainState,
+                                      make_eval_step, make_optimizer,
+                                      make_train_step, set_learning_rate)
+from room_slam_tpu.train.metrics import make_metrics_step, summarize_metrics
+
+
+def _device_batch(batch: Dict[str, np.ndarray], mesh=None):
+    if mesh is not None:
+        return mesh_lib.shard_batch(batch, mesh)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def train_benchmark(
+    cfg: ExperimentConfig,
+    use_mesh: bool = True,
+    verbose: bool = True,
+) -> Dict:
+    """Train a benchmark-surface model end to end; returns a summary dict."""
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh(cfg.mesh.mesh_shape)
+        if verbose:
+            print(f"Mesh: {dict(mesh.shape)}")
+
+    train_ds = TraceColliderArrays(cfg.data.data_dir, cfg.data, augment=True,
+                                   verbose=verbose)
+    val_ds = TraceColliderArrays(cfg.data.val_dir, cfg.data, augment=False,
+                                 verbose=verbose)
+
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seed=cfg.train.seed,
+                         seq_len=cfg.data.max_trace_len)
+    if mesh is not None:
+        params = mesh_lib.shard_params(params, mesh)
+    n_params = count_parameters(params)
+    if verbose:
+        print(f"Model parameters: {n_params:,}")
+
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    train_step = make_train_step(model, tx, cfg, augment=True)
+    eval_step = make_eval_step(model, cfg)
+    metrics_step = make_metrics_step(model, cfg.train.iou_thresh)
+    sched = PlateauScheduler(
+        lr=cfg.train.lr,
+        factor=cfg.train.plateau_factor,
+        patience=cfg.train.plateau_patience,
+        cooldown=cfg.train.plateau_cooldown,
+        min_lr=cfg.train.lr * cfg.train.plateau_min_scale,
+    )
+
+    save_dir = Path(cfg.train.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    cfg.to_json(save_dir / "config.json")
+
+    key = jax.random.key(cfg.train.seed)
+    best_val = float("inf")
+    history = []
+    t0 = time.time()
+    samples_seen = 0
+
+    for epoch in range(cfg.train.num_epochs):
+        # --- train ---
+        epoch_loss, n_batches = 0.0, 0
+        for batch in train_ds.epoch_batches(
+                cfg.train.batch_size, seed=cfg.train.seed + epoch):
+            key, sub = jax.random.split(key)
+            state, losses = train_step(
+                state, _device_batch(batch, mesh), sub)
+            epoch_loss += float(losses["total_loss"])
+            n_batches += 1
+            samples_seen += int(batch["weight"].sum())
+        train_loss = epoch_loss / max(n_batches, 1)
+
+        # --- validate + metrics ---
+        if (epoch + 1) % cfg.train.val_every == 0:
+            val_loss, nv = 0.0, 0
+            acc = None
+            for batch in val_ds.epoch_batches(
+                    cfg.train.batch_size, shuffle=False):
+                db = _device_batch(batch, mesh)
+                losses, _ = eval_step(state.params, db)
+                val_loss += float(losses["total_loss"])
+                nv += 1
+                sums = metrics_step(state.params, db)
+                sums = {k: float(v) for k, v in sums.items()}
+                acc = (sums if acc is None else
+                       {k: acc[k] + sums[k] for k in sums})
+            val_loss /= max(nv, 1)
+            metrics = summarize_metrics(acc) if acc else {}
+
+            lr = sched.step(val_loss)
+            state = state._replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
+
+            if verbose:
+                print(
+                    f"Epoch {epoch}: Train {train_loss:.4f} | "
+                    f"Val {val_loss:.4f} | mIoU={metrics.get('mIoU', 0):.3f} "
+                    f"P={metrics.get('precision', 0):.3f} "
+                    f"R={metrics.get('recall', 0):.3f} "
+                    f"F1={metrics.get('f1', 0):.3f} "
+                    f"ClsAcc={metrics.get('cls_acc', 0):.3f} | LR={lr:.6f}")
+
+            history.append({"epoch": epoch, "train_loss": train_loss,
+                            "val_loss": val_loss, **metrics})
+
+            if val_loss < best_val:
+                best_val = val_loss
+                ckpt_lib.save_checkpoint(
+                    save_dir / "best_model", state.params, state.opt_state,
+                    epoch=epoch, val_loss=val_loss, metrics=metrics,
+                    config=cfg)
+                if verbose:
+                    print(f"✓ Saved BEST model (val_loss={best_val:.4f})")
+        elif verbose:
+            print(f"Epoch {epoch}: Train {train_loss:.4f}")
+
+        if (epoch + 1) % 10 == 0:
+            ckpt_lib.save_checkpoint(
+                save_dir / f"checkpoint_epoch_{epoch}", state.params,
+                state.opt_state, epoch=epoch, config=cfg)
+
+    wall = time.time() - t0
+    return {
+        "best_val_loss": best_val,
+        "history": history,
+        "wall_time_s": wall,
+        "samples_seen": samples_seen,
+        "samples_per_sec": samples_seen / max(wall, 1e-9),
+        "n_params": n_params,
+        "save_dir": str(save_dir),
+    }
+
+
+def train_legacy(
+    data_dir: str,
+    epochs: int = 100,
+    batch_size: int = 32,
+    lr: float = 1e-3,
+    hidden_size: int = 128,
+    seq_len: int = 500,
+    max_objects: int = 10,
+    save_dir: str = "./checkpoints",
+    seed: int = 0,
+    val_fraction: float = 0.2,
+    verbose: bool = True,
+) -> Dict:
+    """Train the legacy GRU surface with the documented defaults
+    (ref: README.md:149-157: batch=32, lr=1e-3, hidden=128, seq=500,
+    max_objects=10, epochs=100)."""
+    import optax
+
+    from room_slam_tpu.data.legacy import LegacyArrays
+    from room_slam_tpu.models.legacy_gru import RoomSlamGRU
+    from room_slam_tpu.ops.losses import legacy_criterion
+
+    ds = LegacyArrays(data_dir, seq_len=seq_len, max_objects=max_objects)
+    n = len(ds)
+    n_val = max(1, int(n * val_fraction))
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+    if verbose:
+        print(f"Legacy dataset: {n} windows ({len(train_idx)} train / "
+              f"{n_val} val)")
+
+    model = RoomSlamGRU(hidden_size=hidden_size, max_objects=max_objects)
+    dummy = jnp.zeros((2, seq_len, 2), jnp.float32)
+    params = jax.jit(lambda k: model.init(
+        {"params": k}, dummy, deterministic=True))(jax.random.key(seed))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            out = model.apply(p, batch["traces"], deterministic=False,
+                              rngs={"dropout": key})
+            losses = legacy_criterion(
+                out,
+                {"boxes": batch["boxes"], "labels": batch["labels"],
+                 "valid_mask": batch["valid"]},
+                batch["weight"])
+            return losses["total_loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, losses
+
+    @jax.jit
+    def val_step(params, batch):
+        out = model.apply(params, batch["traces"], deterministic=True)
+        return legacy_criterion(
+            out,
+            {"boxes": batch["boxes"], "labels": batch["labels"],
+             "valid_mask": batch["valid"]},
+            batch["weight"])
+
+    def gather(idx_list, bs, seed_, shuffle):
+        order = (np.random.default_rng(seed_).permutation(idx_list)
+                 if shuffle else np.asarray(idx_list))
+        for lo in range(0, len(order), bs):
+            chunk = order[lo: lo + bs]
+            pad = bs - len(chunk)
+            sel = np.concatenate([chunk, np.zeros((pad,), chunk.dtype)])
+            w = np.ones((bs,), np.float32)
+            if pad:
+                w[-pad:] = 0.0
+            yield {
+                "traces": jnp.asarray(ds.traces[sel, :, 1:3]),
+                "boxes": jnp.asarray(ds.boxes[sel]),
+                "labels": jnp.asarray(ds.labels[sel]),
+                "valid": jnp.asarray(ds.valid[sel]),
+                "weight": jnp.asarray(w),
+            }
+
+    save_path = Path(save_dir)
+    save_path.mkdir(parents=True, exist_ok=True)
+    key = jax.random.key(seed)
+    best_val = float("inf")
+    t0 = time.time()
+    samples = 0
+    for epoch in range(epochs):
+        tr_loss, nb = 0.0, 0
+        for batch in gather(train_idx, batch_size, seed + epoch, True):
+            key, sub = jax.random.split(key)
+            params, opt_state, losses = train_step(
+                params, opt_state, batch, sub)
+            tr_loss += float(losses["total_loss"])
+            nb += 1
+            samples += int(batch["weight"].sum())
+        vl, nv = 0.0, 0
+        for batch in gather(val_idx, batch_size, 0, False):
+            vl += float(val_step(params, batch)["total_loss"])
+            nv += 1
+        vl /= max(nv, 1)
+        if verbose:
+            print(f"Epoch {epoch}: Train {tr_loss / max(nb, 1):.4f} | "
+                  f"Val {vl:.4f}")
+        if vl < best_val:
+            best_val = vl
+            ckpt_lib.save_checkpoint(
+                save_path / "best_model_legacy", params,
+                epoch=epoch, val_loss=vl)
+    wall = time.time() - t0
+    return {
+        "best_val_loss": best_val,
+        "wall_time_s": wall,
+        "samples_per_sec": samples / max(wall, 1e-9),
+        "save_dir": str(save_path),
+        "model": model,
+        "params": params,
+        "dataset": ds,
+        "val_idx": val_idx,
+    }
+
+
+def load_model_for_inference(checkpoint: str):
+    """Rebuild a model + params from one of our checkpoints, or import a
+    reference ``.pth`` directly (ref behavior: inference.py:8-21)."""
+    if checkpoint.endswith(".pth"):
+        from room_slam_tpu.train.torch_import import load_pth_checkpoint
+
+        params, ref_cfg = load_pth_checkpoint(checkpoint)
+        cfg = ExperimentConfig()
+        cfg.model.model_type = ref_cfg.get("model_type", "transformer")
+        cfg.model.d_model = ref_cfg.get("d_model", 256)
+        cfg.model.num_queries = ref_cfg.get("num_queries", 50)
+        cfg.model.use_pallas_rnn = False
+        model = build_model(cfg.model)
+        return model, params, cfg
+
+    cfg = ckpt_lib.load_config_from_checkpoint(checkpoint)
+    model = build_model(cfg.model)
+    template = init_params(model, cfg.model)
+    params, _, _ = ckpt_lib.load_checkpoint(checkpoint, template)
+    return model, params, cfg

@@ -1,0 +1,137 @@
+"""Augmentation semantics (mirrors the reference's numeric rotation check,
+test_augmentation.py:126-150, plus invariants for the other transforms)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from room_slam_tpu.config import DataConfig
+from room_slam_tpu.data.augment import Sample, augment_sample, rotate_sample
+
+
+def _sample(rng, L=128, M=8, n=100):
+    raw = np.zeros((L, 4), np.float32)
+    raw[:n, :3] = rng.normal(size=(n, 3)) * 2
+    raw[:n, 3] = np.sort(rng.uniform(0, 30, n))
+    boxes = rng.uniform(0.5, 3.0, size=(M, 6)).astype(np.float32)
+    labels = rng.integers(0, 4, M).astype(np.int32)
+    valid = np.ones(M, bool)
+    return Sample(
+        raw=jnp.asarray(raw),
+        length=jnp.asarray(n, jnp.int32),
+        boxes=jnp.asarray(boxes),
+        labels=jnp.asarray(labels),
+        valid=jnp.asarray(valid),
+    )
+
+
+def test_rotation_90(rng):
+    """90 deg: (x, z) -> (-z, x) within 0.01 — the reference's own assertion
+    (test_augmentation.py:133-150) — and exact here."""
+    s = _sample(rng)
+    r = rotate_sample(s, jnp.asarray(1))
+    x, z = np.asarray(s.raw[:, 0]), np.asarray(s.raw[:, 2])
+    # x' = cos*x + sin*z = z ; z' = -sin*x + cos*z = -x
+    np.testing.assert_allclose(np.asarray(r.raw[:, 0]), z, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.raw[:, 2]), -x, atol=1e-6)
+    # sizes swap x/z at 90deg (ref: dataloader.py:214-222)
+    np.testing.assert_allclose(
+        np.asarray(r.boxes[:, 3]), np.asarray(s.boxes[:, 5]))
+    np.testing.assert_allclose(
+        np.asarray(r.boxes[:, 5]), np.asarray(s.boxes[:, 3]))
+    # y untouched
+    np.testing.assert_allclose(
+        np.asarray(r.raw[:, 1]), np.asarray(s.raw[:, 1]))
+
+
+def test_rotation_360_roundtrip(rng):
+    s = _sample(rng)
+    r = s
+    for _ in range(4):
+        r = rotate_sample(r, jnp.asarray(1))
+    np.testing.assert_allclose(np.asarray(r.raw), np.asarray(s.raw),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r.boxes), np.asarray(s.boxes),
+                               atol=1e-5)
+
+
+def test_trace_and_boxes_transform_together(rng):
+    """With only translation+scale on, relative geometry trace<->boxes is
+    preserved up to the common similarity transform."""
+    cfg = DataConfig(
+        augment_rotation=False,
+        augment_collider_dropout=False,
+        noise_prob=0.0, crop_prob=0.0, time_warp_prob=0.0,
+    )
+    s = _sample(rng)
+    out = augment_sample(jax.random.key(1), s, jnp.asarray(0), cfg)
+    n = int(s.length)
+    # the offset between trace point i and box center j must scale uniformly
+    d_before = np.asarray(s.raw[:n, :3])[:, None, :] - np.asarray(
+        s.boxes[:, :3])[None]
+    d_after = np.asarray(out.raw[:n, :3])[:, None, :] - np.asarray(
+        out.boxes[:, :3])[None]
+    ratio = np.linalg.norm(d_after, axis=-1) / np.maximum(
+        np.linalg.norm(d_before, axis=-1), 1e-9)
+    assert ratio.std() < 1e-3
+    assert 0.8 - 1e-5 <= ratio.mean() <= 1.2 + 1e-5
+    # box sizes scale by the same factor
+    sratio = np.asarray(out.boxes[:, 3:]) / np.asarray(s.boxes[:, 3:])
+    np.testing.assert_allclose(sratio, ratio.mean(), rtol=1e-4)
+
+
+def test_crop_reduces_length_and_keeps_sorted(rng):
+    cfg = DataConfig(
+        augment_rotation=False, augment_translation=False,
+        augment_scale=False, augment_collider_dropout=False,
+        noise_prob=0.0, crop_prob=1.0, time_warp_prob=0.0,
+    )
+    s = _sample(rng, n=120)
+    out = augment_sample(jax.random.key(3), s, jnp.asarray(0), cfg)
+    n2 = int(out.length)
+    assert 0.6 * 120 <= n2 < 120
+    t = np.asarray(out.raw[:n2, 3])
+    assert np.all(np.diff(t) >= 0)
+
+
+def test_time_warp_monotone(rng):
+    cfg = DataConfig(
+        augment_rotation=False, augment_translation=False,
+        augment_scale=False, augment_collider_dropout=False,
+        noise_prob=0.0, crop_prob=0.0, time_warp_prob=1.0,
+    )
+    s = _sample(rng, n=100)
+    out = augment_sample(jax.random.key(5), s, jnp.asarray(0), cfg)
+    t = np.asarray(out.raw[:100, 3])
+    assert np.all(np.diff(t) >= -1e-6)
+    assert abs(t[0]) < 1e-6
+    # positions untouched by the warp
+    np.testing.assert_allclose(
+        np.asarray(out.raw[:, :3]), np.asarray(s.raw[:, :3]))
+
+
+def test_collider_dropout_keeps_walls(rng):
+    cfg = DataConfig(
+        augment_rotation=False, augment_translation=False,
+        augment_scale=False, noise_prob=0.0, crop_prob=0.0,
+        time_warp_prob=0.0,
+        augment_collider_dropout=True, dropout_gate_prob=1.0,
+        collider_dropout_prob=0.99,
+    )
+    s = _sample(rng)
+    # make boxes 0 and 1 walls: BLOCK with size.x > 5
+    boxes = np.array(s.boxes)
+    boxes[0, 3] = 6.0
+    boxes[1, 5] = 7.0
+    labels = np.array(s.labels)
+    labels[0] = 0
+    labels[1] = 0
+    s = s._replace(boxes=jnp.asarray(boxes), labels=jnp.asarray(labels))
+    dropped_any = False
+    for seed in range(8):
+        out = augment_sample(jax.random.key(seed), s, jnp.asarray(0), cfg)
+        v = np.asarray(out.valid)
+        assert v[0] and v[1]          # walls always kept
+        assert v.any()                # never empty
+        dropped_any |= not v.all()
+    assert dropped_any                # 0.99 drop prob must fire sometimes

@@ -1,0 +1,110 @@
+"""Set-criterion golden parity against the reference implementation
+(imported from the read-only snapshot — never copied)."""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from room_slam_tpu.ops.iou import iou_giou_3d
+from room_slam_tpu.ops.losses import set_criterion
+from tests.conftest import REFERENCE, requires_reference, requires_torch
+
+
+def _random_problem(rng, B=4, Q=30, M=50, C=4):
+    pred_boxes = rng.normal(size=(B, Q, 6)).astype(np.float32)
+    pred_boxes[..., 3:] = np.abs(pred_boxes[..., 3:]) + 0.1
+    pred_logits = rng.normal(size=(B, Q, C)).astype(np.float32)
+    gt_boxes = np.zeros((B, M, 6), np.float32)
+    gt_labels = np.full((B, M), -1, np.int64)
+    gt_valid = np.zeros((B, M), bool)
+    for b in range(B):
+        nv = int(rng.integers(1, 12))
+        gt_boxes[b, :nv] = rng.normal(size=(nv, 6))
+        gt_boxes[b, :nv, 3:] = np.abs(gt_boxes[b, :nv, 3:]) + 0.1
+        gt_labels[b, :nv] = rng.integers(0, C, nv)
+        gt_valid[b, :nv] = True
+    return pred_boxes, pred_logits, gt_boxes, gt_labels, gt_valid
+
+
+def test_iou_giou_matches_formula(rng):
+    """IoU/GIoU vs direct numpy computation of train.py:75-107."""
+    a = rng.normal(size=(64, 6)).astype(np.float32)
+    b = rng.normal(size=(64, 6)).astype(np.float32)
+    a[:, 3:] = np.abs(a[:, 3:]) + 0.05
+    b[:, 3:] = np.abs(b[:, 3:]) + 0.05
+    iou, giou = iou_giou_3d(jnp.asarray(a), jnp.asarray(b))
+
+    amin, amax = a[:, :3] - a[:, 3:] / 2, a[:, :3] + a[:, 3:] / 2
+    bmin, bmax = b[:, :3] - b[:, 3:] / 2, b[:, :3] + b[:, 3:] / 2
+    inter = np.clip(np.minimum(amax, bmax) - np.maximum(amin, bmin),
+                    0, None).prod(-1)
+    union = a[:, 3:].prod(-1) + b[:, 3:].prod(-1) - inter
+    ref_iou = inter / (union + 1e-6)
+    enc = np.clip(np.maximum(amax, bmax) - np.minimum(amin, bmin),
+                  0, None).prod(-1)
+    ref_giou = ref_iou - (enc - union) / (enc + 1e-6)
+    np.testing.assert_allclose(np.asarray(iou), ref_iou, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(giou), ref_giou, rtol=1e-5)
+
+
+@requires_reference
+@requires_torch
+def test_golden_vs_reference_criterion(rng):
+    """Run the actual reference SetCriterion on random data and require our
+    fused jax loss to agree to float tolerance."""
+    import torch
+
+    sys.path.insert(0, f"{REFERENCE}/src/benchmark")
+    import importlib
+
+    ref_train = importlib.import_module("train")
+
+    pb, pl, gb, gl, gv = _random_problem(rng)
+
+    criterion = ref_train.SetCriterion(
+        {"class_loss": 2.0, "l1_loss": 5.0, "giou_loss": 2.0})
+    outputs = {
+        "pred_boxes": torch.tensor(pb),
+        "pred_classes": torch.tensor(pl),
+    }
+    targets = {
+        "boxes": torch.tensor(gb),
+        "labels": torch.tensor(np.where(gv, gl, 0)),
+        "valid_mask": torch.tensor(gv),
+    }
+    ref = {k: float(v) for k, v in criterion(outputs, targets).items()}
+
+    ours = set_criterion(
+        {"pred_boxes": jnp.asarray(pb), "pred_classes": jnp.asarray(pl)},
+        {"boxes": jnp.asarray(gb),
+         "labels": jnp.asarray(gl.astype(np.int32)),
+         "valid_mask": jnp.asarray(gv)},
+    )
+    for k in ("class_loss", "l1_loss", "giou_loss", "total_loss"):
+        assert abs(ref[k] - float(ours[k])) < 2e-4 * max(1.0, abs(ref[k])), (
+            k, ref[k], float(ours[k]))
+
+
+def test_sample_weight_excludes_padding(rng):
+    pb, pl, gb, gl, gv = _random_problem(rng, B=4)
+    full = set_criterion(
+        {"pred_boxes": jnp.asarray(pb[:2]),
+         "pred_classes": jnp.asarray(pl[:2])},
+        {"boxes": jnp.asarray(gb[:2]),
+         "labels": jnp.asarray(gl[:2].astype(np.int32)),
+         "valid_mask": jnp.asarray(gv[:2])},
+    )
+    # batch of 4 where the last two are padding duplicates with weight 0
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    padded = set_criterion(
+        {"pred_boxes": jnp.asarray(pb), "pred_classes": jnp.asarray(pl)},
+        {"boxes": jnp.asarray(gb),
+         "labels": jnp.asarray(gl.astype(np.int32)),
+         "valid_mask": jnp.asarray(gv)},
+        sample_weight=w,
+    )
+    for k in full:
+        np.testing.assert_allclose(
+            float(full[k]), float(padded[k]), rtol=1e-5)

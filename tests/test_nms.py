@@ -1,0 +1,74 @@
+"""Fixed-shape NMS vs the reference's greedy loop semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from room_slam_tpu.ops.nms import nms_3d_mask, post_process
+
+
+def _greedy_reference(boxes, scores, iou_threshold):
+    """Direct numpy restatement of greedy 3D NMS
+    (ref: src/benchmark/inference.py:87-127)."""
+
+    def iou(b1, b2):
+        mn1, mx1 = b1[:3] - b1[3:] / 2, b1[:3] + b1[3:] / 2
+        mn2, mx2 = b2[:3] - b2[3:] / 2, b2[:3] + b2[3:] / 2
+        inter = np.clip(np.minimum(mx1, mx2) - np.maximum(mn1, mn2),
+                        0, None).prod()
+        union = b1[3:].prod() + b2[3:].prod() - inter
+        return inter / (union + 1e-6)
+
+    order = list(np.argsort(-scores))
+    keep = []
+    while order:
+        cur = order.pop(0)
+        keep.append(cur)
+        order = [j for j in order
+                 if iou(boxes[cur], boxes[j]) < iou_threshold]
+    return sorted(keep)
+
+
+def test_nms_matches_reference_greedy(rng):
+    for trial in range(10):
+        Q = 30
+        # clustered boxes to force overlaps
+        centers = rng.normal(size=(Q, 3)) * 0.8
+        sizes = rng.uniform(0.5, 2.0, size=(Q, 3))
+        boxes = np.concatenate([centers, sizes], axis=1).astype(np.float32)
+        scores = rng.random(Q).astype(np.float32)
+        keep = nms_3d_mask(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            jnp.ones(Q, bool), iou_threshold=0.3)
+        ours = sorted(np.where(np.asarray(keep))[0].tolist())
+        ref = _greedy_reference(boxes, scores, 0.3)
+        assert ours == ref, trial
+
+
+def test_nms_respects_mask(rng):
+    Q = 16
+    boxes = np.tile(np.array([0, 0, 0, 1, 1, 1], np.float32), (Q, 1))
+    scores = np.linspace(1, 0, Q).astype(np.float32)
+    mask = np.zeros(Q, bool)
+    mask[5] = True
+    keep = np.asarray(nms_3d_mask(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(mask), 0.5))
+    assert keep[5] and keep.sum() == 1
+
+
+def test_post_process_confidence_and_classes(rng):
+    Q, C = 30, 4
+    boxes = rng.normal(size=(Q, 6)).astype(np.float32)
+    boxes[:, 3:] = np.abs(boxes[:, 3:]) + 0.2
+    logits = rng.normal(size=(Q, C)).astype(np.float32) * 4
+    keep, labels, conf = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits),
+        confidence_threshold=0.7, nms_threshold=0.3)
+    keep = np.asarray(keep)
+    conf = np.asarray(conf)
+    assert np.all(conf[keep] > 0.7)
+    # identical duplicated boxes of the same class collapse to one
+    dup = np.tile(boxes[:1], (Q, 1))
+    logits_same = np.tile(logits[:1] * 0 + np.array([9, 0, 0, 0]), (Q, 1))
+    keep2, _, _ = post_process(
+        jnp.asarray(dup), jnp.asarray(logits_same.astype(np.float32)))
+    assert int(np.asarray(keep2).sum()) == 1

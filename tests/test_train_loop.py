@@ -1,0 +1,132 @@
+"""Training-loop integration: loss goes down, metrics compute, checkpoints
+round-trip, sharded multi-device step runs on a virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from room_slam_tpu.config import DataConfig, ExperimentConfig, ModelConfig, \
+    TrainConfig
+from room_slam_tpu.data import synthetic
+from room_slam_tpu.models.factory import build_model, init_params
+from room_slam_tpu.train import checkpoint as ckpt
+from room_slam_tpu.train.loop import (PlateauScheduler, TrainState,
+                                      make_eval_step, make_optimizer,
+                                      make_train_step, set_learning_rate)
+from room_slam_tpu.train.metrics import make_metrics_step, summarize_metrics
+
+
+def _tiny_config():
+    return ExperimentConfig(
+        data=DataConfig(max_trace_len=128, max_colliders=16,
+                        noise_prob=0.0, crop_prob=0.0, time_warp_prob=0.0,
+                        augment_collider_dropout=False,
+                        augment_translation=False, augment_scale=False),
+        model=ModelConfig(model_type="lstm", d_model=32, num_queries=10,
+                          lstm_layers=1, dropout=0.0, use_pallas_rnn=False),
+        train=TrainConfig(batch_size=4, lr=3e-3),
+    )
+
+
+def _synthetic_batch(cfg, batch=4, seed=0):
+    data = synthetic.generate_rooms_and_traces(
+        jax.random.key(seed), n_rooms=batch,
+        num_steps=cfg.data.max_trace_len,
+        max_colliders=cfg.data.max_colliders)
+    return {
+        "raw": data["raw"],
+        "length": data["length"],
+        "boxes": data["boxes"],
+        "labels": data["labels"],
+        "valid": data["valid"],
+        "rotation_k": jnp.zeros((batch,), jnp.int32),
+        "weight": jnp.ones((batch,), jnp.float32),
+    }
+
+
+def test_loss_decreases_overfit():
+    cfg = _tiny_config()
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    step = make_train_step(model, tx, cfg, augment=False)
+
+    batch = _synthetic_batch(cfg)
+    losses0 = None
+    key = jax.random.key(0)
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        state, losses = step(state, batch, sub)
+        if losses0 is None:
+            losses0 = float(losses["total_loss"])
+    final = float(losses["total_loss"])
+    assert np.isfinite(final)
+    assert final < 0.7 * losses0, (losses0, final)
+
+
+def test_metrics_and_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_config()
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    batch = _synthetic_batch(cfg)
+
+    mstep = make_metrics_step(model, iou_thresh=0.5)
+    sums = {k: float(v) for k, v in mstep(params, batch).items()}
+    m = summarize_metrics(sums)
+    assert 0.0 <= m["mIoU"] <= 1.0
+    # FN = GT that cannot be matched because num_valid exceeds the Q=10
+    # query slots (ref evaluator semantics, train.py:270-271)
+    nv = np.asarray(batch["valid"]).sum(axis=1)
+    expected_fn = int(np.maximum(nv - cfg.model.num_queries, 0).sum())
+    assert m["fn"] == expected_fn
+    assert set(m) >= {"precision", "recall", "f1", "cls_acc"}
+
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    ckpt.save_checkpoint(tmp_path / "best_model", params, opt_state,
+                         epoch=3, val_loss=1.5, metrics=m, config=cfg)
+    p2, o2, side = ckpt.load_checkpoint(
+        tmp_path / "best_model", params, opt_state)
+    assert side["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params-only restore also works
+    p3, _, _ = ckpt.load_checkpoint(tmp_path / "best_model", params)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(p3)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params)[0]))
+
+
+def test_plateau_scheduler_matches_torch_semantics():
+    s = PlateauScheduler(lr=1.0, factor=0.5, patience=2, threshold=1e-3,
+                         cooldown=1, min_lr=0.01)
+    # improving: no decay
+    for v in (10.0, 9.0, 8.0):
+        assert s.step(v) == 1.0
+    # stagnating: decay after patience+1 bad epochs
+    lrs = [s.step(8.0) for _ in range(4)]
+    assert lrs[-1] == 0.5
+
+
+def test_multidevice_data_parallel_step():
+    """The train step under a 'data'-sharded batch on the virtual 8-CPU mesh
+    (the dryrun_multichip path)."""
+    from room_slam_tpu.parallel import mesh as mesh_lib
+
+    assert jax.device_count() >= 8
+    cfg = _tiny_config()
+    cfg.train.batch_size = 8
+    mesh = mesh_lib.make_mesh((8, 1))
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    params = mesh_lib.shard_params(params, mesh)
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    step = make_train_step(model, tx, cfg, augment=True)
+
+    batch = jax.device_get(_synthetic_batch(cfg, batch=8))
+    batch = mesh_lib.shard_batch(batch, mesh)
+    state, losses = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(losses["total_loss"]))

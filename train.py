@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Training CLI — both API surfaces of the reference.
+
+Benchmark surface (JSON 3D traces, DETR-style set prediction; the reference's
+``src/benchmark/train.py``):
+    python train.py --surface bench --data_dir dataset/train \
+        --val_dir dataset/val --model lstm --epochs 200
+
+Legacy surface (CSV 2D traces, GRU + multi-head MLP decoder; the reference's
+documented top-level ``train.py``, README.md:64-79, 147-157):
+    python train.py --create_sample_data
+    python train.py --data_dir data/sample --epochs 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--surface", choices=["auto", "bench", "legacy"],
+                   default="auto")
+    p.add_argument("--data_dir", type=str, default="data/sample")
+    p.add_argument("--val_dir", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--model", type=str, default=None,
+                   help="lstm | transformer | gru")
+    p.add_argument("--d_model", type=int, default=None)
+    p.add_argument("--hidden_size", type=int, default=128,
+                   help="legacy GRU hidden size (README default 128)")
+    p.add_argument("--seq_len", type=int, default=500,
+                   help="legacy window length (README default 500)")
+    p.add_argument("--max_objects", type=int, default=10)
+    p.add_argument("--num_queries", type=int, default=None)
+    p.add_argument("--max_trace_len", type=int, default=None)
+    p.add_argument("--save_dir", type=str, default="./checkpoints")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--create_sample_data", action="store_true",
+                   help="synthesize legacy sample data into --data_dir "
+                        "(README.md:64-68)")
+    p.add_argument("--num_sample_traces", type=int, default=10)
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON ExperimentConfig to start from")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="config override section.key=value (repeatable)")
+    args = p.parse_args()
+
+    if args.create_sample_data:
+        from room_slam_tpu.data.legacy import create_sample_data
+
+        create_sample_data(args.data_dir, n_traces=args.num_sample_traces,
+                           seed=args.seed)
+        if args.epochs is None:
+            return
+
+    surface = args.surface
+    if surface == "auto":
+        d = Path(args.data_dir)
+        has_csv = any(d.glob("*.csv")) if d.is_dir() else False
+        surface = "legacy" if has_csv else "bench"
+        print(f"[train] auto-detected surface: {surface}")
+
+    if surface == "legacy":
+        from room_slam_tpu.train.driver import train_legacy
+
+        result = train_legacy(
+            data_dir=args.data_dir,
+            epochs=args.epochs if args.epochs is not None else 100,
+            batch_size=args.batch_size or 32,
+            lr=args.lr or 1e-3,
+            hidden_size=args.hidden_size,
+            seq_len=args.seq_len,
+            max_objects=args.max_objects,
+            save_dir=args.save_dir,
+            seed=args.seed,
+        )
+        print(json.dumps(
+            {k: v for k, v in result.items()
+             if isinstance(v, (int, float, str))}, indent=2))
+        return
+
+    from room_slam_tpu.config import ExperimentConfig
+    from room_slam_tpu.train.driver import train_benchmark
+
+    cfg = (ExperimentConfig.from_json(args.config) if args.config
+           else ExperimentConfig())
+    cfg.data.data_dir = args.data_dir
+    cfg.data.val_dir = args.val_dir or args.data_dir.replace("train", "val")
+    if args.epochs is not None:
+        cfg.train.num_epochs = args.epochs
+    if args.batch_size is not None:
+        cfg.train.batch_size = args.batch_size
+    if args.lr is not None:
+        cfg.train.lr = args.lr
+    if args.model is not None:
+        cfg.model.model_type = args.model
+    if args.d_model is not None:
+        cfg.model.d_model = args.d_model
+    if args.num_queries is not None:
+        cfg.model.num_queries = args.num_queries
+    if args.max_trace_len is not None:
+        cfg.data.max_trace_len = args.max_trace_len
+    cfg.train.save_dir = args.save_dir
+    cfg.train.seed = args.seed
+    cfg.apply_overrides(args.overrides)
+
+    print("\n=== Data Augmentation Settings ===")
+    print(f"Rotation: {list(cfg.data.rotation_angles)}°")
+    print(f"Translation: ±{cfg.data.translation_range} meters")
+    print(f"Scale: {cfg.data.scale_range[0]}x to {cfg.data.scale_range[1]}x")
+    print(f"Collider Dropout: {cfg.data.collider_dropout_prob:.0%} "
+          "probability")
+    print("=" * 40 + "\n")
+
+    result = train_benchmark(cfg)
+    print(json.dumps(
+        {k: v for k, v in result.items()
+         if isinstance(v, (int, float, str))}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
