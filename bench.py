@@ -27,18 +27,28 @@ import numpy as np
 
 
 def main():
+    import argparse
+
     from room_slam_tpu.config import (DataConfig, ExperimentConfig,
                                       ModelConfig, TrainConfig)
     from room_slam_tpu.data.features import featurize
     from room_slam_tpu.models.factory import build_model, init_params
     from room_slam_tpu.train.loop import (TrainState, make_optimizer,
                                           make_train_step)
+    from room_slam_tpu.utils.profiling import StepTimer, device_trace
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", type=str, default=None,
+                    help="capture a jax.profiler trace to this directory "
+                         "(NOTE: tracing through the remote TPU tunnel slows "
+                         "steps ~80x — throughput printed under --profile is "
+                         "not representative)")
+    args = ap.parse_args()
 
     B, L = 32, 500
     cfg = ExperimentConfig(
         data=DataConfig(max_trace_len=L),
-        model=ModelConfig(model_type="lstm", d_model=128, num_queries=30,
-                          use_pallas_rnn=False),
+        model=ModelConfig(model_type="lstm", d_model=128, num_queries=30),
         train=TrainConfig(batch_size=B),
     )
     model = build_model(cfg.model)
@@ -73,11 +83,14 @@ def main():
     jax.block_until_ready(losses["total_loss"])
 
     n = 30
-    t0 = time.perf_counter()
-    for i in range(n):
-        key, sub = jax.random.split(key)
-        state, losses = train_step(state, batch, sub)
-    jax.block_until_ready(losses["total_loss"])
+    timer = StepTimer(batch_size=B, skip=0)
+    with device_trace(args.profile):
+        t0 = time.perf_counter()
+        for i in range(n):
+            with timer.step():
+                key, sub = jax.random.split(key)
+                state, losses = train_step(state, batch, sub)
+        jax.block_until_ready(losses["total_loss"])
     train_dt = time.perf_counter() - t0
     train_tps = n * B / train_dt
 

@@ -21,6 +21,24 @@ Ex10si0n/room-slam reference (see SURVEY.md):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles through the remote TPU
+# tunnel cost minutes; caching them on disk makes every later process start
+# warm. Opt out with ROOM_SLAM_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("ROOM_SLAM_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/room_slam_tpu/xla"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+
 from room_slam_tpu.config import (  # noqa: F401
     DataConfig,
     ModelConfig,

@@ -3,8 +3,9 @@
 The reference applies augmentation as Python loops over dicts inside
 ``Dataset.__getitem__`` on the host for every epoch
 (ref: src/benchmark/dataloader.py:152-392) — the dominant training cost.
-Here the full suite is a pure function of a PRNG key over fixed-shape arrays,
-vmapped over the batch and fused into the jitted train step.
+Here the full suite is a pure function of a PRNG key over fixed-shape arrays:
+all random draws happen once per BATCH (one threefry dispatch per
+distribution, not one per sample), and the transform itself is vmapped.
 
 Semantics (each cites the reference):
 - Y-axis rotation by k*90 deg with size swap at 90/270 (dataloader.py:152-241).
@@ -31,7 +32,7 @@ Semantics (each cites the reference):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,49 @@ class Sample(NamedTuple):
     boxes: jnp.ndarray    # [M, 6] (cx, cy, cz, sx, sy, sz)
     labels: jnp.ndarray   # [M]    int32, -1 for padding
     valid: jnp.ndarray    # [M]    bool
+
+
+class AugRand(NamedTuple):
+    """Per-sample random draws (leading batch dim when drawn for a batch)."""
+
+    t_xz: jnp.ndarray       # [2]
+    scale: jnp.ndarray      # []
+    noise_gate: jnp.ndarray  # []
+    noise: jnp.ndarray      # [L, 3]
+    crop_gate: jnp.ndarray  # []
+    crop_u1: jnp.ndarray    # []
+    crop_u2: jnp.ndarray    # []
+    warp_gate: jnp.ndarray  # []
+    warp_k: jnp.ndarray     # []
+    warp_s1: jnp.ndarray    # []
+    warp_s2: jnp.ndarray    # []
+    drop_gate: jnp.ndarray  # []
+    drop_u: jnp.ndarray     # [M]
+
+
+def draw_rands(key: jax.Array, batch: int, L: int, M: int,
+               cfg: DataConfig) -> AugRand:
+    """All stochastic draws for a whole batch — 13 RNG dispatches total."""
+    ks = jax.random.split(key, 13)
+    u = jax.random.uniform
+    sigma = jnp.array(cfg.noise_sigma, dtype=jnp.float32)
+    return AugRand(
+        t_xz=u(ks[0], (batch, 2), minval=-cfg.translation_range,
+               maxval=cfg.translation_range),
+        scale=u(ks[1], (batch,), minval=cfg.scale_range[0],
+                maxval=cfg.scale_range[1]),
+        noise_gate=u(ks[2], (batch,)),
+        noise=jax.random.normal(ks[3], (batch, L, 3)) * sigma,
+        crop_gate=u(ks[4], (batch,)),
+        crop_u1=u(ks[5], (batch,)),
+        crop_u2=u(ks[6], (batch,)),
+        warp_gate=u(ks[7], (batch,)),
+        warp_k=u(ks[8], (batch,), minval=0.4, maxval=0.6),
+        warp_s1=u(ks[9], (batch,), minval=0.5, maxval=1.5),
+        warp_s2=u(ks[10], (batch,), minval=0.5, maxval=1.5),
+        drop_gate=u(ks[11], (batch,)),
+        drop_u=u(ks[12], (batch, M)),
+    )
 
 
 def rotate_sample(sample: Sample, k: jnp.ndarray) -> Sample:
@@ -82,90 +126,65 @@ def _is_wall(boxes: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return (labels == 0) & ((boxes[:, 3] > 5.0) | (boxes[:, 5] > 5.0))
 
 
-def augment_sample(key: jax.Array, sample: Sample, rotation_k: jnp.ndarray,
-                   cfg: DataConfig) -> Sample:
-    """Apply the full augmentation suite to one sample. Pure; fixed shapes.
+def apply_augment(sample: Sample, rotation_k: jnp.ndarray, r: AugRand,
+                  cfg: DataConfig) -> Sample:
+    """Deterministic augmentation given pre-drawn randoms; vmappable.
 
-    ``cfg`` must be a static (Python) DataConfig. Order matches the reference
-    __getitem__: rotate -> translate -> scale -> noise -> crop -> time-warp ->
-    collider dropout (dataloader.py:317-392).
+    Order matches the reference __getitem__: rotate -> translate -> scale ->
+    noise -> crop -> time-warp -> collider dropout (dataloader.py:317-392).
     """
     L = sample.raw.shape[0]
-    keys = jax.random.split(key, 12)
 
-    # --- rotation (deterministic per epoch-index) ---
     if cfg.augment_rotation:
         sample = rotate_sample(sample, rotation_k)
 
     raw, boxes = sample.raw, sample.boxes
     length, labels, valid = sample.length, sample.labels, sample.valid
 
-    # --- translation in X-Z ---
     if cfg.augment_translation:
-        t_xz = jax.random.uniform(
-            keys[0], (2,), minval=-cfg.translation_range,
-            maxval=cfg.translation_range)
-        shift = jnp.array([1.0, 0.0, 1.0, 0.0]) * jnp.array(
-            [t_xz[0], 0.0, t_xz[1], 0.0])
+        shift = jnp.stack([r.t_xz[0], 0.0, r.t_xz[1], 0.0])
         raw = raw + shift
-        boxes = boxes.at[:, 0].add(t_xz[0])
-        boxes = boxes.at[:, 2].add(t_xz[1])
+        boxes = boxes.at[:, 0].add(r.t_xz[0])
+        boxes = boxes.at[:, 2].add(r.t_xz[1])
 
-    # --- isotropic scale ---
     if cfg.augment_scale:
-        s = jax.random.uniform(
-            keys[1], (), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
-        raw = raw * jnp.array([1.0, 1.0, 1.0, 0.0]) * s + raw * jnp.array(
-            [0.0, 0.0, 0.0, 1.0])
-        boxes = boxes * s
+        xyz_only = jnp.array([1.0, 1.0, 1.0, 0.0])
+        raw = raw * (xyz_only * r.scale + (1.0 - xyz_only))
+        boxes = boxes * r.scale
 
-    # --- gaussian position noise ---
     if cfg.noise_prob > 0:
-        do_noise = jax.random.uniform(keys[2], ()) < cfg.noise_prob
-        sigma = jnp.array(cfg.noise_sigma, dtype=raw.dtype)
-        noise = jax.random.normal(keys[3], (L, 3)) * sigma
-        raw = jnp.where(
-            do_noise,
-            raw.at[:, :3].add(noise),
-            raw,
-        )
+        do_noise = r.noise_gate < cfg.noise_prob
+        raw = jnp.where(do_noise, raw.at[:, :3].add(r.noise), raw)
 
-    # --- subsequence crop (emulated at fixed shape by a roll + new length) ---
     if cfg.crop_prob > 0:
-        do_crop = (jax.random.uniform(keys[4], ()) < cfg.crop_prob) & (
-            length > 100)
+        do_crop = (r.crop_gate < cfg.crop_prob) & (length > 100)
         lo = (0.2 * length.astype(jnp.float32)).astype(jnp.int32)
         hi = (0.8 * length.astype(jnp.float32)).astype(jnp.int32)
-        start = jax.random.randint(keys[5], (), 0, jnp.maximum(lo, 1))
-        end = hi + jax.random.randint(
-            keys[6], (), 0, jnp.maximum(length - hi, 1))
+        start = (r.crop_u1 * jnp.maximum(lo, 1).astype(jnp.float32)
+                 ).astype(jnp.int32)
+        end = hi + (r.crop_u2 * jnp.maximum(length - hi, 1).astype(
+            jnp.float32)).astype(jnp.int32)
         start = jnp.where(do_crop, start, 0)
         end = jnp.where(do_crop, end, length)
         idx = jnp.minimum(jnp.arange(L) + start, L - 1)
         raw = jnp.take(raw, idx, axis=0)
         length = end - start
 
-    # --- 2-piece time warp (monotone variant; see module docstring) ---
     if cfg.time_warp_prob > 0:
-        do_warp = jax.random.uniform(keys[7], ()) < cfg.time_warp_prob
+        do_warp = r.warp_gate < cfg.time_warp_prob
         t = raw[:, 3]
-        t0 = t[0]
-        t_rel = t - t0
+        t_rel = t - t[0]
         t_max = t_rel[jnp.maximum(length - 1, 0)] + 1e-6
-        k = jax.random.uniform(keys[8], (), minval=0.4, maxval=0.6)
-        s1 = jax.random.uniform(keys[9], (), minval=0.5, maxval=1.5)
-        s2 = jax.random.uniform(keys[10], (), minval=0.5, maxval=1.5)
-        first = t_rel / t_max < k
+        first = t_rel / t_max < r.warp_k
         warped = jnp.where(
-            first, t_rel * s1, k * t_max * s1 + (t_rel - k * t_max) * s2)
-        raw = raw.at[:, 3].set(jnp.where(do_warp, warped, t_rel) + 0.0)
+            first, t_rel * r.warp_s1,
+            r.warp_k * t_max * r.warp_s1
+            + (t_rel - r.warp_k * t_max) * r.warp_s2)
+        raw = raw.at[:, 3].set(jnp.where(do_warp, warped, t_rel))
 
-    # --- collider dropout ---
     if cfg.augment_collider_dropout:
-        gate = jax.random.uniform(keys[11], ()) < cfg.dropout_gate_prob
-        u = jax.random.uniform(
-            jax.random.fold_in(keys[11], 1), (boxes.shape[0],))
-        keep = _is_wall(boxes, labels) | (u > cfg.collider_dropout_prob)
+        gate = r.drop_gate < cfg.dropout_gate_prob
+        keep = _is_wall(boxes, labels) | (r.drop_u > cfg.collider_dropout_prob)
         new_valid = valid & keep
         # never drop everything (ref: dataloader.py:312)
         new_valid = jnp.where(jnp.any(new_valid), new_valid, valid)
@@ -175,12 +194,25 @@ def augment_sample(key: jax.Array, sample: Sample, rotation_k: jnp.ndarray,
                   valid=valid)
 
 
+def augment_sample(key: jax.Array, sample: Sample, rotation_k: jnp.ndarray,
+                   cfg: DataConfig) -> Sample:
+    """Single-sample convenience wrapper (tests, host tools)."""
+    L, M = sample.raw.shape[0], sample.boxes.shape[0]
+    r = draw_rands(key, 1, L, M, cfg)
+    r1 = jax.tree_util.tree_map(lambda x: x[0], r)
+    return apply_augment(sample, rotation_k, r1, cfg)
+
+
 def make_augment_batch(cfg: DataConfig):
-    """Build a batched augmentation function: (key, Sample[B], rot_k[B]) -> Sample[B]."""
+    """Build a batched augmentation function:
+    (key, Sample[B], rot_k[B]) -> Sample[B]."""
 
     def fn(key: jax.Array, batch: Sample, rotation_k: jnp.ndarray) -> Sample:
-        keys = jax.random.split(key, batch.length.shape[0])
-        return jax.vmap(lambda k, s, r: augment_sample(k, s, r, cfg))(
-            keys, batch, rotation_k)
+        B = batch.length.shape[0]
+        L, M = batch.raw.shape[1], batch.boxes.shape[1]
+        rands = draw_rands(key, B, L, M, cfg)
+        return jax.vmap(
+            lambda s, k, r: apply_augment(s, k, r, cfg))(
+            batch, rotation_k, rands)
 
     return fn

@@ -78,6 +78,10 @@ def train_benchmark(
     save_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_json(save_dir / "config.json")
 
+    from room_slam_tpu.utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(save_dir / "history.jsonl")
+
     key = jax.random.key(cfg.train.seed)
     best_val = float("inf")
     history = []
@@ -129,6 +133,9 @@ def train_benchmark(
 
             history.append({"epoch": epoch, "train_loss": train_loss,
                             "val_loss": val_loss, **metrics})
+            mlog.log(epoch=epoch, train_loss=train_loss, val_loss=val_loss,
+                     lr=lr, **{k: v for k, v in metrics.items()
+                               if isinstance(v, (int, float))})
 
             if val_loss < best_val:
                 best_val = val_loss

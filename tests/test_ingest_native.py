@@ -1,0 +1,109 @@
+"""UDP ingest round-trip and native parser parity."""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from room_slam_tpu.data import formats, ingest
+
+
+def _free_port():
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_udp_replay_record_roundtrip(tmp_path):
+    """replay (the phone's test double) -> record -> same positions.
+
+    Exercises the documented wire format and the handedness flip
+    (FaceReceiver.cs:51-53): replay un-flips z, record re-flips it, so the
+    recorded trace matches the original."""
+    src = np.array(
+        [[0.1, 0.2, 0.3, 0.0],
+         [0.4, 0.5, 0.6, 0.033],
+         [0.7, 0.8, 0.9, 0.066]], dtype=np.float32)
+    trace_file = tmp_path / "trace.json"
+    formats.save_trace_json(trace_file, src)
+
+    port = _free_port()
+    result = {}
+
+    def recorder():
+        result["path"] = ingest.record(
+            out_dir=tmp_path, host="127.0.0.1", port=port,
+            duration=3.0, max_points=3)
+
+    th = threading.Thread(target=recorder)
+    th.start()
+    import time
+
+    time.sleep(0.3)  # let the socket bind
+    n = ingest.replay(str(trace_file), host="127.0.0.1", port=port, hz=0)
+    th.join(timeout=5)
+    assert n == 3
+    rec = formats.load_trace_json(result["path"])
+    assert rec.shape == (3, 4)
+    np.testing.assert_allclose(rec[:, :3], src[:, :3], atol=1e-6)
+    # recorded timestamps are relative and non-decreasing
+    assert rec[0, 3] == 0.0
+    assert np.all(np.diff(rec[:, 3]) >= 0)
+
+
+def test_udp_listen_counts(tmp_path):
+    port = _free_port()
+    result = {}
+
+    def listener():
+        result["n"] = ingest.listen("127.0.0.1", port, max_packets=2)
+
+    th = threading.Thread(target=listener)
+    th.start()
+    import time
+
+    time.sleep(0.2)
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.sendto(b'{"x": 1}', ("127.0.0.1", port))
+    s.sendto(b'{"x": 2}', ("127.0.0.1", port))
+    th.join(timeout=5)
+    assert result["n"] == 2
+
+
+def test_native_parser_parity(tmp_path):
+    from room_slam_tpu.native import trace_parser
+
+    rows = [{"timestamp": float(i) * 0.1, "x": float(i), "y": -float(i),
+             "z": float(i) * 2} for i in range(100)]
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(rows))
+    native = trace_parser.parse_trace_file(str(p))
+    if native is None:
+        pytest.skip("native parser unavailable (no g++)")
+    py = formats.parse_trace_records(rows)
+    np.testing.assert_allclose(native, py, rtol=1e-6)
+
+    # dict-wrapped variant
+    p2 = tmp_path / "t2.json"
+    p2.write_text(json.dumps({"traces": rows}))
+    native2 = trace_parser.parse_trace_file(str(p2))
+    np.testing.assert_allclose(native2, py, rtol=1e-6)
+
+    # malformed input falls back (returns None), doesn't crash
+    p3 = tmp_path / "bad.json"
+    p3.write_text("{unclosed")
+    assert trace_parser.parse_trace_file(str(p3)) is None
+
+
+def test_load_trace_json_uses_native_or_python(tmp_path):
+    """formats.load_trace_json must give identical results either way."""
+    rows = [{"timestamp": 0.5, "x": 1.25, "y": 2.5, "z": -3.75}]
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(rows))
+    arr = formats.load_trace_json(p)
+    np.testing.assert_allclose(
+        arr, [[1.25, 2.5, -3.75, 0.5]], rtol=1e-6)
