@@ -37,6 +37,29 @@ class TraceColliderArrays:
     rotation happens on device in augment.rotate_sample.
     """
 
+    @classmethod
+    def from_arrays(cls, arrays: Dict[str, np.ndarray], cfg: DataConfig,
+                    augment: bool = True) -> "TraceColliderArrays":
+        """Build a dataset directly from in-memory arrays (e.g. the on-device
+        synthetic generator) — no file round-trip."""
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.augment = augment
+        self.data_dir = None
+        self.raw = np.asarray(arrays["raw"], np.float32)
+        self.length = np.asarray(arrays["length"], np.int32)
+        self.boxes = np.asarray(arrays["boxes"], np.float32)
+        self.labels = np.asarray(arrays["labels"], np.int32)
+        self.valid = np.asarray(arrays["valid"], bool)
+        n = self.raw.shape[0]
+        self.names = [f"synthetic_{i:05d}" for i in range(n)]
+        rot = (list(cfg.rotation_angles)
+               if (augment and cfg.augment_rotation) else [0])
+        self.rotation_angles = rot
+        self.n_base = n
+        self.num_samples = n * len(rot)
+        return self
+
     def __init__(self, data_dir: str | Path, cfg: DataConfig,
                  augment: bool = True, verbose: bool = True):
         self.cfg = cfg
@@ -144,6 +167,42 @@ class TraceColliderArrays:
 
     def num_batches(self, batch_size: int) -> int:
         return -(-self.num_samples // batch_size)
+
+    def device_arrays(self) -> Dict[str, np.ndarray]:
+        """The full base dataset as one dict (callers jnp.asarray/device_put
+        it once; epochs then only ship tiny index plans)."""
+        return {
+            "raw": self.raw,
+            "length": self.length,
+            "boxes": self.boxes,
+            "labels": self.labels,
+            "valid": self.valid,
+        }
+
+    def epoch_plan(self, batch_size: int, seed: int = 0,
+                   shuffle: bool = True) -> Dict[str, np.ndarray]:
+        """Index plan for a whole epoch: base_idx / rotation_k / weight,
+        each ``[n_batches, batch_size]`` (the device-resident epoch loop's
+        only per-epoch input)."""
+        rng = np.random.default_rng(seed)
+        order = (rng.permutation(self.num_samples) if shuffle
+                 else np.arange(self.num_samples))
+        nb = self.num_batches(batch_size)
+        pad = nb * batch_size - len(order)
+        idx = np.concatenate([order, np.zeros(pad, dtype=order.dtype)])
+        weight = np.ones(len(idx), np.float32)
+        if pad:
+            weight[-pad:] = 0.0
+        n_rot = len(self.rotation_angles)
+        base = (idx // n_rot).astype(np.int32)
+        rot_k = np.asarray(
+            [self.rotation_angles[j % n_rot] // 90 for j in idx],
+            dtype=np.int32)
+        return {
+            "base_idx": base.reshape(nb, batch_size),
+            "rotation_k": rot_k.reshape(nb, batch_size),
+            "weight": weight.reshape(nb, batch_size),
+        }
 
 
 def print_dataset_statistics(data_dir: str, cfg: DataConfig | None = None,

@@ -11,7 +11,23 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def dense(x: jnp.ndarray, features: int, name: str) -> jnp.ndarray:
+    """Dense layer with torch ``nn.Linear`` initialization — kernel AND bias
+    ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (kaiming_uniform with a=sqrt(5)
+    collapses to exactly this bound). Keeps our training dynamics aligned
+    with the reference's; the parameter tree is identical to nn.Dense."""
+    bound = 1.0 / math.sqrt(x.shape[-1])
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound,
+                                  maxval=bound)
+
+    return nn.Dense(features, kernel_init=init, bias_init=init,
+                    name=name)(x)
 
 
 class MLP(nn.Module):
@@ -25,7 +41,7 @@ class MLP(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(out, name=f"layer_{i}")(x)
+            x = dense(x, out, name=f"layer_{i}")
             if i < self.num_layers - 1:
                 x = nn.relu(x)
         return x
@@ -68,9 +84,9 @@ class MultiHeadAttention(nn.Module):
         B, Tq, D = query.shape
         H = self.nhead
         hd = D // H
-        q = nn.Dense(D, name="q_proj")(query)
-        k = nn.Dense(D, name="k_proj")(key)
-        v = nn.Dense(D, name="v_proj")(value)
+        q = dense(query, D, name="q_proj")
+        k = dense(key, D, name="k_proj")
+        v = dense(value, D, name="v_proj")
 
         def split(x, T):
             return x.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
@@ -87,4 +103,4 @@ class MultiHeadAttention(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
-        return nn.Dense(D, name="out_proj")(out)
+        return dense(out, D, name="out_proj")

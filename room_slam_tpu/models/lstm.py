@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import MLP
+from room_slam_tpu.models.common import MLP, dense
 from room_slam_tpu.ops.rnn import lstm_recurrence
 
 
@@ -79,7 +79,7 @@ class LSTMTraceEncoder(nn.Module):
             mask = jnp.ones((B, N), dtype=bool)
         mean, scale = trace_stats(coords, mask)
 
-        x = nn.Dense(self.d_model, name="input_proj")(traces)
+        x = dense(traces, self.d_model, name="input_proj")
         hidden = self.d_model // 2
         for layer in range(self.num_layers):
             x = BiLSTMLayer(hidden, use_pallas=self.use_pallas,
@@ -87,7 +87,7 @@ class LSTMTraceEncoder(nn.Module):
             if layer < self.num_layers - 1:
                 # torch applies inter-layer dropout (model.py:20)
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        memory = nn.Dense(self.d_model, name="out_proj")(x)
+        memory = dense(x, self.d_model, name="out_proj")
         return memory, coords, mean, scale
 
 
@@ -121,14 +121,14 @@ class SimpleQueryDecoder(nn.Module):
             global_feat = (memory * m).sum(axis=1, keepdims=True) / denom
         else:
             global_feat = memory.mean(axis=1, keepdims=True)
-        gamma = nn.Dense(D, name="gamma_1")(global_feat)
-        gamma = nn.Dense(D, name="gamma_2")(nn.relu(gamma))
-        beta = nn.Dense(D, name="beta_1")(global_feat)
-        beta = nn.Dense(D, name="beta_2")(nn.relu(beta))
+        gamma = dense(global_feat, D, name="gamma_1")
+        gamma = dense(nn.relu(gamma), D, name="gamma_2")
+        beta = dense(global_feat, D, name="beta_1")
+        beta = dense(nn.relu(beta), D, name="beta_2")
 
-        q = nn.Dense(D, name="q_proj")(q_batch)
-        k = nn.Dense(D, name="k_proj")(memory)
-        v = nn.Dense(D, name="v_proj")(memory)
+        q = dense(q_batch, D, name="q_proj")
+        k = dense(memory, D, name="k_proj")
+        v = dense(memory, D, name="v_proj")
         inv_temp = self.param("inv_temp", nn.initializers.ones, ())
         scores = jnp.einsum("bqd,bnd->bqn", q, k) * inv_temp / math.sqrt(D)
         if mask is not None:
@@ -148,7 +148,7 @@ class SimpleQueryDecoder(nn.Module):
         center = (anchor + delta) * scale + mean
         size = size_norm * scale
         boxes = jnp.concatenate([center, size], axis=-1)
-        classes = nn.Dense(self.num_classes, name="class_head")(decoded)
+        classes = dense(decoded, self.num_classes, name="class_head")
         return boxes, classes
 
 

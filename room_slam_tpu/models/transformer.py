@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import MLP, MultiHeadAttention, \
+from room_slam_tpu.models.common import MLP, MultiHeadAttention, dense, \
     sinusoidal_positions
 
 
@@ -37,9 +37,9 @@ class EncoderLayer(nn.Module):
             x, x, x, key_padding_mask=mask, deterministic=deterministic)
         x = nn.LayerNorm(name="norm1")(
             x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = dense(x, self.dim_feedforward, name="linear1")
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = dense(ff, self.d_model, name="linear2")
         x = nn.LayerNorm(name="norm2")(
             x + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
         return x
@@ -67,9 +67,9 @@ class DecoderLayer(nn.Module):
             deterministic=deterministic)
         tgt = nn.LayerNorm(name="norm2")(
             tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic))
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(tgt)
+        ff = dense(tgt, self.dim_feedforward, name="linear1")
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = dense(ff, self.d_model, name="linear2")
         tgt = nn.LayerNorm(name="norm3")(
             tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
         return tgt
@@ -95,7 +95,7 @@ class TraceEncoder(nn.Module):
             mask = jnp.ones((B, N), dtype=bool)
         mean, scale = trace_stats(coords, mask)
 
-        x = nn.Dense(self.d_model, name="input_proj")(traces)
+        x = dense(traces, self.d_model, name="input_proj")
         x = x + sinusoidal_positions(N, self.d_model, x.dtype)[None]
         for i in range(self.num_layers):
             x = EncoderLayer(
@@ -135,8 +135,8 @@ class ColliderDecoder(nn.Module):
                 tgt, memory, mem_mask=mask, deterministic=deterministic)
 
         # anchor attention over raw coords (single-head, scale sqrt(D))
-        q = nn.Dense(D, name="q_proj")(tgt)
-        k = nn.Dense(D, name="k_proj")(memory)
+        q = dense(tgt, D, name="q_proj")
+        k = dense(memory, D, name="k_proj")
         scores = jnp.einsum("bqd,bnd->bqn", q, k) / math.sqrt(D)
         if mask is not None:
             scores = jnp.where(
@@ -152,7 +152,7 @@ class ColliderDecoder(nn.Module):
         center = (anchor + delta) * scale + mean
         size = size_norm * scale
         boxes = jnp.concatenate([center, size], axis=-1)
-        classes = nn.Dense(self.num_classes, name="class_head")(tgt)
+        classes = dense(tgt, self.num_classes, name="class_head")
         return boxes, classes
 
 

@@ -24,9 +24,9 @@ from room_slam_tpu.models.factory import build_model, count_parameters, \
 from room_slam_tpu.parallel import mesh as mesh_lib
 from room_slam_tpu.train import checkpoint as ckpt_lib
 from room_slam_tpu.train.loop import (PlateauScheduler, TrainState,
-                                      make_eval_step, make_optimizer,
-                                      make_train_step, set_learning_rate)
-from room_slam_tpu.train.metrics import make_metrics_step, summarize_metrics
+                                      make_eval_epoch, make_optimizer,
+                                      make_train_epoch, set_learning_rate)
+from room_slam_tpu.train.metrics import summarize_metrics
 
 
 def _device_batch(batch: Dict[str, np.ndarray], mesh=None):
@@ -35,10 +35,158 @@ def _device_batch(batch: Dict[str, np.ndarray], mesh=None):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
+                            seed: int = 0):
+    """On-device synthetic train/val datasets (val = n_rooms // 8 + 1 extra
+    rooms from an independent seed)."""
+    from room_slam_tpu.data import synthetic
+
+    n_val = max(n_rooms // 8, 4)
+    train = jax.device_get(synthetic.generate_rooms_and_traces(
+        jax.random.key(seed), n_rooms, cfg.data.max_trace_len,
+        max_colliders=cfg.data.max_colliders))
+    val = jax.device_get(synthetic.generate_rooms_and_traces(
+        jax.random.key(seed + 10_000), n_val, cfg.data.max_trace_len,
+        max_colliders=cfg.data.max_colliders))
+    return (TraceColliderArrays.from_arrays(train, cfg.data, augment=True),
+            TraceColliderArrays.from_arrays(val, cfg.data, augment=False))
+
+
+def train_benchmark_fused(
+    cfg: ExperimentConfig,
+    use_mesh: bool = True,
+    verbose: bool = True,
+    train_ds: TraceColliderArrays | None = None,
+    val_ds: TraceColliderArrays | None = None,
+) -> Dict:
+    """Train a benchmark-surface model with the ENTIRE run fused into one
+    XLA dispatch (epochs, validation, plateau LR, best-checkpoint selection
+    all on device — see loop.make_fused_run). The host only builds index
+    plans up front and reads back history arrays at the end."""
+    import numpy as np
+
+    from room_slam_tpu.train.loop import make_fused_run
+
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh(cfg.mesh.mesh_shape)
+
+    if train_ds is None:
+        train_ds = TraceColliderArrays(cfg.data.data_dir, cfg.data,
+                                       augment=True, verbose=verbose)
+    if val_ds is None:
+        val_ds = TraceColliderArrays(cfg.data.val_dir, cfg.data,
+                                     augment=False, verbose=verbose)
+
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seed=cfg.train.seed,
+                         seq_len=cfg.data.max_trace_len)
+    if mesh is not None:
+        params = mesh_lib.shard_params(params, mesh)
+    n_params = count_parameters(params)
+    if verbose:
+        print(f"Model parameters: {n_params:,}")
+
+    from room_slam_tpu.train.loop import fused_run_init
+
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    run = make_fused_run(model, tx, cfg, mesh=mesh)
+    sched, best = fused_run_init(cfg, state)
+
+    E = cfg.train.num_epochs
+    # bound each device execution: a single multi-minute dispatch can trip
+    # the TPU worker watchdog; cap a segment at ~200 optimizer steps
+    nb = train_ds.num_batches(cfg.train.batch_size)
+    seg = max(1, min(20, E, max(1, 200 // nb)))
+    plans_np = [train_ds.epoch_plan(cfg.train.batch_size,
+                                    seed=cfg.train.seed + e)
+                for e in range(E)]
+    val_plan = {k: jnp.asarray(v)
+                for k, v in val_ds.epoch_plan(cfg.train.batch_size,
+                                              shuffle=False).items()}
+    train_data = {k: jnp.asarray(v)
+                  for k, v in train_ds.device_arrays().items()}
+    val_data = {k: jnp.asarray(v)
+                for k, v in val_ds.device_arrays().items()}
+
+    t0 = time.time()
+    key = jax.random.key(cfg.train.seed)
+    chunks = []
+    for lo in range(0, E, seg):
+        hi = min(lo + seg, E)  # full segments + at most one remainder shape
+        idxs = list(range(lo, hi))
+        plans = {k: jnp.asarray(np.stack([plans_np[i][k] for i in idxs]))
+                 for k in plans_np[0]}
+        epoch_ids = jnp.asarray(idxs, jnp.int32)
+        key, sub = jax.random.split(key)
+        state, sched, best, hist = run(
+            state, sched, best, train_data, val_data, plans, val_plan,
+            epoch_ids, sub)
+        chunks.append({k: np.asarray(v)
+                       for k, v in jax.device_get(hist).items()})
+    history = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+    best_val = float(best["val_loss"])
+    wall = time.time() - t0
+
+    save_dir = Path(cfg.train.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    cfg.to_json(save_dir / "config.json")
+
+    from room_slam_tpu.train.metrics import summarize_metrics
+    from room_slam_tpu.utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(save_dir / "history.jsonl")
+    hist_rows = []
+    for e in range(E):
+        sums = {k: float(history[k][e]) for k in
+                ("iou_sum", "iou_cnt", "tp", "fp", "fn", "cls_correct",
+                 "cls_total")}
+        m = summarize_metrics(sums)
+        row = {"epoch": e, "train_loss": float(history["train_loss"][e]),
+               "val_loss": float(history["val_loss"][e]),
+               "lr": float(history["lr"][e]), **m}
+        hist_rows.append(row)
+        mlog.log(**{k: v for k, v in row.items()
+                    if isinstance(v, (int, float))})
+        if verbose and (e % 10 == 0 or e == E - 1):
+            print(f"Epoch {e}: Train {row['train_loss']:.4f} | "
+                  f"Val {row['val_loss']:.4f} | mIoU={row['mIoU']:.3f} "
+                  f"F1={row['f1']:.3f} ClsAcc={row['cls_acc']:.3f} | "
+                  f"LR={row['lr']:.6f}")
+
+    best_epoch = int(best["epoch"])
+    best_metrics = hist_rows[best_epoch] if 0 <= best_epoch < E else {}
+    ckpt_lib.save_checkpoint(
+        save_dir / "best_model", best["params"], epoch=best_epoch,
+        val_loss=best_val, metrics=best_metrics, config=cfg)
+    ckpt_lib.save_checkpoint(
+        save_dir / "final_model", state.params, state.opt_state,
+        epoch=E - 1, val_loss=hist_rows[-1]["val_loss"],
+        metrics=hist_rows[-1], config=cfg)
+    if verbose:
+        print(f"✓ Saved BEST model from epoch {best_epoch} "
+              f"(val_loss={best_val:.4f}) and final model")
+
+    samples_seen = train_ds.num_samples * E
+    return {
+        "best_val_loss": best_val,
+        "best_epoch": best_epoch,
+        "history": hist_rows,
+        "wall_time_s": wall,
+        "samples_seen": samples_seen,
+        "samples_per_sec": samples_seen / max(wall, 1e-9),
+        "n_params": n_params,
+        "save_dir": str(save_dir),
+    }
+
+
 def train_benchmark(
     cfg: ExperimentConfig,
     use_mesh: bool = True,
     verbose: bool = True,
+    train_ds: TraceColliderArrays | None = None,
+    val_ds: TraceColliderArrays | None = None,
 ) -> Dict:
     """Train a benchmark-surface model end to end; returns a summary dict."""
     mesh = None
@@ -47,10 +195,12 @@ def train_benchmark(
         if verbose:
             print(f"Mesh: {dict(mesh.shape)}")
 
-    train_ds = TraceColliderArrays(cfg.data.data_dir, cfg.data, augment=True,
-                                   verbose=verbose)
-    val_ds = TraceColliderArrays(cfg.data.val_dir, cfg.data, augment=False,
-                                 verbose=verbose)
+    if train_ds is None:
+        train_ds = TraceColliderArrays(cfg.data.data_dir, cfg.data,
+                                       augment=True, verbose=verbose)
+    if val_ds is None:
+        val_ds = TraceColliderArrays(cfg.data.val_dir, cfg.data,
+                                     augment=False, verbose=verbose)
 
     model = build_model(cfg.model)
     params = init_params(model, cfg.model, seed=cfg.train.seed,
@@ -63,9 +213,8 @@ def train_benchmark(
 
     tx = make_optimizer(cfg)
     state = TrainState(params, tx.init(params), jnp.asarray(0))
-    train_step = make_train_step(model, tx, cfg, augment=True)
-    eval_step = make_eval_step(model, cfg)
-    metrics_step = make_metrics_step(model, cfg.train.iou_thresh)
+    train_epoch = make_train_epoch(model, tx, cfg, augment=True, mesh=mesh)
+    eval_epoch = make_eval_epoch(model, cfg, cfg.train.iou_thresh, mesh=mesh)
     sched = PlateauScheduler(
         lr=cfg.train.lr,
         factor=cfg.train.plateau_factor,
@@ -88,35 +237,35 @@ def train_benchmark(
     t0 = time.time()
     samples_seen = 0
 
-    for epoch in range(cfg.train.num_epochs):
-        # --- train ---
-        epoch_loss, n_batches = 0.0, 0
-        for batch in train_ds.epoch_batches(
-                cfg.train.batch_size, seed=cfg.train.seed + epoch):
-            key, sub = jax.random.split(key)
-            state, losses = train_step(
-                state, _device_batch(batch, mesh), sub)
-            epoch_loss += float(losses["total_loss"])
-            n_batches += 1
-            samples_seen += int(batch["weight"].sum())
-        train_loss = epoch_loss / max(n_batches, 1)
+    # dataset arrays live on device for the whole run; epochs only ship
+    # small index plans (device-resident data path, SURVEY.md section 7)
+    train_data = {k: jnp.asarray(v)
+                  for k, v in train_ds.device_arrays().items()}
+    val_data = {k: jnp.asarray(v) for k, v in val_ds.device_arrays().items()}
+    val_plan = {
+        k: jnp.asarray(v)
+        for k, v in val_ds.epoch_plan(
+            cfg.train.batch_size, shuffle=False).items()
+    }
 
-        # --- validate + metrics ---
+    for epoch in range(cfg.train.num_epochs):
+        # --- train: one device dispatch for the whole epoch ---
+        plan = {
+            k: jnp.asarray(v)
+            for k, v in train_ds.epoch_plan(
+                cfg.train.batch_size, seed=cfg.train.seed + epoch).items()
+        }
+        key, sub = jax.random.split(key)
+        state, mean_losses = train_epoch(state, train_data, plan, sub)
+        train_loss = float(mean_losses["total_loss"])
+        samples_seen += train_ds.num_samples
+
+        # --- validate + metrics: one device dispatch ---
         if (epoch + 1) % cfg.train.val_every == 0:
-            val_loss, nv = 0.0, 0
-            acc = None
-            for batch in val_ds.epoch_batches(
-                    cfg.train.batch_size, shuffle=False):
-                db = _device_batch(batch, mesh)
-                losses, _ = eval_step(state.params, db)
-                val_loss += float(losses["total_loss"])
-                nv += 1
-                sums = metrics_step(state.params, db)
-                sums = {k: float(v) for k, v in sums.items()}
-                acc = (sums if acc is None else
-                       {k: acc[k] + sums[k] for k in sums})
-            val_loss /= max(nv, 1)
-            metrics = summarize_metrics(acc) if acc else {}
+            losses, sums = eval_epoch(state.params, val_data, val_plan)
+            val_loss = float(losses["total_loss"])
+            metrics = summarize_metrics(
+                {k: float(v) for k, v in sums.items()})
 
             lr = sched.step(val_loss)
             state = state._replace(

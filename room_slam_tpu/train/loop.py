@@ -98,18 +98,18 @@ def batch_to_sample(batch: Dict[str, jnp.ndarray]) -> Sample:
     )
 
 
-def make_train_step(
-    model, tx: optax.GradientTransformation, cfg: ExperimentConfig,
-    augment: bool = True,
-) -> Callable:
-    """Build the donated, jitted train step: (state, batch, key) ->
-    (state, losses)."""
-    aug_fn = make_augment_batch(cfg.data) if augment else None
-    lw = {
+def _loss_weight_dict(cfg: ExperimentConfig) -> Dict[str, float]:
+    return {
         "class_loss": cfg.train.loss_weights[0],
         "l1_loss": cfg.train.loss_weights[1],
         "giou_loss": cfg.train.loss_weights[2],
     }
+
+
+def _step_impl(model, tx, cfg: ExperimentConfig, augment: bool):
+    """Un-jitted single-step body shared by the per-step and per-epoch APIs."""
+    aug_fn = make_augment_batch(cfg.data) if augment else None
+    lw = _loss_weight_dict(cfg)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
              key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -136,7 +136,277 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), losses
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_train_step(
+    model, tx: optax.GradientTransformation, cfg: ExperimentConfig,
+    augment: bool = True,
+) -> Callable:
+    """Build the donated, jitted train step: (state, batch, key) ->
+    (state, losses)."""
+    return jax.jit(_step_impl(model, tx, cfg, augment), donate_argnums=(0,))
+
+
+def _batch_constrainer(mesh):
+    """Shard a gathered batch over the 'data' axis inside jit (no-op
+    without a mesh)."""
+    if mesh is None:
+        return lambda batch: batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(batch):
+        return {
+            k: jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, P("data")))
+            for k, v in batch.items()
+        }
+
+    return constrain
+
+
+def make_train_epoch(
+    model, tx: optax.GradientTransformation, cfg: ExperimentConfig,
+    augment: bool = True, mesh=None,
+) -> Callable:
+    """Whole-epoch device loop: ONE jitted call per epoch.
+
+    The per-step host loop costs several round-trips through the (remote)
+    device per batch — dispatch latency plus blocking loss fetches. With the
+    dataset resident on device, an epoch is a ``lax.scan`` over shuffled
+    index batches that gathers, augments, featurizes, and updates entirely
+    on device, returning only the epoch-mean losses (SURVEY.md 2.3: the
+    north-star device-resident data path).
+
+    Signature: (state, data, plan, key) -> (state, mean_losses) where
+      data: dict of full dataset arrays — raw [P,L,4], length [P],
+            boxes [P,M,6], labels [P,M], valid [P,M]
+      plan: dict of base_idx/rotation_k/weight, each [n_batches, B]
+    """
+    step = _step_impl(model, tx, cfg, augment)
+    constrain = _batch_constrainer(mesh)
+
+    def epoch(state: TrainState, data: Dict[str, jnp.ndarray],
+              plan: Dict[str, jnp.ndarray], key: jax.Array):
+        n_batches = plan["base_idx"].shape[0]
+
+        def body(carry, inp):
+            st = carry
+            idx, rot_k, weight, k = inp
+            batch = constrain({
+                "raw": data["raw"][idx],
+                "length": data["length"][idx],
+                "boxes": data["boxes"][idx],
+                "labels": data["labels"][idx],
+                "valid": data["valid"][idx],
+                "rotation_k": rot_k,
+                "weight": weight,
+            })
+            st, losses = step(st, batch, k)
+            return st, losses
+
+        keys = jax.random.split(key, n_batches)
+        state, losses = jax.lax.scan(
+            body, state,
+            (plan["base_idx"], plan["rotation_k"], plan["weight"], keys))
+        mean_losses = jax.tree_util.tree_map(jnp.mean, losses)
+        return state, mean_losses
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+class SchedState(NamedTuple):
+    """Device-side ReduceLROnPlateau state (torch semantics, mirrors
+    PlateauScheduler)."""
+
+    lr: jnp.ndarray
+    best: jnp.ndarray
+    num_bad: jnp.ndarray
+    cooldown: jnp.ndarray
+
+
+def sched_init(cfg: ExperimentConfig) -> SchedState:
+    return SchedState(
+        lr=jnp.asarray(cfg.train.lr, jnp.float32),
+        best=jnp.asarray(jnp.inf, jnp.float32),
+        num_bad=jnp.asarray(0, jnp.int32),
+        cooldown=jnp.asarray(0, jnp.int32),
+    )
+
+
+def sched_update(s: SchedState, value: jnp.ndarray,
+                 cfg: ExperimentConfig) -> SchedState:
+    """One plateau step on device (ref: train.py:454-458 semantics)."""
+    t = cfg.train
+    min_lr = t.lr * t.plateau_min_scale
+    improved = value < s.best * (1.0 - 1e-3)
+    in_cooldown = (~improved) & (s.cooldown > 0)
+    best = jnp.where(improved, value, s.best)
+    num_bad = jnp.where(improved | in_cooldown, 0, s.num_bad + 1)
+    cooldown = jnp.where(in_cooldown, s.cooldown - 1, s.cooldown)
+    decay = num_bad > t.plateau_patience
+    lr = jnp.where(decay, jnp.maximum(s.lr * t.plateau_factor, min_lr), s.lr)
+    cooldown = jnp.where(decay, t.plateau_cooldown, cooldown)
+    num_bad = jnp.where(decay, 0, num_bad)
+    return SchedState(lr=lr, best=best, num_bad=num_bad, cooldown=cooldown)
+
+
+def _set_lr_in_tree(opt_state, lr):
+    """Functionally replace the injected learning rate inside jit."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = lr
+    return opt_state._replace(hyperparams=hp)
+
+
+def make_fused_run(model, tx: optax.GradientTransformation,
+                   cfg: ExperimentConfig, mesh=None) -> Callable:
+    """Fuse an ENTIRE multi-epoch training run into one jitted dispatch.
+
+    For datasets that fit on device (this problem's always do), the
+    per-epoch host round trip — dispatch latency plus loss fetches, ~1 s
+    through a remote TPU tunnel — dominates wall time. Here train epochs,
+    validation, metrics, the plateau LR scheduler, and best-checkpoint
+    selection all run under one ``lax.scan`` over epochs; the host gets
+    back the final state, the best parameters (tracked functionally on
+    device), and per-epoch history arrays.
+
+    Signature:
+        run(state, train_data, val_data, plans, val_plan, key)
+          -> (state, best, history)
+        plans: dict of [E, nb, B] index arrays (one epoch plan per epoch)
+        best:  dict with 'params', 'val_loss', 'epoch'
+        history: dict of [E] arrays (train_loss, val_loss, lr, metric sums)
+    """
+    step = _step_impl(model, tx, cfg, augment=True)
+    eval_epoch_fn = _eval_epoch_impl(model, cfg, cfg.train.iou_thresh, mesh)
+    constrain = _batch_constrainer(mesh)
+
+    def run(state: TrainState, sched: SchedState, best,
+            train_data, val_data, plans, val_plan, epoch_ids,
+            key: jax.Array):
+        """One segment of epochs. sched/best thread through so callers can
+        bound the length of a single device execution (a multi-minute
+        dispatch can trip worker watchdogs) while keeping everything on
+        device between segments."""
+        E = plans["base_idx"].shape[0]
+        keys = jax.random.split(key, E)
+
+        def epoch_body(carry, inp):
+            state, sched, best = carry
+            plan, k, epoch_idx = inp
+
+            def batch_body(st, binp):
+                idx, rot_k, weight, bk = binp
+                batch = constrain({
+                    "raw": train_data["raw"][idx],
+                    "length": train_data["length"][idx],
+                    "boxes": train_data["boxes"][idx],
+                    "labels": train_data["labels"][idx],
+                    "valid": train_data["valid"][idx],
+                    "rotation_k": rot_k,
+                    "weight": weight,
+                })
+                st, losses = step(st, batch, bk)
+                return st, losses["total_loss"]
+
+            bkeys = jax.random.split(k, plan["base_idx"].shape[0])
+            state, tl = jax.lax.scan(
+                batch_body, state,
+                (plan["base_idx"], plan["rotation_k"], plan["weight"],
+                 bkeys))
+            train_loss = jnp.mean(tl)
+
+            val_losses, sums = eval_epoch_fn(state.params, val_data,
+                                             val_plan)
+            val_loss = val_losses["total_loss"]
+
+            sched = sched_update(sched, val_loss, cfg)
+            state = state._replace(
+                opt_state=_set_lr_in_tree(state.opt_state, sched.lr))
+
+            is_best = val_loss < best["val_loss"]
+            best = {
+                "params": jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(is_best, new, old),
+                    state.params, best["params"]),
+                "val_loss": jnp.where(is_best, val_loss, best["val_loss"]),
+                "epoch": jnp.where(is_best, epoch_idx, best["epoch"]),
+            }
+            record = {
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": sched.lr,
+                **{k2: v.astype(jnp.float32) for k2, v in sums.items()},
+            }
+            return (state, sched, best), record
+
+        (state, sched, best), history = jax.lax.scan(
+            epoch_body, (state, sched, best), (plans, keys, epoch_ids))
+        return state, sched, best, history
+
+    return jax.jit(run, donate_argnums=(0, 1, 2))
+
+
+def fused_run_init(cfg: ExperimentConfig, state: TrainState):
+    """Initial (sched, best) carry for make_fused_run segments.
+
+    best['params'] must NOT alias state.params: both are donated to the
+    fused run, and donating two views of one buffer is undefined (surfaces
+    as an async INVALID_ARGUMENT at the next fetch)."""
+    best = {
+        "params": jax.tree_util.tree_map(jnp.copy, state.params),
+        "val_loss": jnp.asarray(jnp.inf, jnp.float32),
+        "epoch": jnp.asarray(-1, jnp.int32),
+    }
+    return sched_init(cfg), best
+
+
+def _eval_epoch_impl(model, cfg: ExperimentConfig,
+                     iou_thresh: float = 0.5, mesh=None) -> Callable:
+    """Whole-val-split evaluation: mean loss + metric sums (the reference
+    loops batches eagerly with a CPU Hungarian per item, train.py:234-353).
+    Un-jitted so the fused run can inline it."""
+    from room_slam_tpu.train.metrics import metrics_sums
+
+    lw = _loss_weight_dict(cfg)
+    constrain = _batch_constrainer(mesh)
+
+    def epoch(params, data: Dict[str, jnp.ndarray],
+              plan: Dict[str, jnp.ndarray]):
+        def body(carry, inp):
+            idx, weight = inp
+            batch = constrain({
+                "raw": data["raw"][idx],
+                "length": data["length"][idx],
+                "boxes": data["boxes"][idx],
+                "labels": data["labels"][idx],
+                "valid": data["valid"][idx],
+                "weight": weight,
+            })
+            feats, mask = featurize(batch["raw"], batch["length"])
+            out = model.apply(params, feats, mask, deterministic=True)
+            targets = {
+                "boxes": batch["boxes"],
+                "labels": batch["labels"],
+                "valid_mask": batch["valid"],
+            }
+            losses = set_criterion(out, targets, weight, lw)
+            sums = metrics_sums(out, batch, iou_thresh)
+            return carry, (losses, sums)
+
+        _, (losses, sums) = jax.lax.scan(
+            body, None, (plan["base_idx"], plan["weight"]))
+        mean_losses = jax.tree_util.tree_map(jnp.mean, losses)
+        total_sums = jax.tree_util.tree_map(lambda x: jnp.sum(x), sums)
+        return mean_losses, total_sums
+
+    return epoch
+
+
+def make_eval_epoch(model, cfg: ExperimentConfig, iou_thresh: float = 0.5,
+                    mesh=None) -> Callable:
+    """Jitted whole-val-split evaluation (see _eval_epoch_impl)."""
+    return jax.jit(_eval_epoch_impl(model, cfg, iou_thresh, mesh))
 
 
 def make_eval_step(model, cfg: ExperimentConfig) -> Callable:

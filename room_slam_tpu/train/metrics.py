@@ -22,6 +22,51 @@ from room_slam_tpu.ops import losses as loss_ops
 from room_slam_tpu.ops.iou import eval_pair_iou_3d, pairwise_iou_3d
 
 
+def metrics_sums(out: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
+                 iou_thresh: float = 0.5) -> Dict[str, jnp.ndarray]:
+    """Metric accumulator sums for one batch of model outputs (pure jnp;
+    composable into larger jitted programs)."""
+    pred_boxes = out["pred_boxes"]          # [B, Q, 6]
+    pred_logits = out["pred_classes"]       # [B, Q, C]
+    gt_boxes = batch["boxes"]
+    gt_labels = batch["labels"]
+    gt_valid = batch["valid"]
+    w = batch["weight"]                     # [B]
+
+    rows, matched = loss_ops.match(
+        pred_boxes, pred_logits, gt_boxes, gt_labels, gt_valid)
+    pair_w = matched & (w[:, None] > 0)
+
+    mp_boxes = jnp.take_along_axis(pred_boxes, rows[..., None], axis=1)
+    mp_labels = jnp.argmax(
+        jnp.take_along_axis(pred_logits, rows[..., None], axis=1),
+        axis=-1)
+
+    ious = eval_pair_iou_3d(mp_boxes, gt_boxes)  # [B, M]
+    iou_sum = jnp.sum(jnp.where(pair_w, ious, 0.0))
+    iou_cnt = jnp.sum(pair_w)
+
+    tp = jnp.sum(pair_w & (ious >= iou_thresh))
+    fp = jnp.sum(pair_w & (ious < iou_thresh))
+    # FN: valid GT that could not be matched (only when num_valid > Q)
+    num_valid = jnp.sum(gt_valid & (w[:, None] > 0), axis=1)
+    num_matched = jnp.sum(pair_w, axis=1)
+    fn = jnp.sum(jnp.maximum(num_valid - num_matched, 0))
+
+    cls_correct = jnp.sum(pair_w & (mp_labels == gt_labels))
+    cls_total = jnp.sum(pair_w)
+
+    return {
+        "iou_sum": iou_sum,
+        "iou_cnt": iou_cnt,
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "cls_correct": cls_correct,
+        "cls_total": cls_total,
+    }
+
+
 def make_metrics_step(model, iou_thresh: float = 0.5) -> Callable:
     """Returns a jitted fn: (params, batch) -> dict of scalar sums."""
 
@@ -29,46 +74,7 @@ def make_metrics_step(model, iou_thresh: float = 0.5) -> Callable:
     def step(params, batch):
         feats, mask = featurize(batch["raw"], batch["length"])
         out = model.apply(params, feats, mask, deterministic=True)
-        pred_boxes = out["pred_boxes"]          # [B, Q, 6]
-        pred_logits = out["pred_classes"]       # [B, Q, C]
-        gt_boxes = batch["boxes"]
-        gt_labels = batch["labels"]
-        gt_valid = batch["valid"]
-        w = batch["weight"]                     # [B]
-        Q = pred_boxes.shape[1]
-
-        rows, matched = loss_ops.match(
-            pred_boxes, pred_logits, gt_boxes, gt_labels, gt_valid)
-        pair_w = matched & (w[:, None] > 0)
-
-        mp_boxes = jnp.take_along_axis(pred_boxes, rows[..., None], axis=1)
-        mp_labels = jnp.argmax(
-            jnp.take_along_axis(pred_logits, rows[..., None], axis=1),
-            axis=-1)
-
-        ious = eval_pair_iou_3d(mp_boxes, gt_boxes)  # [B, M]
-        iou_sum = jnp.sum(jnp.where(pair_w, ious, 0.0))
-        iou_cnt = jnp.sum(pair_w)
-
-        tp = jnp.sum(pair_w & (ious >= iou_thresh))
-        fp = jnp.sum(pair_w & (ious < iou_thresh))
-        # FN: valid GT that could not be matched (only when num_valid > Q)
-        num_valid = jnp.sum(gt_valid & (w[:, None] > 0), axis=1)
-        num_matched = jnp.sum(pair_w, axis=1)
-        fn = jnp.sum(jnp.maximum(num_valid - num_matched, 0))
-
-        cls_correct = jnp.sum(pair_w & (mp_labels == gt_labels))
-        cls_total = jnp.sum(pair_w)
-
-        return {
-            "iou_sum": iou_sum,
-            "iou_cnt": iou_cnt,
-            "tp": tp,
-            "fp": fp,
-            "fn": fn,
-            "cls_correct": cls_correct,
-            "cls_total": cls_total,
-        }
+        return metrics_sums(out, batch, iou_thresh)
 
     return step
 

@@ -1,0 +1,172 @@
+"""Evaluator golden parity vs the reference, rotated IoU analytics, mAP."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from room_slam_tpu.ops.iou import rotated_iou_2d
+from room_slam_tpu.train.metrics import (average_precision_3d,
+                                         make_metrics_step,
+                                         summarize_metrics)
+from tests.conftest import REFERENCE, requires_reference, requires_torch
+
+
+class _FixedModel:
+    """Stub with the flax .apply signature returning canned outputs."""
+
+    def __init__(self, outputs):
+        self.outputs = outputs
+
+    def apply(self, params, feats, mask, deterministic=True):
+        return self.outputs
+
+
+def _problem(rng, B=3, Q=30, M=50, C=4):
+    pb = rng.normal(size=(B, Q, 6)).astype(np.float32)
+    pb[..., 3:] = np.abs(pb[..., 3:]) + 0.2
+    pl = rng.normal(size=(B, Q, C)).astype(np.float32)
+    gb = np.zeros((B, M, 6), np.float32)
+    gl = np.full((B, M), -1, np.int64)
+    gv = np.zeros((B, M), bool)
+    for b in range(B):
+        nv = int(rng.integers(1, 12))
+        # make some GT overlap predictions so IoU/TP are nontrivial
+        src = rng.permutation(Q)[:nv]
+        gb[b, :nv] = pb[b, src] + rng.normal(size=(nv, 6)) * 0.1
+        gb[b, :nv, 3:] = np.abs(gb[b, :nv, 3:]) + 0.2
+        gl[b, :nv] = rng.integers(0, C, nv)
+        gv[b, :nv] = True
+    return pb, pl, gb, gl, gv
+
+
+@requires_reference
+@requires_torch
+def test_metrics_golden_vs_reference(rng):
+    """Our vectorized evaluator must reproduce the reference's
+    evaluate_metrics (train.py:234-328) on identical model outputs."""
+    import torch
+
+    sys.path.insert(0, f"{REFERENCE}/src/benchmark")
+    import importlib
+
+    ref_train = importlib.import_module("train")
+
+    pb, pl, gb, gl, gv = _problem(rng)
+    B = pb.shape[0]
+    L = 8
+
+    # reference side: fake torch model + single-batch "loader"
+    class TorchStub(torch.nn.Module):
+        def forward(self, traces, mask=None):
+            return {"pred_boxes": torch.tensor(pb),
+                    "pred_classes": torch.tensor(pl)}
+
+    batch_t = {
+        "traces": torch.zeros(B, L, 11),
+        "trace_mask": torch.ones(B, L, dtype=torch.bool),
+        "boxes": torch.tensor(gb),
+        "labels": torch.tensor(np.where(gv, gl, -1)),
+        "valid_mask": torch.tensor(gv),
+    }
+    ref = ref_train.evaluate_metrics(
+        TorchStub(), [batch_t], torch.device("cpu"), iou_thresh=0.5)
+
+    # our side
+    model = _FixedModel({"pred_boxes": jnp.asarray(pb),
+                         "pred_classes": jnp.asarray(pl)})
+    step = make_metrics_step(model, iou_thresh=0.5)
+    batch = {
+        "raw": jnp.zeros((B, L, 4)),
+        "length": jnp.full((B,), L, jnp.int32),
+        "boxes": jnp.asarray(gb),
+        "labels": jnp.asarray(gl.astype(np.int32)),
+        "valid": jnp.asarray(gv),
+        "weight": jnp.ones((B,), jnp.float32),
+    }
+    ours = summarize_metrics(
+        {k: float(v) for k, v in step(None, batch).items()})
+
+    assert ours["tp"] == ref["tp"]
+    assert ours["fp"] == ref["fp"]
+    assert ours["fn"] == ref["fn"]
+    assert abs(ours["mIoU"] - ref["mIoU"]) < 1e-4
+    assert abs(ours["cls_acc"] - ref["cls_acc"]) < 1e-6
+    assert abs(ours["f1"] - ref["f1"]) < 1e-6
+
+
+def test_rotated_iou_analytic():
+    sq = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0])
+    # identical squares
+    assert abs(float(rotated_iou_2d(sq, sq)) - 1.0) < 1e-5
+    # disjoint
+    far = jnp.asarray([5.0, 0.0, 1.0, 1.0, 0.3])
+    assert float(rotated_iou_2d(sq, far)) < 1e-6
+    # axis-aligned partial overlap: shift by 0.5 in x -> inter 0.5, union 1.5
+    sh = jnp.asarray([0.5, 0.0, 1.0, 1.0, 0.0])
+    assert abs(float(rotated_iou_2d(sq, sh)) - 0.5 / 1.5) < 1e-4
+    # unit square vs itself rotated 45 deg: intersection is the regular
+    # octagon with area 2*(sqrt(2)-1)
+    rot = jnp.asarray([0.0, 0.0, 1.0, 1.0, np.pi / 4])
+    inter = 2 * (np.sqrt(2) - 1)
+    expect = inter / (2 - inter)
+    assert abs(float(rotated_iou_2d(sq, rot)) - expect) < 1e-4
+    # rotation by 90 deg of a square is identity
+    rot90 = jnp.asarray([0.0, 0.0, 1.0, 1.0, np.pi / 2])
+    assert abs(float(rotated_iou_2d(sq, rot90)) - 1.0) < 1e-4
+    # rectangle vs itself rotated 180 deg is identity
+    rect = jnp.asarray([1.0, 2.0, 2.0, 0.5, 0.7])
+    rect180 = rect.at[4].add(np.pi)
+    assert abs(float(rotated_iou_2d(rect, rect180)) - 1.0) < 1e-4
+
+
+def test_map_perfect_and_wrong(rng):
+    G = 12
+    gt = rng.normal(size=(G, 6)).astype(np.float32)
+    gt[:, 3:] = np.abs(gt[:, 3:]) + 0.5
+    labels = rng.integers(0, 4, G)
+    img = np.arange(G) % 3
+
+    # perfect predictions
+    mAP, aps = average_precision_3d(
+        gt, labels, np.ones(G), img, gt, labels, img)
+    assert abs(mAP - 1.0) < 1e-6
+    # disjoint predictions
+    off = gt.copy()
+    off[:, :3] += 100.0
+    mAP0, _ = average_precision_3d(
+        off, labels, np.ones(G), img, gt, labels, img)
+    assert mAP0 == 0.0
+
+
+def test_legacy_model_and_criterion(rng):
+    from room_slam_tpu.models.legacy_gru import RoomSlamGRU
+    from room_slam_tpu.ops.losses import legacy_criterion
+
+    model = RoomSlamGRU(hidden_size=32, max_objects=5, gru_layers=1)
+    B, S = 2, 64
+    x = jnp.asarray(rng.normal(size=(B, S, 2)).astype(np.float32))
+    params = jax.jit(lambda k: model.init(
+        {"params": k}, x, deterministic=True))(jax.random.key(0))
+    out = model.apply(params, x, deterministic=True)
+    assert out["classes"].shape == (B, 5, 4)
+    assert out["positions"].shape == (B, 5, 2)
+    assert out["sizes"].shape == (B, 5, 2)
+    assert bool(jnp.all(out["sizes"] > 0))
+    assert out["pred_boxes"].shape == (B, 5, 5)
+
+    gt = np.zeros((B, 5, 5), np.float32)
+    gl = np.full((B, 5), -1, np.int32)
+    gv = np.zeros((B, 5), bool)
+    gt[:, :2] = rng.normal(size=(B, 2, 5))
+    gl[:, :2] = 1
+    gv[:, :2] = True
+    losses = legacy_criterion(
+        out, {"boxes": jnp.asarray(gt), "labels": jnp.asarray(gl),
+              "valid_mask": jnp.asarray(gv)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert set(losses) == {"class_loss", "position_loss", "size_loss",
+                           "orientation_loss", "validity_loss", "total_loss"}

@@ -46,6 +46,12 @@ def main():
     p.add_argument("--num_sample_traces", type=int, default=10)
     p.add_argument("--config", type=str, default=None,
                    help="JSON ExperimentConfig to start from")
+    p.add_argument("--no_fused", action="store_true",
+                   help="use the per-epoch host loop instead of fusing the "
+                        "whole run into one XLA dispatch")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N_ROOMS",
+                   help="train on N on-device synthetic rooms instead of "
+                        "--data_dir (val = N/8 independent rooms)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    help="config override section.key=value (repeatable)")
     args = p.parse_args()
@@ -85,7 +91,8 @@ def main():
         return
 
     from room_slam_tpu.config import ExperimentConfig
-    from room_slam_tpu.train.driver import train_benchmark
+    from room_slam_tpu.train.driver import train_benchmark, \
+        train_benchmark_fused
 
     cfg = (ExperimentConfig.from_json(args.config) if args.config
            else ExperimentConfig())
@@ -117,7 +124,17 @@ def main():
           "probability")
     print("=" * 40 + "\n")
 
-    result = train_benchmark(cfg)
+    kwargs = {}
+    if args.synthetic:
+        from room_slam_tpu.train.driver import make_synthetic_datasets
+
+        print(f"[train] generating {args.synthetic} synthetic rooms "
+              "on device")
+        tr, va = make_synthetic_datasets(cfg, args.synthetic, cfg.train.seed)
+        kwargs = {"train_ds": tr, "val_ds": va}
+
+    train_fn = train_benchmark if args.no_fused else train_benchmark_fused
+    result = train_fn(cfg, **kwargs)
     print(json.dumps(
         {k: v for k, v in result.items()
          if isinstance(v, (int, float, str))}, indent=2))
