@@ -43,7 +43,18 @@ def main():
                          "(NOTE: tracing through the remote TPU tunnel slows "
                          "steps ~80x — throughput printed under --profile is "
                          "not representative)")
+    ap.add_argument("--scaleup", action="store_true",
+                    help="BASELINE config 4: seq=5000, d=512, max_objects=32 "
+                         "BiGRU train-step throughput")
+    ap.add_argument("--datagen", action="store_true",
+                    help="BASELINE config 5: synthetic datagen throughput "
+                         "(10k traces, chunked)")
     args = ap.parse_args()
+
+    if args.scaleup:
+        return bench_scaleup()
+    if args.datagen:
+        return bench_datagen()
 
     B, L = 32, 500
     cfg = ExperimentConfig(
@@ -127,6 +138,92 @@ def main():
         "infer_vs_baseline": round(infer_tps / base_infer, 2),
         "platform": jax.devices()[0].platform,
         "loss_final": float(losses["total_loss"]),
+    }))
+
+
+def bench_scaleup():
+    """Scale-up config (BASELINE.json config 4): seq=5000, hidden=512,
+    max_objects=32 BiGRU with the fused loss — train-step traces/sec."""
+    from room_slam_tpu.config import (DataConfig, ExperimentConfig,
+                                      ModelConfig, TrainConfig)
+    from room_slam_tpu.models.factory import build_model, count_parameters, \
+        init_params
+    from room_slam_tpu.train.loop import (TrainState, make_optimizer,
+                                          make_train_step)
+
+    B, L, M = 8, 5000, 32
+    cfg = ExperimentConfig(
+        data=DataConfig(max_trace_len=L, max_colliders=M),
+        model=ModelConfig(model_type="bigru", d_model=512, num_queries=M),
+        train=TrainConfig(batch_size=B),
+    )
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=256, batch=B)
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    train_step = make_train_step(model, tx, cfg, augment=True)
+
+    rng = np.random.default_rng(0)
+    raw = rng.normal(size=(B, L, 4)).astype(np.float32)
+    raw[..., 3] = np.cumsum(np.abs(raw[..., 3]) * 0.03 + 1e-3, axis=-1)
+    batch = {
+        "raw": jnp.asarray(raw),
+        "length": jnp.full((B,), L, jnp.int32),
+        "boxes": jnp.asarray(
+            np.abs(rng.normal(size=(B, M, 6))).astype(np.float32)),
+        "labels": jnp.asarray(rng.integers(0, 4, (B, M)).astype(np.int32)),
+        "valid": jnp.asarray((np.arange(M)[None] < 12).repeat(B, 0)),
+        "rotation_k": jnp.zeros((B,), jnp.int32),
+        "weight": jnp.ones((B,), jnp.float32),
+    }
+    key = jax.random.key(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, losses = train_step(state, batch, sub)
+    jax.block_until_ready(losses["total_loss"])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        key, sub = jax.random.split(key)
+        state, losses = train_step(state, batch, sub)
+    jax.block_until_ready(losses["total_loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "scale-up train traces/sec/chip (seq=5000, d=512, "
+                  "BiGRU, max_objects=32, batch=8)",
+        "value": round(n * B / dt, 2),
+        "unit": "traces/sec",
+        "vs_baseline": None,
+        "ms_per_step": round(dt / n * 1000, 1),
+        "n_params": count_parameters(params),
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+def bench_datagen():
+    """Datagen sweep (BASELINE.json config 5): on-device synthetic trace
+    generation throughput, 10k traces in chunks."""
+    from room_slam_tpu.data.synthetic import generate_rooms_and_traces
+
+    chunk, total, L = 512, 10_240, 3000
+    key = jax.random.key(0)
+    # compile
+    d = generate_rooms_and_traces(key, chunk, L)
+    jax.block_until_ready(d["raw"])
+    t0 = time.perf_counter()
+    for i in range(total // chunk):
+        d = generate_rooms_and_traces(jax.random.fold_in(key, i), chunk, L)
+    jax.block_until_ready(d["raw"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "synthetic datagen traces/sec/chip "
+                  "(3000-step rooms incl. layout sampling + collision walk)",
+        "value": round(total / dt, 2),
+        "unit": "traces/sec",
+        "vs_baseline": None,
+        "total_traces": total,
+        "wall_s": round(dt, 2),
+        "platform": jax.devices()[0].platform,
     }))
 
 

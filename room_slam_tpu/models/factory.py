@@ -37,6 +37,16 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             num_classes=cfg.num_classes,
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
         )
+    if t == "bigru":
+        from room_slam_tpu.models.gru import TraceToColliderGRU
+
+        return TraceToColliderGRU(
+            d_model=cfg.d_model,
+            num_queries=cfg.num_queries,
+            gru_layers=cfg.lstm_layers,
+            dropout=cfg.dropout,
+            num_classes=cfg.num_classes,
+        )
     if t == "gru":
         from room_slam_tpu.models.legacy_gru import RoomSlamGRU
 
@@ -48,7 +58,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
         )
     raise ValueError(
         f"Unknown model_type: {cfg.model_type}. "
-        "Use 'transformer', 'lstm' or 'gru'.")
+        "Use 'transformer', 'lstm', 'bigru' or 'gru' (legacy surface).")
 
 
 def _on_tpu() -> bool:

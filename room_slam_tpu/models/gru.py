@@ -1,0 +1,93 @@
+"""BiGRU encoder + query decoder — the scale-up model family.
+
+BASELINE.json config 4 names a "seq=5000, hidden=512, max_objects=32 bi-GRU
+with fused loss" scale-up; this is that model on the benchmark (3D) surface:
+a bidirectional GRU encoder (torch ``nn.GRU`` numerics, ops/rnn.py) feeding
+the same SimpleQueryDecoder / output contract as the LSTM variant.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from room_slam_tpu.data.features import trace_stats
+from room_slam_tpu.models.common import dense
+from room_slam_tpu.models.lstm import SimpleQueryDecoder, _torch_lstm_init
+from room_slam_tpu.ops.rnn import gru_recurrence_scan
+
+
+class BiGRULayer(nn.Module):
+    """One bidirectional GRU layer -> [B, N, 2H]."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d_in = x.shape[-1]
+        init = _torch_lstm_init(self.hidden)
+        outs = []
+        for direction, reverse in (("fwd", False), ("bwd", True)):
+            w_ih = self.param(f"w_ih_{direction}", init,
+                              (d_in, 3 * self.hidden))
+            b_ih = self.param(f"b_ih_{direction}", init, (3 * self.hidden,))
+            w_hh = self.param(f"w_hh_{direction}", init,
+                              (self.hidden, 3 * self.hidden))
+            b_hh = self.param(f"b_hh_{direction}", init, (3 * self.hidden,))
+            xg = x @ w_ih + b_ih  # one MXU matmul for the full sequence
+            outs.append(gru_recurrence_scan(xg, w_hh, b_hh, reverse=reverse))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class GRUTraceEncoder(nn.Module):
+    """Linear proj -> stacked BiGRU -> linear out + coordinate statistics."""
+
+    d_model: int = 512
+    num_layers: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, traces, mask=None, deterministic: bool = True):
+        B, N, _ = traces.shape
+        coords = traces[..., :3]
+        if mask is None:
+            mask = jnp.ones((B, N), dtype=bool)
+        mean, scale = trace_stats(coords, mask)
+
+        x = dense(traces, self.d_model, name="input_proj")
+        hidden = self.d_model // 2
+        for layer in range(self.num_layers):
+            x = BiGRULayer(hidden, name=f"gru_{layer}")(x)
+            if layer < self.num_layers - 1:
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        memory = dense(x, self.d_model, name="out_proj")
+        return memory, coords, mean, scale
+
+
+class TraceToColliderGRU(nn.Module):
+    """BiGRU encoder + simple query decoder; same output contract as the
+    reference models: {'pred_boxes': [B,Q,6], 'pred_classes': [B,Q,C]}."""
+
+    d_model: int = 512
+    num_queries: int = 32
+    gru_layers: int = 2
+    dropout: float = 0.1
+    num_classes: int = 4
+
+    @nn.compact
+    def __call__(self, traces, mask=None, deterministic: bool = True):
+        memory, coords, mean, scale = GRUTraceEncoder(
+            d_model=self.d_model,
+            num_layers=self.gru_layers,
+            dropout=self.dropout,
+            name="encoder",
+        )(traces, mask, deterministic)
+        boxes, classes = SimpleQueryDecoder(
+            d_model=self.d_model,
+            num_queries=self.num_queries,
+            num_classes=self.num_classes,
+            name="decoder",
+        )(memory, coords, mean, scale, mask)
+        return {"pred_boxes": boxes, "pred_classes": classes}

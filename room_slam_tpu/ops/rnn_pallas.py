@@ -35,8 +35,11 @@ CHUNK = 32  # timesteps per grid step
 
 
 def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
-                       h_s, c_s, *, chunk: int, hidden: int):
-    """One grid step: advance the recurrence over ``chunk`` timesteps."""
+                       h_s, c_s, *, chunk: int, hidden: int,
+                       save_residuals: bool = True):
+    """One grid step: advance the recurrence over ``chunk`` timesteps.
+    ``save_residuals=False`` (inference) skips the cell-state and gate
+    outputs — 3x less HBM write traffic."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -58,8 +61,9 @@ def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
         h_s[:] = h
         c_s[:] = c
         ys_ref[:, t, :] = h
-        cs_ref[:, t, :] = c
-        gates_ref[:, t, :] = jnp.concatenate([i, f, gg, o], axis=-1)
+        if save_residuals:
+            cs_ref[:, t, :] = c
+            gates_ref[:, t, :] = jnp.concatenate([i, f, gg, o], axis=-1)
 
 
 def _pad_time(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
@@ -70,57 +74,80 @@ def _pad_time(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
     return x, n
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "save_residuals"))
 def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
-                     interpret: bool = False):
-    """Forward-time recurrence. xg [B, N, 4H] -> (ys, cs, gates)."""
+                     interpret: bool = False, save_residuals: bool = True):
+    """Forward-time recurrence. xg [B, N, 4H] -> (ys, cs, gates); cs/gates
+    are None when save_residuals=False (inference)."""
     B, N0, H4 = xg.shape
     H = H4 // 4
     xg_p, N0 = _pad_time(xg, CHUNK)
     N = xg_p.shape[1]
     grid = (N // CHUNK,)
 
-    kernel = functools.partial(_lstm_chunk_kernel, chunk=CHUNK, hidden=H)
-    ys, cs, gates = pl.pallas_call(
-        kernel,
+    kernel = functools.partial(_lstm_chunk_kernel, chunk=CHUNK, hidden=H,
+                               save_residuals=save_residuals)
+    block_in = [
+        pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, CHUNK, H4), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    ys_spec = pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((B, H), jnp.float32),
+    ]
+    if save_residuals:
+        ys, cs, gates = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=block_in,
+            out_specs=[
+                ys_spec,
+                pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, CHUNK, H4), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, N, H), xg.dtype),
+                jax.ShapeDtypeStruct((B, N, H), xg.dtype),
+                jax.ShapeDtypeStruct((B, N, H4), xg.dtype),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(w_hh, xg_p)
+        return ys[:, :N0], cs[:, :N0], gates[:, :N0]
+
+    def kernel_light(w_ref, xg_ref, ys_ref, h_s, c_s):
+        kernel(w_ref, xg_ref, ys_ref, None, None, h_s, c_s)
+
+    ys = pl.pallas_call(
+        kernel_light,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((H, H4), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H4), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H4), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, N, H), xg.dtype),
-            jax.ShapeDtypeStruct((B, N, H), xg.dtype),
-            jax.ShapeDtypeStruct((B, N, H4), xg.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-        ],
+        in_specs=block_in,
+        out_specs=ys_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, H), xg.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(w_hh, xg_p)
-    return ys[:, :N0], cs[:, :N0], gates[:, :N0]
+    return ys[:, :N0], None, None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _lstm_core(xg: jnp.ndarray, w_hh: jnp.ndarray,
                interpret: bool = False) -> jnp.ndarray:
-    ys, _, _ = _lstm_fwd_pallas(xg, w_hh, interpret)
+    # primal path (inference): light kernel, no residual outputs
+    ys, _, _ = _lstm_fwd_pallas(xg, w_hh, interpret, save_residuals=False)
     return ys
 
 
 def _lstm_core_fwd(xg, w_hh, interpret):
-    ys, cs, gates = _lstm_fwd_pallas(xg, w_hh, interpret)
+    # differentiated path: also emit cell states + activated gates for BPTT
+    ys, cs, gates = _lstm_fwd_pallas(xg, w_hh, interpret,
+                                     save_residuals=True)
     return ys, (w_hh, ys, cs, gates)
 
 

@@ -32,6 +32,55 @@ def test_forward_shapes(model_type, rng):
     assert bool(jnp.all(out["pred_boxes"][..., 3:] > 0))
 
 
+def test_bigru_scaleup_model(rng):
+    """The scale-up BiGRU variant (BASELINE config 4) shares the output
+    contract and trains (grads finite)."""
+    cfg = ModelConfig(model_type="bigru", d_model=64, num_queries=8,
+                      lstm_layers=2)
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=32)
+    traces = jnp.asarray(rng.normal(size=(2, 32, 11)).astype(np.float32))
+    mask = jnp.ones((2, 32), bool)
+    out = model.apply(params, traces, mask, deterministic=True)
+    assert out["pred_boxes"].shape == (2, 8, 6)
+    assert out["pred_classes"].shape == (2, 8, 4)
+
+    def loss(p):
+        o = model.apply(p, traces, mask, deterministic=True)
+        return jnp.sum(o["pred_boxes"] ** 2) + jnp.sum(
+            o["pred_classes"] ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_gru_recurrence_matches_torch(rng):
+    """Our GRU cell math vs torch nn.GRU numerics."""
+    pytest.importorskip("torch")
+    import torch
+
+    from room_slam_tpu.ops.rnn import gru_recurrence_scan
+
+    B, N, D, H = 2, 20, 6, 8
+    torch.manual_seed(0)
+    tg = torch.nn.GRU(D, H, num_layers=1, batch_first=True,
+                      bidirectional=False)
+    x = rng.normal(size=(B, N, D)).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = tg(torch.tensor(x))
+
+    w_ih = tg.weight_ih_l0.detach().numpy().T  # [D, 3H]
+    w_hh = tg.weight_hh_l0.detach().numpy().T  # [H, 3H]
+    b_ih = tg.bias_ih_l0.detach().numpy()
+    b_hh = tg.bias_hh_l0.detach().numpy()
+    xg = x @ w_ih + b_ih
+    ours = gru_recurrence_scan(
+        jnp.asarray(xg), jnp.asarray(w_hh), jnp.asarray(b_hh))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_decoder_scale_equivariance(rng):
     """The anchor+scale denormalization (ref model.py:124-135) makes decoded
     boxes exactly equivariant to a rescaling of the coordinate statistics
