@@ -151,8 +151,97 @@ def _lstm_core_fwd(xg, w_hh, interpret):
     return ys, (w_hh, ys, cs, gates)
 
 
+def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
+                           dg_ref, dh_s, dc_s, *, chunk: int, hidden: int):
+    """Reverse-time BPTT chunk: carry (dh, dc) lives in VMEM scratch; the
+    grid walks chunks back-to-front and steps walk timesteps in reverse."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        dh_s[:] = jnp.zeros_like(dh_s)
+        dc_s[:] = jnp.zeros_like(dc_s)
+
+    wt = wt_ref[:]
+    H = hidden
+    for t in range(chunk - 1, -1, -1):
+        g = gates_ref[:, t, :]
+        i = g[:, :H]
+        f = g[:, H:2 * H]
+        gg = g[:, 2 * H:3 * H]
+        o = g[:, 3 * H:]
+        tanh_c = jnp.tanh(cs_ref[:, t, :])
+        dh_t = dys_ref[:, t, :] + dh_s[:]
+        do = dh_t * tanh_c
+        dc_t = dc_s[:] + dh_t * o * (1.0 - tanh_c * tanh_c)
+        dgates = jnp.concatenate([
+            dc_t * gg * i * (1.0 - i),
+            dc_t * cprev_ref[:, t, :] * f * (1.0 - f),
+            dc_t * i * (1.0 - gg * gg),
+            do * o * (1.0 - o),
+        ], axis=-1)
+        dg_ref[:, t, :] = dgates
+        dh_s[:] = jnp.dot(dgates, wt, preferred_element_type=jnp.float32)
+        dc_s[:] = dc_t * f
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys, interpret: bool = False):
+    """Fused reverse-time BPTT -> dgates [B, N, 4H]."""
+    B, N0, H = cs.shape
+    H4 = 4 * H
+    gates, _ = _pad_time(gates, CHUNK)
+    cs, _ = _pad_time(cs, CHUNK)
+    c_prev, _ = _pad_time(c_prev, CHUNK)
+    dys, _ = _pad_time(dys, CHUNK)
+    N = cs.shape[1]
+    nc = N // CHUNK
+    rev = lambda i: (0, nc - 1 - i, 0)  # noqa: E731
+
+    kernel = functools.partial(_lstm_bwd_chunk_kernel, chunk=CHUNK,
+                               hidden=H)
+    dgates = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((H4, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, CHUNK, H4), rev,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, H4), cs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(w_hh.T), gates, cs, c_prev, dys)
+    return dgates[:, :N0]
+
+
 def _lstm_core_bwd(interpret, res, dys):
-    """Reverse-time BPTT over the saved activations (one lax.scan)."""
+    """Reverse-time BPTT over the saved activations — fused Pallas kernel
+    with a lax.scan fallback in interpret mode."""
+    w_hh, ys, cs, gates = res
+    B, N, H = ys.shape
+
+    h_prev = jnp.concatenate(
+        [jnp.zeros((B, 1, H), ys.dtype), ys[:, :-1]], axis=1)
+    c_prev = jnp.concatenate(
+        [jnp.zeros((B, 1, H), cs.dtype), cs[:, :-1]], axis=1)
+    dxg = _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys,
+                           interpret=interpret)
+    # dW_hh = sum_t h_{t-1}^T dgates_t — one large MXU matmul
+    dw = jnp.einsum("bnh,bng->hg", h_prev, dxg)
+    return dxg, dw
+
+
+def _lstm_core_bwd_scan(interpret, res, dys):
+    """Reference lax.scan BPTT (kept for cross-checking the kernel)."""
     w_hh, ys, cs, gates = res
     B, N, H = ys.shape
 
