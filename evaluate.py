@@ -102,24 +102,33 @@ def evaluate_legacy(args) -> dict:
     def fwd(p, traces):
         return model.apply(p, traces, deterministic=True)
 
+    # Evaluation is per TRACE: a trace's ground truth counts once, the
+    # model's predictions from all its windows pool together, and the
+    # baseline sees the trace's full movement record (per-window GT
+    # duplication would deflate AP for both).
+    trace_ids = sorted(set(ds.trace_id.tolist()))
+
     def collect_model_preds():
         rows = []
+        out = fwd(params, jnp.asarray(ds.traces[:, :, 1:3]))
+        val = np.asarray(jax.nn.sigmoid(out["validity"][..., 0]))
+        prob = np.asarray(jax.nn.softmax(out["classes"], axis=-1))
+        conf = val * prob.max(axis=-1)
+        labels = prob.argmax(axis=-1)
+        boxes = np.asarray(out["pred_boxes"])  # [S, N, 5]
         for i in range(len(ds)):
-            out = fwd(params, jnp.asarray(ds.traces[i:i + 1, :, 1:3]))
-            val = jax.nn.sigmoid(out["validity"][0, :, 0])
-            prob = jax.nn.softmax(out["classes"][0], axis=-1)
-            conf = np.asarray(val) * np.asarray(prob.max(axis=-1))
-            labels = np.asarray(prob.argmax(axis=-1))
-            boxes = np.asarray(out["pred_boxes"][0])  # [N, 5]
-            for s in np.where(conf > args.threshold)[0]:
-                rows.append((boxes[s], int(labels[s]), float(conf[s]), i))
+            tid = int(ds.trace_id[i])
+            for s in np.where(conf[i] > args.threshold)[0]:
+                rows.append((boxes[i, s], int(labels[i, s]),
+                             float(conf[i, s]), tid))
         return rows
 
     def collect_gt():
         rows = []
-        for i in range(len(ds)):
+        for tid in trace_ids:
+            i = int(np.where(ds.trace_id == tid)[0][0])
             for m in np.where(ds.valid[i])[0]:
-                rows.append((ds.boxes[i, m], int(ds.labels[i, m]), i))
+                rows.append((ds.boxes[i, m], int(ds.labels[i, m]), tid))
         return rows
 
     def score(pred_rows, gt_rows):
@@ -144,13 +153,15 @@ def evaluate_legacy(args) -> dict:
     if args.compare_baseline:
         baseline = OccupancyBaseline(max_objects=args.max_objects)
         rows = []
-        for i in range(len(ds)):
-            objs = baseline.predict(ds.traces[i])
+        for tid in trace_ids:
+            sel = np.where(ds.trace_id == tid)[0]
+            full = np.concatenate([ds.traces[i] for i in sel], axis=0)
+            objs = baseline.predict(full)
             for o in objs:
                 box = np.asarray(
                     o["position"] + o["size"] + [o["orientation"]],
                     np.float32)
-                rows.append((box, o["class_id"], o["confidence"], i))
+                rows.append((box, o["class_id"], o["confidence"], tid))
         b_mAP, b_aps = score(rows, gt_rows)
         result["baseline_mAP"] = b_mAP
         result["baseline_AP_per_class"] = b_aps

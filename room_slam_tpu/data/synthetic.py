@@ -76,11 +76,17 @@ def sample_room(
     labels = labels.at[:4].set(_BLOCK)
     valid = valid.at[:4].set(True)
 
-    # furniture
+    # furniture candidates, then sequential rejection so every kept box is
+    # separated from walls, other furniture, and the spawn point by a
+    # corridor wider than the agent — the free space stays connected and the
+    # walker can never spawn trapped (a paved room deadlocks the reflection
+    # walk)
+    CORRIDOR = 2 * AGENT_RADIUS + 0.15
+    n_attempts = max_furniture * 3  # rejection needs spare candidates
     n_f = jax.random.randint(kn, (), 2, max_furniture + 1)
-    fkeys = jax.random.split(kf, max_furniture)
+    fkeys = jax.random.split(kf, n_attempts)
 
-    def one(i, fkey):
+    def candidate(i, fkey):
         kc, ks, kl = jax.random.split(fkey, 3)
         cls = jax.random.choice(
             kl, jnp.array([_LOW, _MID, _HIGH]), (),
@@ -90,39 +96,54 @@ def sample_room(
         h_lo = jnp.where(cls == _LOW, 0.35, jnp.where(cls == _MID, 0.65, 1.5))
         h_hi = jnp.where(cls == _LOW, 0.6, jnp.where(cls == _MID, 1.1, 2.3))
         h = jax.random.uniform(ks, (), minval=h_lo, maxval=h_hi)
+        # footprint scaled to the room so small rooms still fit furniture
+        f_max_x = jnp.clip(width / 3.5, 0.5, 2.0)
+        f_max_z = jnp.clip(depth / 3.5, 0.5, 2.0)
         fx = jax.random.uniform(jax.random.fold_in(ks, 1), (), minval=0.4,
-                                maxval=2.0)
+                                maxval=f_max_x)
         fz = jax.random.uniform(jax.random.fold_in(ks, 2), (), minval=0.4,
-                                maxval=2.0)
-        margin_x = jnp.maximum(half_w - fx / 2 - WALL_THICKNESS, 0.1)
-        margin_z = jnp.maximum(half_d - fz / 2 - WALL_THICKNESS, 0.1)
-        px = jax.random.uniform(kc, (), minval=-margin_x, maxval=margin_x)
-        pz = jax.random.uniform(jax.random.fold_in(kc, 1), (),
-                                minval=-margin_z, maxval=margin_z)
-        # keep the walker's spawn point (the origin) clear: if the footprint
-        # (+ agent radius) would cover it, push the box outward along its
-        # larger displacement axis
-        clear_x = fx / 2 + AGENT_RADIUS + 0.2
-        clear_z = fz / 2 + AGENT_RADIUS + 0.2
-        covers = (jnp.abs(px) < clear_x) & (jnp.abs(pz) < clear_z)
-        sgn = jnp.where(px >= 0, 1.0, -1.0)
-        sgz = jnp.where(pz >= 0, 1.0, -1.0)
-        push_x = jnp.abs(px) >= jnp.abs(pz)
-        px = jnp.where(covers & push_x,
-                       jnp.clip(sgn * clear_x, -margin_x, margin_x), px)
-        pz = jnp.where(covers & ~push_x,
-                       jnp.clip(sgz * clear_z, -margin_z, margin_z), pz)
+                                maxval=f_max_z)
+        margin_x = half_w - fx / 2 - WALL_THICKNESS - CORRIDOR
+        margin_z = half_d - fz / 2 - WALL_THICKNESS - CORRIDOR
+        u = jax.random.uniform(kc, (), minval=-1.0, maxval=1.0)
+        v = jax.random.uniform(jax.random.fold_in(kc, 1), (),
+                               minval=-1.0, maxval=1.0)
+        px = u * jnp.maximum(margin_x, 0.0)
+        pz = v * jnp.maximum(margin_z, 0.0)
+        fits = (margin_x > 0.0) & (margin_z > 0.0)
+        # the spawn point only needs to sit OUTSIDE the agent-expanded
+        # footprint (the inter-box corridor keeps space connected)
+        covers_spawn = (jnp.abs(px) < fx / 2 + AGENT_RADIUS + 0.1) & (
+            jnp.abs(pz) < fz / 2 + AGENT_RADIUS + 0.1)
+        ok = fits & ~covers_spawn
         box = jnp.stack([px, h / 2 - 1.0, pz, fx, h, fz])
-        return box, cls, i < n_f
+        return box, cls, ok
 
-    fboxes, fcls, fvalid = jax.vmap(one)(
-        jnp.arange(max_furniture), fkeys)
-    boxes = boxes.at[4:4 + max_furniture].set(fboxes)
+    fboxes, fcls, f_ok = jax.vmap(candidate)(
+        jnp.arange(n_attempts), fkeys)
+
+    def keep_body(j, kept):
+        b = fboxes[j]
+        sep_x = jnp.abs(b[0] - fboxes[:, 0]) - (b[3] + fboxes[:, 3]) / 2
+        sep_z = jnp.abs(b[2] - fboxes[:, 2]) - (b[5] + fboxes[:, 5]) / 2
+        earlier = jnp.arange(n_attempts) < j
+        overlaps = (sep_x < CORRIDOR) & (sep_z < CORRIDOR) & kept & earlier
+        keep_j = f_ok[j] & ~jnp.any(overlaps) & (jnp.sum(kept) < n_f)
+        return kept.at[j].set(keep_j)
+
+    kept = jax.lax.fori_loop(
+        0, n_attempts, keep_body, jnp.zeros((n_attempts,), dtype=bool))
+
+    # compact the kept candidates into the first max_furniture slots
+    order = jnp.argsort(~kept, stable=True)[:max_furniture]
+    fvalid = kept[order]
+    boxes = boxes.at[4:4 + max_furniture].set(fboxes[order])
     labels = labels.at[4:4 + max_furniture].set(
-        jnp.where(fvalid, fcls, -1))
+        jnp.where(fvalid, fcls[order], -1))
     valid = valid.at[4:4 + max_furniture].set(fvalid)
     labels = jnp.where(valid, labels, -1)
     return boxes, labels, valid
+
 
 
 def _collide(pos_xz: jnp.ndarray, boxes: jnp.ndarray,

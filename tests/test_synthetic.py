@@ -59,4 +59,5 @@ def test_batched_generation_and_roundtrip(tmp_path):
     arr = formats.load_trace_json(pairs[0][0])
     assert arr.shape == (300, 4)
     b, l = formats.load_colliders_json(pairs[0][1])
-    assert b.shape[1] == 6 and b.shape[0] >= 6
+    # 4 walls + whatever furniture survived corridor rejection (>= 1)
+    assert b.shape[1] == 6 and b.shape[0] >= 5
