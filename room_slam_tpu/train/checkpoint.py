@@ -78,3 +78,47 @@ def load_checkpoint(
 def load_config_from_checkpoint(path: str | Path) -> ExperimentConfig:
     side = json.loads(Path(path).with_suffix(".json").read_text())
     return ExperimentConfig.from_dict(side.get("config", {}))
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async, sharding-aware checkpointing for large
+# params/opt_state trees. msgpack stays the default (simple, dependency-free
+# restore); orbax matters once states stop fitting comfortably in one blob.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(path: str | Path, params: Any,
+                          opt_state: Any = None, **extra) -> None:
+    """Save with orbax (directory-based). ``extra`` lands in the same JSON
+    sidecar format as the msgpack backend."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    tree: Dict[str, Any] = {"params": params}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path.with_suffix(".orbax"), tree, force=True)
+    ckptr.wait_until_finished()
+
+    side = {k: v for k, v in extra.items() if k != "config"}
+    side["has_opt_state"] = opt_state is not None
+    side["backend"] = "orbax"
+    if "config" in extra and extra["config"] is not None:
+        side["config"] = extra["config"].to_dict()
+    Path(path).with_suffix(".json").write_text(json.dumps(side, indent=2,
+                                                          default=float))
+
+
+def load_checkpoint_orbax(path: str | Path, params_template: Any,
+                          opt_state_template: Any = None):
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    side = json.loads(path.with_suffix(".json").read_text())
+    target: Dict[str, Any] = {"params": params_template}
+    if side.get("has_opt_state") and opt_state_template is not None:
+        target["opt_state"] = opt_state_template
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path.with_suffix(".orbax"), target)
+    return restored["params"], restored.get("opt_state"), side

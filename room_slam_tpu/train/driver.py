@@ -187,8 +187,18 @@ def train_benchmark(
     verbose: bool = True,
     train_ds: TraceColliderArrays | None = None,
     val_ds: TraceColliderArrays | None = None,
+    resume: Optional[str] = None,
+    max_recoveries: int = 3,
 ) -> Dict:
-    """Train a benchmark-surface model end to end; returns a summary dict."""
+    """Train a benchmark-surface model end to end; returns a summary dict.
+
+    Beyond the reference (which has neither — SURVEY.md section 5):
+    - ``resume``: continue from a checkpoint (params + optimizer state +
+      epoch counter).
+    - failure recovery: if the device runtime dies mid-epoch (the remote
+      TPU worker can crash/restart), training reloads the last checkpoint
+      and continues, up to ``max_recoveries`` times.
+    """
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh(cfg.mesh.mesh_shape)
@@ -236,28 +246,70 @@ def train_benchmark(
     history = []
     t0 = time.time()
     samples_seen = 0
+    start_epoch = 0
+    last_ckpt: Optional[Path] = None
+
+    if resume:
+        params_r, opt_r, side = ckpt_lib.load_checkpoint(
+            resume, state.params, state.opt_state)
+        state = TrainState(params_r, opt_r or state.opt_state,
+                           jnp.asarray(0))
+        start_epoch = int(side.get("epoch", -1)) + 1
+        best_val = side.get("val_loss", best_val)
+        if verbose:
+            print(f"Resumed from {resume} at epoch {start_epoch}")
 
     # dataset arrays live on device for the whole run; epochs only ship
     # small index plans (device-resident data path, SURVEY.md section 7)
-    train_data = {k: jnp.asarray(v)
-                  for k, v in train_ds.device_arrays().items()}
-    val_data = {k: jnp.asarray(v) for k, v in val_ds.device_arrays().items()}
-    val_plan = {
-        k: jnp.asarray(v)
-        for k, v in val_ds.epoch_plan(
-            cfg.train.batch_size, shuffle=False).items()
-    }
+    def put_data():
+        return (
+            {k: jnp.asarray(v) for k, v in train_ds.device_arrays().items()},
+            {k: jnp.asarray(v) for k, v in val_ds.device_arrays().items()},
+            {k: jnp.asarray(v)
+             for k, v in val_ds.epoch_plan(cfg.train.batch_size,
+                                           shuffle=False).items()},
+        )
 
-    for epoch in range(cfg.train.num_epochs):
-        # --- train: one device dispatch for the whole epoch ---
-        plan = {
-            k: jnp.asarray(v)
-            for k, v in train_ds.epoch_plan(
-                cfg.train.batch_size, seed=cfg.train.seed + epoch).items()
-        }
-        key, sub = jax.random.split(key)
-        state, mean_losses = train_epoch(state, train_data, plan, sub)
-        train_loss = float(mean_losses["total_loss"])
+    train_data, val_data, val_plan = put_data()
+    recoveries = 0
+
+    epoch = start_epoch
+    while epoch < cfg.train.num_epochs:
+        try:
+            # --- train: one device dispatch for the whole epoch ---
+            plan = {
+                k: jnp.asarray(v)
+                for k, v in train_ds.epoch_plan(
+                    cfg.train.batch_size,
+                    seed=cfg.train.seed + epoch).items()
+            }
+            key, sub = jax.random.split(key)
+            state, mean_losses = train_epoch(state, train_data, plan, sub)
+            train_loss = float(mean_losses["total_loss"])
+        except jax.errors.JaxRuntimeError as e:
+            # device runtime died (remote TPU worker crash/restart):
+            # re-upload data, restore the last checkpoint, redo the epoch
+            recoveries += 1
+            if recoveries > max_recoveries:
+                raise
+            print(f"⚠ device failure in epoch {epoch} "
+                  f"({type(e).__name__}); recovery "
+                  f"{recoveries}/{max_recoveries} from "
+                  f"{last_ckpt or 'initial state'}")
+            model_r = build_model(cfg.model)
+            params_r = init_params(model_r, cfg.model, seed=cfg.train.seed,
+                                   seq_len=cfg.data.max_trace_len)
+            opt_r = tx.init(params_r)
+            if last_ckpt is not None:
+                params_r, opt_r2, side = ckpt_lib.load_checkpoint(
+                    last_ckpt, params_r, opt_r)
+                opt_r = opt_r2 or opt_r
+                epoch = int(side.get("epoch", epoch - 1)) + 1
+            else:
+                epoch = start_epoch
+            state = TrainState(params_r, opt_r, jnp.asarray(0))
+            train_data, val_data, val_plan = put_data()
+            continue
         samples_seen += train_ds.num_samples
 
         # --- validate + metrics: one device dispatch ---
@@ -298,9 +350,11 @@ def train_benchmark(
             print(f"Epoch {epoch}: Train {train_loss:.4f}")
 
         if (epoch + 1) % 10 == 0:
+            last_ckpt = save_dir / f"checkpoint_epoch_{epoch}"
             ckpt_lib.save_checkpoint(
-                save_dir / f"checkpoint_epoch_{epoch}", state.params,
-                state.opt_state, epoch=epoch, config=cfg)
+                last_ckpt, state.params, state.opt_state, epoch=epoch,
+                config=cfg)
+        epoch += 1
 
     wall = time.time() - t0
     return {

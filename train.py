@@ -52,6 +52,9 @@ def main():
     p.add_argument("--synthetic", type=int, default=None, metavar="N_ROOMS",
                    help="train on N on-device synthetic rooms instead of "
                         "--data_dir (val = N/8 independent rooms)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="continue from a checkpoint (params + optimizer "
+                        "state + epoch); implies the per-epoch driver")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    help="config override section.key=value (repeatable)")
     args = p.parse_args()
@@ -133,8 +136,13 @@ def main():
         tr, va = make_synthetic_datasets(cfg, args.synthetic, cfg.train.seed)
         kwargs = {"train_ds": tr, "val_ds": va}
 
-    train_fn = train_benchmark if args.no_fused else train_benchmark_fused
-    result = train_fn(cfg, **kwargs)
+    if args.resume:
+        kwargs["resume"] = args.resume
+        result = train_benchmark(cfg, **kwargs)
+    else:
+        train_fn = (train_benchmark if args.no_fused
+                    else train_benchmark_fused)
+        result = train_fn(cfg, **kwargs)
     print(json.dumps(
         {k: v for k, v in result.items()
          if isinstance(v, (int, float, str))}, indent=2))
