@@ -165,7 +165,60 @@ def evaluate_legacy(args) -> dict:
         b_mAP, b_aps = score(rows, gt_rows)
         result["baseline_mAP"] = b_mAP
         result["baseline_AP_per_class"] = b_aps
+
+    if args.visualize:
+        _visualize_legacy(args.visualize, ds, trace_ids,
+                          collect_model_preds(), gt_rows)
     return result
+
+
+def _visualize_legacy(out_dir, ds, trace_ids, pred_rows, gt_rows):
+    """Per-trace PNG overlays: trace, GT objects (red), model predictions
+    (blue dashed) — the README's documented --visualize behavior."""
+    from pathlib import Path
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    from room_slam_tpu.config import LEGACY_ID_TO_LABEL
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    import numpy as _np
+
+    for tid in trace_ids[:12]:
+        sel = _np.where(ds.trace_id == tid)[0]
+        full = _np.concatenate([ds.traces[i] for i in sel], axis=0)
+        fig, ax = plt.subplots(figsize=(9, 9))
+        ax.plot(full[:, 1], full[:, 2], "b-", lw=0.4, alpha=0.6,
+                label="trace")
+        for b, l, t in gt_rows:
+            if t != tid:
+                continue
+            ax.add_patch(Rectangle(
+                (b[0] - b[2] / 2, b[1] - b[3] / 2), b[2], b[3],
+                ec="red", fc="red", alpha=0.2))
+            ax.text(b[0], b[1], LEGACY_ID_TO_LABEL.get(int(l), "?"),
+                    color="red", fontsize=7, ha="center")
+        for b, l, c, t in pred_rows:
+            if t != tid:
+                continue
+            ax.add_patch(Rectangle(
+                (b[0] - b[2] / 2, b[1] - b[3] / 2), b[2], b[3],
+                ec="blue", fc="none", ls="--"))
+            ax.text(b[0], b[1],
+                    f"{LEGACY_ID_TO_LABEL.get(int(l), '?')}\n{c:.2f}",
+                    color="blue", fontsize=6, ha="center")
+        ax.set_aspect("equal")
+        ax.set_title(f"trace {tid}: GT (red) vs prediction (blue)")
+        ax.legend()
+        fig.savefig(out / f"eval_trace_{tid}.png", dpi=110,
+                    bbox_inches="tight")
+        plt.close(fig)
+    print(f"saved visualizations to {out}")
 
 
 def main():
@@ -182,6 +235,9 @@ def main():
     p.add_argument("--hidden_size", type=int, default=128)
     p.add_argument("--max_objects", type=int, default=10)
     p.add_argument("--compare_baseline", action="store_true")
+    p.add_argument("--visualize", type=str, default=None, metavar="OUT_DIR",
+                   help="write per-trace GT-vs-prediction PNGs "
+                        "(legacy surface; README.md:76-79)")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args()
 

@@ -95,6 +95,10 @@ class TrainConfig:
     save_dir: str = "./checkpoints"
     # class_loss / l1_loss / giou_loss weights (ref: train.py:433-437)
     loss_weights: Tuple[float, float, float] = (2.0, 5.0, 2.0)
+    # LR schedule: 'plateau' (the reference's active ReduceLROnPlateau) or
+    # 'cosine' (the warmup+cosine lr_lambda the reference defines but never
+    # plugs in, train.py:447-458)
+    lr_schedule: str = "plateau"
     # ReduceLROnPlateau equivalents (ref: train.py:454-458)
     plateau_factor: float = 0.5
     plateau_patience: int = 5

@@ -25,7 +25,8 @@ from room_slam_tpu.parallel import mesh as mesh_lib
 from room_slam_tpu.train import checkpoint as ckpt_lib
 from room_slam_tpu.train.loop import (PlateauScheduler, TrainState,
                                       make_eval_epoch, make_optimizer,
-                                      make_train_epoch, set_learning_rate)
+                                      make_train_epoch, get_learning_rate,
+                                      set_learning_rate)
 from room_slam_tpu.train.metrics import summarize_metrics
 
 
@@ -275,6 +276,11 @@ def train_benchmark(
 
     epoch = start_epoch
     while epoch < cfg.train.num_epochs:
+        if cfg.train.lr_schedule == "cosine":
+            from room_slam_tpu.train.loop import warmup_cosine_lr
+
+            state = state._replace(opt_state=set_learning_rate(
+                state.opt_state, warmup_cosine_lr(cfg, epoch)))
         try:
             # --- train: one device dispatch for the whole epoch ---
             plan = {
@@ -319,9 +325,12 @@ def train_benchmark(
             metrics = summarize_metrics(
                 {k: float(v) for k, v in sums.items()})
 
-            lr = sched.step(val_loss)
-            state = state._replace(
-                opt_state=set_learning_rate(state.opt_state, lr))
+            if cfg.train.lr_schedule == "cosine":
+                lr = get_learning_rate(state.opt_state)
+            else:
+                lr = sched.step(val_loss)
+                state = state._replace(
+                    opt_state=set_learning_rate(state.opt_state, lr))
 
             if verbose:
                 print(

@@ -44,6 +44,23 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     return optax.inject_hyperparams(opt)(learning_rate=cfg.train.lr)
 
 
+def warmup_cosine_lr(cfg: ExperimentConfig, epoch: int) -> float:
+    """The warmup + cosine schedule the reference defines (but never plugs
+    in — train.py:447-458): linear warmup over warmup_epochs, then cosine
+    decay to 0 across the remaining epochs. Selected with
+    ``train.lr_schedule = 'cosine'``."""
+    t = cfg.train
+    if epoch < t.warmup_epochs:
+        scale = (epoch + 1) / t.warmup_epochs
+    else:
+        import math
+
+        scale = 0.5 * (1 + math.cos(
+            math.pi * (epoch - t.warmup_epochs)
+            / max(t.num_epochs - t.warmup_epochs, 1)))
+    return t.lr * scale
+
+
 def set_learning_rate(opt_state, lr: float):
     """Mutate the injected learning rate."""
     opt_state.hyperparams["learning_rate"] = jnp.asarray(

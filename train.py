@@ -52,6 +52,10 @@ def main():
     p.add_argument("--synthetic", type=int, default=None, metavar="N_ROOMS",
                    help="train on N on-device synthetic rooms instead of "
                         "--data_dir (val = N/8 independent rooms)")
+    p.add_argument("--schedule", choices=["plateau", "cosine"], default=None,
+                   help="LR schedule: ReduceLROnPlateau (reference default) "
+                        "or warmup+cosine (the schedule the reference "
+                        "defines but never plugs in)")
     p.add_argument("--resume", type=str, default=None,
                    help="continue from a checkpoint (params + optimizer "
                         "state + epoch); implies the per-epoch driver")
@@ -117,6 +121,8 @@ def main():
         cfg.data.max_trace_len = args.max_trace_len
     cfg.train.save_dir = args.save_dir
     cfg.train.seed = args.seed
+    if args.schedule is not None:
+        cfg.train.lr_schedule = args.schedule
     cfg.apply_overrides(args.overrides)
 
     print("\n=== Data Augmentation Settings ===")
