@@ -56,6 +56,9 @@ def main():
     if args.datagen:
         return bench_datagen()
 
+    # bf16 matmuls (f32 accumulate) — ~9% faster on v5e, loss-identical
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
+
     B, L = 32, 500
     cfg = ExperimentConfig(
         data=DataConfig(max_trace_len=L),

@@ -106,6 +106,9 @@ class TrainConfig:
     plateau_min_scale: float = 1e-6 / 2e-4  # min_lr / lr
     # steps per epoch for fixed-shape batching; 0 => derived from dataset size
     steps_per_epoch: int = 0
+    # jax matmul precision for the train/eval path ('default' | 'bfloat16' |
+    # 'highest'); bfloat16 is ~9% faster on v5e with indistinguishable loss
+    matmul_precision: str = "bfloat16"
 
 
 @dataclass

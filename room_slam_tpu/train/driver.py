@@ -68,6 +68,8 @@ def train_benchmark_fused(
 
     from room_slam_tpu.train.loop import make_fused_run
 
+    jax.config.update("jax_default_matmul_precision",
+                      cfg.train.matmul_precision)
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh(cfg.mesh.mesh_shape)
@@ -200,6 +202,8 @@ def train_benchmark(
       TPU worker can crash/restart), training reloads the last checkpoint
       and continues, up to ``max_recoveries`` times.
     """
+    jax.config.update("jax_default_matmul_precision",
+                      cfg.train.matmul_precision)
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh(cfg.mesh.mesh_shape)
