@@ -231,3 +231,15 @@ def print_dataset_statistics(data_dir: str, cfg: DataConfig | None = None,
     for lid, name in BENCH_ID_TO_LABEL.items():
         print(f"  {name}: {(flat == lid).sum()}")
     print("=" * 50)
+
+
+if __name__ == "__main__":
+    # dataset smoke report, like the reference dataloader's __main__
+    # (ref: src/benchmark/dataloader.py:689-765)
+    import sys
+
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else "dataset/train"
+    print("=== WITH rotation expansion ===")
+    print_dataset_statistics(data_dir, augment_rotation=True)
+    print("=== WITHOUT rotation expansion ===")
+    print_dataset_statistics(data_dir, augment_rotation=False)
