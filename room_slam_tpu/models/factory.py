@@ -46,6 +46,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             gru_layers=cfg.lstm_layers,
             dropout=cfg.dropout,
             num_classes=cfg.num_classes,
+            use_pallas=cfg.use_pallas_rnn and _on_tpu(),
         )
     if t == "gru":
         from room_slam_tpu.models.legacy_gru import RoomSlamGRU

@@ -16,13 +16,14 @@ import jax.numpy as jnp
 from room_slam_tpu.data.features import trace_stats
 from room_slam_tpu.models.common import dense
 from room_slam_tpu.models.lstm import SimpleQueryDecoder, _torch_lstm_init
-from room_slam_tpu.ops.rnn import gru_recurrence_scan
+from room_slam_tpu.ops.rnn import gru_recurrence
 
 
 class BiGRULayer(nn.Module):
     """One bidirectional GRU layer -> [B, N, 2H]."""
 
     hidden: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -37,7 +38,8 @@ class BiGRULayer(nn.Module):
                               (self.hidden, 3 * self.hidden))
             b_hh = self.param(f"b_hh_{direction}", init, (3 * self.hidden,))
             xg = x @ w_ih + b_ih  # one MXU matmul for the full sequence
-            outs.append(gru_recurrence_scan(xg, w_hh, b_hh, reverse=reverse))
+            outs.append(gru_recurrence(xg, w_hh, b_hh, reverse=reverse,
+                                       use_pallas=self.use_pallas))
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -47,6 +49,7 @@ class GRUTraceEncoder(nn.Module):
     d_model: int = 512
     num_layers: int = 2
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -59,7 +62,8 @@ class GRUTraceEncoder(nn.Module):
         x = dense(traces, self.d_model, name="input_proj")
         hidden = self.d_model // 2
         for layer in range(self.num_layers):
-            x = BiGRULayer(hidden, name=f"gru_{layer}")(x)
+            x = BiGRULayer(hidden, use_pallas=self.use_pallas,
+                           name=f"gru_{layer}")(x)
             if layer < self.num_layers - 1:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         memory = dense(x, self.d_model, name="out_proj")
@@ -75,6 +79,7 @@ class TraceToColliderGRU(nn.Module):
     gru_layers: int = 2
     dropout: float = 0.1
     num_classes: int = 4
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -82,6 +87,7 @@ class TraceToColliderGRU(nn.Module):
             d_model=self.d_model,
             num_layers=self.gru_layers,
             dropout=self.dropout,
+            use_pallas=self.use_pallas,
             name="encoder",
         )(traces, mask, deterministic)
         boxes, classes = SimpleQueryDecoder(

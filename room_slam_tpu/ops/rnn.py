@@ -109,3 +109,19 @@ def gru_recurrence_scan(
     xs = jnp.swapaxes(xg, 0, 1)
     _, ys = jax.lax.scan(step, h0, xs, reverse=reverse)
     return jnp.swapaxes(ys, 0, 1)
+
+
+def gru_recurrence(
+    xg: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    b_hh: jnp.ndarray,
+    reverse: bool = False,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Dispatch between the scan and Pallas GRU implementations."""
+    if use_pallas:
+        from room_slam_tpu.ops import gru_pallas
+
+        return gru_pallas.gru_recurrence_pallas(xg, w_hh, b_hh,
+                                                reverse=reverse)
+    return gru_recurrence_scan(xg, w_hh, b_hh, reverse=reverse)

@@ -45,6 +45,33 @@ def test_gradient_parity(reverse, rng):
         assert rel < 1e-4, rel
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_forward_and_grad_parity(reverse, rng):
+    from room_slam_tpu.ops.gru_pallas import gru_recurrence_pallas
+
+    B, N, H = 3, 70, 16
+    xg = jnp.asarray(rng.normal(size=(B, N, 3 * H)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(3 * H,)).astype(np.float32) * 0.1)
+
+    ref = gru_recurrence_scan(xg, w, b, reverse=reverse)
+    got = gru_recurrence_pallas(xg, w, b, reverse=reverse, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return lambda a, ww, bb: jnp.sum(jnp.sin(fn(a, ww, bb, reverse)))
+
+    g_ref = jax.grad(loss(gru_recurrence_scan), (0, 1, 2))(xg, w, b)
+    g_pal = jax.grad(loss(
+        lambda a, ww, bb, r: gru_recurrence_pallas(a, ww, bb, r,
+                                                   interpret=True)),
+        (0, 1, 2))(xg, w, b)
+    for a, bb in zip(g_ref, g_pal):
+        rel = float(jnp.abs(a - bb).max() / (jnp.abs(a).max() + 1e-9))
+        assert rel < 1e-4, rel
+
+
 def test_padding_region_inert(rng):
     """N not divisible by the chunk: padded timesteps must not leak into
     outputs or gradients."""
