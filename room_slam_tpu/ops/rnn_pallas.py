@@ -11,10 +11,11 @@ per-step outputs through layout shuffles each iteration; this kernel instead:
 - unrolls CHUNK steps per grid invocation so the per-step MXU matmul
   [B, H] x [H, 4H] issues back-to-back.
 
-Training support: the kernel also emits the activated gates and cell states;
-a custom VJP consumes them in a standard reverse-time BPTT written as one
-``lax.scan`` (the backward is bandwidth-bound on the same small state, and
-its gate math reuses the saved activations, so nothing is recomputed).
+Training support: the differentiated path's kernel also emits the activated
+gates and cell states; a custom VJP consumes them in a second Pallas kernel
+that runs reverse-time BPTT with the (dh, dc) carry in VMEM (the inference
+path uses a light kernel without residual outputs). dW_hh stays outside as
+one large MXU matmul over the saved hidden states.
 
 The input-side matmul for the whole sequence stays OUTSIDE the kernel as one
 large MXU matmul (see models/lstm.py) — that part XLA already does at
@@ -235,56 +236,6 @@ def _lstm_core_bwd(interpret, res, dys):
         [jnp.zeros((B, 1, H), cs.dtype), cs[:, :-1]], axis=1)
     dxg = _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys,
                            interpret=interpret)
-    # dW_hh = sum_t h_{t-1}^T dgates_t — one large MXU matmul
-    dw = jnp.einsum("bnh,bng->hg", h_prev, dxg)
-    return dxg, dw
-
-
-def _lstm_core_bwd_scan(interpret, res, dys):
-    """Reference lax.scan BPTT (kept for cross-checking the kernel)."""
-    w_hh, ys, cs, gates = res
-    B, N, H = ys.shape
-
-    # previous-step h and c (zeros before t=0)
-    h_prev = jnp.concatenate(
-        [jnp.zeros((B, 1, H), ys.dtype), ys[:, :-1]], axis=1)
-    c_prev = jnp.concatenate(
-        [jnp.zeros((B, 1, H), cs.dtype), cs[:, :-1]], axis=1)
-
-    w_t = w_hh.T  # [4H, H]
-
-    def step(carry, inp):
-        dh, dc = carry
-        g, c, cp, dy = inp  # [B,4H], [B,H], [B,H], [B,H]
-        i, f, gg, o = (g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H],
-                       g[:, 3 * H:])
-        tanh_c = jnp.tanh(c)
-        dh_t = dy + dh
-        do = dh_t * tanh_c
-        dc_t = dc + dh_t * o * (1.0 - tanh_c * tanh_c)
-        di = dc_t * gg
-        df = dc_t * cp
-        dg = dc_t * i
-        dgates = jnp.concatenate([
-            di * i * (1.0 - i),
-            df * f * (1.0 - f),
-            dg * (1.0 - gg * gg),
-            do * o * (1.0 - o),
-        ], axis=-1)  # [B, 4H] pre-activation grads
-        dh_prev = jnp.dot(dgates, w_t, preferred_element_type=jnp.float32)
-        dc_prev = dc_t * f
-        return (dh_prev, dc_prev), dgates
-
-    inputs = (
-        jnp.swapaxes(gates, 0, 1),
-        jnp.swapaxes(cs, 0, 1),
-        jnp.swapaxes(c_prev, 0, 1),
-        jnp.swapaxes(dys, 0, 1),
-    )
-    init = (jnp.zeros((B, H), ys.dtype), jnp.zeros((B, H), ys.dtype))
-    _, dgates_seq = jax.lax.scan(step, init, inputs, reverse=True)
-    dxg = jnp.swapaxes(dgates_seq, 0, 1)  # [B, N, 4H]
-
     # dW_hh = sum_t h_{t-1}^T dgates_t — one large MXU matmul
     dw = jnp.einsum("bnh,bng->hg", h_prev, dxg)
     return dxg, dw

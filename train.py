@@ -146,8 +146,11 @@ def main():
         kwargs["resume"] = args.resume
         result = train_benchmark(cfg, **kwargs)
     else:
-        train_fn = (train_benchmark if args.no_fused
-                    else train_benchmark_fused)
+        # fused runs shine on small datasets (host round trips dominate);
+        # for large synthetic sweeps the per-epoch driver compiles much
+        # faster and the round-trip overhead amortizes anyway
+        use_fused = not args.no_fused and not args.synthetic
+        train_fn = train_benchmark_fused if use_fused else train_benchmark
         result = train_fn(cfg, **kwargs)
     print(json.dumps(
         {k: v for k, v in result.items()
