@@ -1,0 +1,105 @@
+"""End-to-end CLI tests: drive the public entry points as subprocesses on
+the CPU backend (tiny sizes). These guard the argument wiring and the
+surface auto-detection — the unit suite can't see argparse regressions."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORM_NAME": "cpu",
+    "JAX_PLATFORMS": "cpu",
+}
+
+
+def run_cli(*args, timeout=600):
+    return subprocess.run(
+        [sys.executable, *args], cwd=REPO, env=ENV, timeout=timeout,
+        capture_output=True, text=True)
+
+
+@pytest.fixture(scope="module")
+def legacy_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("legacy")
+    r = run_cli("train.py", "--create_sample_data", "--data_dir", str(d),
+                "--num_sample_traces", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    return d
+
+
+def test_legacy_train_evaluate_cli(legacy_data, tmp_path):
+    ckpt_dir = tmp_path / "ck"
+    r = run_cli("train.py", "--data_dir", str(legacy_data), "--epochs", "2",
+                "--batch_size", "8", "--save_dir", str(ckpt_dir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "auto-detected surface: legacy" in r.stdout
+    assert (ckpt_dir / "best_model_legacy.msgpack").exists()
+
+    r = run_cli("evaluate.py", "--checkpoint",
+                str(ckpt_dir / "best_model_legacy"),
+                "--data_dir", str(legacy_data), "--compare_baseline",
+                "--threshold", "0.2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout[r.stdout.index("{"):])
+    assert "mAP" in out and "baseline_mAP" in out
+
+
+def test_bench_surface_train_infer_cli(tmp_path):
+    # tiny synthetic bench-surface dataset on disk -> train -> inference
+    r = run_cli("-c",
+                "from room_slam_tpu.data.synthetic import "
+                "write_synthetic_dataset; "
+                f"write_synthetic_dataset(r'{tmp_path}/data', 3, 200, seed=1)")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    ckpt_dir = tmp_path / "ck"
+    r = run_cli("train.py", "--surface", "bench",
+                "--data_dir", str(tmp_path / "data"),
+                "--val_dir", str(tmp_path / "data"),
+                "--epochs", "2", "--batch_size", "4",
+                "--max_trace_len", "200", "--d_model", "32",
+                "--num_queries", "8", "--no_fused",
+                "--save_dir", str(ckpt_dir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (ckpt_dir / "best_model.msgpack").exists()
+    assert (ckpt_dir / "history.jsonl").exists()
+
+    trace = next((tmp_path / "data").glob("*_trace.json"))
+    r = run_cli("inference.py", "--checkpoint", str(ckpt_dir / "best_model"),
+                "--input", str(trace), "--threshold", "0.1",
+                "--output", str(tmp_path / "preds.json"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    preds = json.loads((tmp_path / "preds.json").read_text())
+    assert "colliders" in preds and "metadata" in preds
+
+
+def test_demo_cli(tmp_path):
+    r = run_cli("demo.py", "--n_rooms", "1", "--num_steps", "400",
+                "--output", str(tmp_path / "demo.json"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "baseline predicted" in r.stdout
+    out = json.loads((tmp_path / "demo.json").read_text())
+    assert out["results"][0]["objects"] is not None
+
+
+def test_visualize_cli(tmp_path):
+    r = run_cli("-c",
+                "from room_slam_tpu.data.synthetic import "
+                "write_synthetic_dataset; "
+                f"write_synthetic_dataset(r'{tmp_path}', 1, 100, seed=2)")
+    assert r.returncode == 0, r.stderr[-2000:]
+    trace = next(Path(tmp_path).glob("*_trace.json"))
+    coll = next(Path(tmp_path).glob("*_collider.json"))
+    r = run_cli("visualize.py", "--input", str(trace),
+                "--colliders", str(coll),
+                "--output", str(tmp_path / "viz.png"), "--side_view")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "viz.png").stat().st_size > 10_000
