@@ -13,7 +13,6 @@ import json
 import jax
 import numpy as np
 
-from room_slam_tpu.config import LEGACY_ID_TO_LABEL
 from room_slam_tpu.data import synthetic
 from room_slam_tpu.models.baseline import OccupancyBaseline
 

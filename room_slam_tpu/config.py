@@ -11,7 +11,7 @@ import dataclasses
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 # Class labels of the benchmark (3D JSON) surface.
 # Reference: src/benchmark/dataloader.py:67-72

@@ -32,8 +32,6 @@ from datetime import datetime
 from pathlib import Path
 from typing import List, Optional
 
-import numpy as np
-
 DEFAULT_PORT = 4399  # FaceReceiver.cs:12
 
 

@@ -23,7 +23,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from room_slam_tpu.config import BENCH_LABELS
 from room_slam_tpu.data import formats

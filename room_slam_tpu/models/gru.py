@@ -8,8 +8,6 @@ the same SimpleQueryDecoder / output contract as the LSTM variant.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -11,7 +11,7 @@ the reference (model.py:315-347).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -12,8 +12,6 @@ torch ``nn.GRU`` numerics (gate order r, z, n; the reset gate multiplies
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

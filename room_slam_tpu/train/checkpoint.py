@@ -15,7 +15,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 from flax import serialization
 
 from room_slam_tpu.config import ExperimentConfig

@@ -10,13 +10,11 @@ match -> loss -> grad -> clip -> AdamW per step; batches shard over the
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from room_slam_tpu.config import ExperimentConfig
 from room_slam_tpu.data.augment import Sample, make_augment_batch

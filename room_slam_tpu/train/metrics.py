@@ -11,7 +11,7 @@ as one jitted dispatch per batch returning sums the driver accumulates.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
