@@ -87,13 +87,19 @@ def sample_room(
 
     def candidate(i, fkey):
         kc, ks, kl = jax.random.split(fkey, 3)
+        # interior BLOCKs (columns/partitions) exist in the real data
+        # (dataset/train/colliders.json has 7 BLOCK for a 4-wall room)
         cls = jax.random.choice(
-            kl, jnp.array([_LOW, _MID, _HIGH]), (),
-            p=jnp.array([0.45, 0.35, 0.2]))
+            kl, jnp.array([_LOW, _MID, _HIGH, _BLOCK]), (),
+            p=jnp.array([0.4, 0.3, 0.15, 0.15]))
         # class-conditional height ranges (LOW: sittable, MID: tables,
-        # HIGH: wardrobes) — README.md:18-23 semantics
-        h_lo = jnp.where(cls == _LOW, 0.35, jnp.where(cls == _MID, 0.65, 1.5))
-        h_hi = jnp.where(cls == _LOW, 0.6, jnp.where(cls == _MID, 1.1, 2.3))
+        # HIGH: wardrobes, BLOCK: near-ceiling) — README.md:18-23 semantics
+        h_lo = jnp.where(cls == _LOW, 0.35,
+                         jnp.where(cls == _MID, 0.65,
+                                   jnp.where(cls == _HIGH, 1.5, 2.2)))
+        h_hi = jnp.where(cls == _LOW, 0.6,
+                         jnp.where(cls == _MID, 1.1,
+                                   jnp.where(cls == _HIGH, 2.3, 3.2)))
         h = jax.random.uniform(ks, (), minval=h_lo, maxval=h_hi)
         # footprint scaled to the room so small rooms still fit furniture
         f_max_x = jnp.clip(width / 3.5, 0.5, 2.0)

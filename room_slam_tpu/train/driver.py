@@ -37,18 +37,33 @@ def _device_batch(batch: Dict[str, np.ndarray], mesh=None):
 
 
 def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
-                            seed: int = 0):
+                            seed: int = 0, mode: str = "agent"):
     """On-device synthetic train/val datasets (val = n_rooms // 8 + 1 extra
-    rooms from an independent seed)."""
+    rooms from an independent seed).
+
+    mode: 'agent' (constant sensor height, like the Unity robot), 'human'
+    (head-height with bob, like the ARKit captures), or 'mixed' (half each).
+    """
     from room_slam_tpu.data import synthetic
 
+    def gen(key, n):
+        if mode == "mixed":
+            k1, k2 = jax.random.split(key)
+            a = synthetic.generate_rooms_and_traces(
+                k1, n // 2, cfg.data.max_trace_len,
+                max_colliders=cfg.data.max_colliders, human=False)
+            b = synthetic.generate_rooms_and_traces(
+                k2, n - n // 2, cfg.data.max_trace_len,
+                max_colliders=cfg.data.max_colliders, human=True)
+            return {k: np.concatenate(
+                [np.asarray(a[k]), np.asarray(b[k])]) for k in a}
+        return jax.device_get(synthetic.generate_rooms_and_traces(
+            key, n, cfg.data.max_trace_len,
+            max_colliders=cfg.data.max_colliders, human=(mode == "human")))
+
     n_val = max(n_rooms // 8, 4)
-    train = jax.device_get(synthetic.generate_rooms_and_traces(
-        jax.random.key(seed), n_rooms, cfg.data.max_trace_len,
-        max_colliders=cfg.data.max_colliders))
-    val = jax.device_get(synthetic.generate_rooms_and_traces(
-        jax.random.key(seed + 10_000), n_val, cfg.data.max_trace_len,
-        max_colliders=cfg.data.max_colliders))
+    train = gen(jax.random.key(seed), n_rooms)
+    val = gen(jax.random.key(seed + 10_000), n_val)
     return (TraceColliderArrays.from_arrays(train, cfg.data, augment=True),
             TraceColliderArrays.from_arrays(val, cfg.data, augment=False))
 

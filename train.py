@@ -52,6 +52,11 @@ def main():
     p.add_argument("--synthetic", type=int, default=None, metavar="N_ROOMS",
                    help="train on N on-device synthetic rooms instead of "
                         "--data_dir (val = N/8 independent rooms)")
+    p.add_argument("--synthetic_mode", choices=["agent", "human", "mixed"],
+                   default="agent",
+                   help="walker height model for --synthetic: constant "
+                        "sensor (agent), head-height with bob (human), or "
+                        "half each (mixed)")
     p.add_argument("--schedule", choices=["plateau", "cosine"], default=None,
                    help="LR schedule: ReduceLROnPlateau (reference default) "
                         "or warmup+cosine (the schedule the reference "
@@ -138,8 +143,9 @@ def main():
         from room_slam_tpu.train.driver import make_synthetic_datasets
 
         print(f"[train] generating {args.synthetic} synthetic rooms "
-              "on device")
-        tr, va = make_synthetic_datasets(cfg, args.synthetic, cfg.train.seed)
+              f"on device (mode={args.synthetic_mode})")
+        tr, va = make_synthetic_datasets(cfg, args.synthetic, cfg.train.seed,
+                                         mode=args.synthetic_mode)
         kwargs = {"train_ds": tr, "val_ds": va}
 
     if args.resume:
