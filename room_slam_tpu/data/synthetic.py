@@ -152,14 +152,16 @@ def sample_room(
 
 
 def _collide(pos_xz: jnp.ndarray, boxes: jnp.ndarray,
-             valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Check a 2D position against box footprints (expanded by the agent
+             valid: jnp.ndarray,
+             radius: jnp.ndarray | float = AGENT_RADIUS
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Check a 2D position against box footprints (expanded by the walker
     radius). Returns (hit: bool, normal [2]) for the deepest collision —
     the reflection signal of RandomMovement.cs:199-214."""
     dx = pos_xz[0] - boxes[:, 0]
     dz = pos_xz[1] - boxes[:, 2]
-    pen_x = boxes[:, 3] / 2 + AGENT_RADIUS - jnp.abs(dx)
-    pen_z = boxes[:, 5] / 2 + AGENT_RADIUS - jnp.abs(dz)
+    pen_x = boxes[:, 3] / 2 + radius - jnp.abs(dx)
+    pen_z = boxes[:, 5] / 2 + radius - jnp.abs(dz)
     inside = (pen_x > 0) & (pen_z > 0) & valid
     depth = jnp.where(inside, jnp.minimum(pen_x, pen_z), -jnp.inf)
     j = jnp.argmax(depth)
@@ -186,7 +188,7 @@ def simulate_trace(
     and reflects its direction off collider normals (RandomMovement.cs:199-214).
     """
     dt = 1.0 / hz
-    k0, k1, ky, kscan = jax.random.split(key, 4)
+    k0, k1, ky, kr, kscan = jax.random.split(key, 5)
     ang0 = jax.random.uniform(k0, (), minval=0.0, maxval=2 * math.pi)
     pos0 = jnp.zeros((2,))
     y_base = (
@@ -194,16 +196,41 @@ def simulate_trace(
         if human
         else jnp.float32(AGENT_Y)
     )
+    # humans keep more personal distance from obstacles than the robot's
+    # collider radius, and wander at varying pace (the real captures stay
+    # ~0.5 m off the walls); the Unity agent hugs at its capsule radius and
+    # walks at constant speed (ThirdPersonController.cs:19). Clearance is
+    # per box: walls get the big personal-space margin, furniture a modest
+    # one (a too-large furniture margin would close walk corridors — closed
+    # passages are merely unreachable, never deadlocks, because candidate
+    # positions inside expanded boxes are rejected before being entered).
+    M = boxes.shape[0]
+    if human:
+        wall_r = jax.random.uniform(kr, (), minval=0.4, maxval=0.7)
+        furn_r = jax.random.uniform(
+            jax.random.fold_in(kr, 2), (), minval=0.3, maxval=0.4)
+        radius = jnp.where(jnp.arange(M) < 4, wall_r, furn_r)
+        speed0 = jax.random.uniform(
+            jax.random.fold_in(kr, 1), (), minval=0.4, maxval=1.2)
+    else:
+        radius = jnp.full((M,), AGENT_RADIUS, jnp.float32)
+        speed0 = jnp.float32(WALK_SPEED)
 
     def step(state, skey):
-        pos, ang, until_turn = state
-        kt, ka = jax.random.split(skey)
+        pos, ang, until_turn, speed = state
+        kt, ka, ks = jax.random.split(skey, 3)
         turn = until_turn <= 0.0
         new_ang = jnp.where(
             turn,
             jax.random.uniform(ka, (), minval=0.0, maxval=2 * math.pi),
             ang,
         )
+        if human:
+            # re-draw pace at each heading change
+            speed = jnp.where(
+                turn,
+                jax.random.uniform(ks, (), minval=0.3, maxval=1.5),
+                speed)
         until_turn = jnp.where(
             turn,
             TURN_INTERVAL * jax.random.uniform(kt, (), minval=0.6,
@@ -211,20 +238,21 @@ def simulate_trace(
             until_turn,
         )
         d = jnp.stack([jnp.cos(new_ang), jnp.sin(new_ang)])
-        cand = pos + WALK_SPEED * dt * d
-        hit, n = _collide(cand, boxes, valid)
+        cand = pos + speed * dt * d
+        hit, n = _collide(cand, boxes, valid, radius)
         refl = d - 2.0 * jnp.dot(d, n) * n
         new_ang = jnp.where(hit, jnp.arctan2(refl[1], refl[0]), new_ang)
         # on hit: hold position, but if the CURRENT position is itself inside
         # a box (spawned overlapping), step out along the collision normal so
         # the walker can never get stuck
-        stuck, n0 = _collide(pos, boxes, valid)
-        escape = pos + WALK_SPEED * dt * n0
+        stuck, n0 = _collide(pos, boxes, valid, radius)
+        escape = pos + speed * dt * n0
         new_pos = jnp.where(hit, jnp.where(stuck, escape, pos), cand)
-        return (new_pos, new_ang, until_turn - dt), new_pos
+        return (new_pos, new_ang, until_turn - dt, speed), new_pos
 
     skeys = jax.random.split(kscan, num_steps)
-    _, path = jax.lax.scan(step, (pos0, ang0, jnp.float32(0.0)), skeys)
+    _, path = jax.lax.scan(
+        step, (pos0, ang0, jnp.float32(0.0), speed0), skeys)
 
     t = jnp.arange(num_steps, dtype=jnp.float32) * dt
     # human head height bobs slightly; the Unity agent records a constant y
