@@ -39,6 +39,9 @@ TURN_INTERVAL = 5.0         # s between random heading changes (RandomMovement.c
 WALL_THICKNESS = 0.125
 AGENT_Y = -0.46             # the Unity agent records a constant head height
                             # (visualization/plot_agent_vs_human.py:277-282)
+FLOOR_Y = -0.5              # the real room's floor: its LOW boxes span
+                            # [-0.5, ...] and human head height is ~0.8
+                            # (dataset/train/colliders.json)
 
 
 def sample_room(
@@ -64,7 +67,7 @@ def sample_room(
 
     # 4 walls: +x, -x, +z, -z
     half_w, half_d = width / 2, depth / 2
-    cy = wall_h / 2 - 1.0  # room floor sits below y=0 like the real dataset
+    cy = wall_h / 2 + FLOOR_Y  # boxes stand on the real-data floor level
     walls = jnp.stack([
         jnp.stack([half_w, cy, 0.0, WALL_THICKNESS, wall_h, depth]),
         jnp.stack([-half_w, cy, 0.0, WALL_THICKNESS, wall_h, depth]),
@@ -121,7 +124,7 @@ def sample_room(
         covers_spawn = (jnp.abs(px) < fx / 2 + AGENT_RADIUS + 0.1) & (
             jnp.abs(pz) < fz / 2 + AGENT_RADIUS + 0.1)
         ok = fits & ~covers_spawn
-        box = jnp.stack([px, h / 2 - 1.0, pz, fx, h, fz])
+        box = jnp.stack([px, h / 2 + FLOOR_Y, pz, fx, h, fz])
         return box, cls, ok
 
     fboxes, fcls, f_ok = jax.vmap(candidate)(
