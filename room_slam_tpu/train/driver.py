@@ -46,20 +46,29 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
     """
     from room_slam_tpu.data import synthetic
 
+    # sampling rates of the real captures: the ARKit human stream runs
+    # ~37 Hz (dataset/val: 3587 points over ~97 s); the Unity agent records
+    # per frame, downsampled here to 30 Hz
+    HUMAN_HZ, AGENT_HZ = 37.0, 30.0
+
     def gen(key, n):
         if mode == "mixed":
             k1, k2 = jax.random.split(key)
             a = synthetic.generate_rooms_and_traces(
                 k1, n // 2, cfg.data.max_trace_len,
-                max_colliders=cfg.data.max_colliders, human=False)
+                max_colliders=cfg.data.max_colliders, hz=AGENT_HZ,
+                human=False)
             b = synthetic.generate_rooms_and_traces(
                 k2, n - n // 2, cfg.data.max_trace_len,
-                max_colliders=cfg.data.max_colliders, human=True)
+                max_colliders=cfg.data.max_colliders, hz=HUMAN_HZ,
+                human=True)
             return {k: np.concatenate(
                 [np.asarray(a[k]), np.asarray(b[k])]) for k in a}
+        human = mode == "human"
         return jax.device_get(synthetic.generate_rooms_and_traces(
             key, n, cfg.data.max_trace_len,
-            max_colliders=cfg.data.max_colliders, human=(mode == "human")))
+            max_colliders=cfg.data.max_colliders,
+            hz=HUMAN_HZ if human else AGENT_HZ, human=human))
 
     n_val = max(n_rooms // 8, 4)
     train = gen(jax.random.key(seed), n_rooms)
