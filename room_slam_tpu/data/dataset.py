@@ -116,6 +116,14 @@ class TraceColliderArrays:
     def __len__(self) -> int:
         return self.num_samples
 
+    @property
+    def max_valid(self) -> int:
+        """Largest number of valid GT colliders in any sample. Training
+        configs must keep this <= model.num_queries: the fast Hungarian
+        matcher silently truncates to the first Q valid columns beyond that
+        (ops/hungarian.py caveat)."""
+        return int(self.valid.sum(axis=1).max()) if len(self.valid) else 0
+
     def sample_spec(self, i: int) -> Tuple[int, int]:
         """Map an expanded index to (base_pair_index, rotation_k)."""
         n_rot = len(self.rotation_angles)

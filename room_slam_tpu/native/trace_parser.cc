@@ -23,6 +23,9 @@ namespace {
 struct Fields {
   double x = 0, y = 0, z = 0, t = 0;
   bool has_x = false, has_y = false, has_z = false, has_t = false;
+  // only objects that are array ELEMENTS qualify as trace rows; a metadata
+  // object that happens to carry x/y/z/timestamp keys must not inject rows
+  bool in_array = false;
   void reset() { has_x = has_y = has_z = has_t = false; x = y = z = t = 0; }
   bool complete() const { return has_x && has_y && has_z && has_t; }
 };
@@ -77,6 +80,10 @@ long parse_trace_file(const char* path, float** out) {
   // stack of field accumulators per object depth
   std::vector<Fields> stack;
   stack.reserve(8);
+  // container nesting ('[' or '{') so we know whether an object is an
+  // array element (a candidate trace row) or an object member (metadata)
+  std::vector<char> containers;
+  containers.reserve(8);
   char key[32];
   bool have_key = false;
   char cur_key[32] = {0};
@@ -87,12 +94,18 @@ long parse_trace_file(const char* path, float** out) {
     char c = *p;
     if (c == '{') {
       stack.emplace_back();
+      stack.back().in_array =
+          !containers.empty() && containers.back() == '[';
+      containers.push_back('{');
       have_key = false;
       ++p;
     } else if (c == '}') {
-      if (stack.empty()) return -2;
+      if (stack.empty() || containers.empty() || containers.back() != '{')
+        return -2;
+      containers.pop_back();
       Fields& fl = stack.back();
       if (fl.complete()) {
+        if (!fl.in_array) return -2;  // x/y/z/t object outside an array
         rows.push_back(static_cast<float>(fl.x));
         rows.push_back(static_cast<float>(fl.y));
         rows.push_back(static_cast<float>(fl.z));
@@ -128,7 +141,15 @@ long parse_trace_file(const char* path, float** out) {
         }
       }
       have_key = false;
-    } else if (c == '[' || c == ']' || c == ',' || c == ':') {
+    } else if (c == '[') {
+      containers.push_back('[');
+      have_key = false;
+      ++p;
+    } else if (c == ']') {
+      if (containers.empty() || containers.back() != '[') return -2;
+      containers.pop_back();
+      ++p;
+    } else if (c == ',' || c == ':') {
       ++p;
     } else if (!std::strncmp(p, "true", 4)) {
       p += 4;
@@ -143,7 +164,7 @@ long parse_trace_file(const char* path, float** out) {
       return -2;
     }
   }
-  if (!stack.empty()) return -2;
+  if (!stack.empty() || !containers.empty()) return -2;
 
   long n = static_cast<long>(rows.size() / 4);
   *out = static_cast<float*>(std::malloc(rows.size() * sizeof(float)));

@@ -28,8 +28,11 @@ def save_checkpoint(
     val_loss: float = float("nan"),
     metrics: Optional[Dict] = None,
     config: Optional[ExperimentConfig] = None,
+    extra: Optional[Dict] = None,
 ) -> None:
-    """Write ``<path>.msgpack`` (params [+ opt_state]) and ``<path>.json``."""
+    """Write ``<path>.msgpack`` (params [+ opt_state]) and ``<path>.json``.
+    ``extra`` merges additional JSON-serializable state (e.g. the LR
+    scheduler) into the sidecar."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tree: Dict[str, Any] = {"params": jax.device_get(params)}
@@ -43,6 +46,7 @@ def save_checkpoint(
         "val_loss": float(val_loss),
         "metrics": metrics or {},
         "has_opt_state": opt_state is not None,
+        **(extra or {}),
     }
     if config is not None:
         side["config"] = config.to_dict()

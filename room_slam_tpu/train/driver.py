@@ -36,6 +36,24 @@ def _device_batch(batch: Dict[str, np.ndarray], mesh=None):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def _check_query_capacity(cfg: ExperimentConfig, *datasets) -> None:
+    """The fast Hungarian matcher wired into the loss keeps only the FIRST
+    Q valid GT columns when a sample has more valid colliders than query
+    slots (ops/hungarian.py). All shipped configs satisfy num_valid <= Q;
+    warn loudly if a future config silently activates the truncation."""
+    import warnings
+
+    mv = max((ds.max_valid for ds in datasets if ds is not None), default=0)
+    if mv > cfg.model.num_queries:
+        warnings.warn(
+            f"dataset has samples with {mv} valid colliders but the model "
+            f"only has num_queries={cfg.model.num_queries}; the matcher "
+            f"will truncate to the first {cfg.model.num_queries} valid GT "
+            "boxes per sample (excess GT count as FN). Raise "
+            "model.num_queries to cover max_valid.",
+            stacklevel=3)
+
+
 def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
                             seed: int = 0, mode: str = "agent"):
     """On-device synthetic train/val datasets (val = n_rooms // 8 + 1 extra
@@ -113,6 +131,7 @@ def train_benchmark_fused(
     n_params = count_parameters(params)
     if verbose:
         print(f"Model parameters: {n_params:,}")
+    _check_query_capacity(cfg, train_ds, val_ds)
 
     from room_slam_tpu.train.loop import fused_run_init
 
@@ -249,6 +268,7 @@ def train_benchmark(
     n_params = count_parameters(params)
     if verbose:
         print(f"Model parameters: {n_params:,}")
+    _check_query_capacity(cfg, train_ds, val_ds)
 
     tx = make_optimizer(cfg)
     state = TrainState(params, tx.init(params), jnp.asarray(0))
@@ -279,14 +299,31 @@ def train_benchmark(
     last_ckpt: Optional[Path] = None
 
     if resume:
+        import math
+
         params_r, opt_r, side = ckpt_lib.load_checkpoint(
             resume, state.params, state.opt_state)
         state = TrainState(params_r, opt_r or state.opt_state,
                            jnp.asarray(0))
         start_epoch = int(side.get("epoch", -1)) + 1
-        best_val = side.get("val_loss", best_val)
+        # periodic checkpoints are saved without val_loss (sidecar NaN);
+        # a NaN best_val would make 'val_loss < best_val' always False and
+        # best-model saving dead for the whole resumed run
+        bv = side.get("val_loss")
+        if isinstance(bv, (int, float)) and math.isfinite(bv):
+            best_val = float(bv)
+        # restore the plateau scheduler (lr/best/num_bad/cooldown) so the
+        # first sched.step() doesn't overwrite a decayed LR with cfg lr
+        if isinstance(side.get("sched"), dict):
+            sched.load_state_dict(side["sched"])
+        elif opt_r is not None:
+            sched.lr = get_learning_rate(state.opt_state)
+        if cfg.train.lr_schedule != "cosine":
+            state = state._replace(
+                opt_state=set_learning_rate(state.opt_state, sched.lr))
         if verbose:
-            print(f"Resumed from {resume} at epoch {start_epoch}")
+            print(f"Resumed from {resume} at epoch {start_epoch} "
+                  f"(best_val={best_val:.4f}, lr={sched.lr:.6f})")
 
     # dataset arrays live on device for the whole run; epochs only ship
     # small index plans (device-resident data path, SURVEY.md section 7)
@@ -380,7 +417,7 @@ def train_benchmark(
                 ckpt_lib.save_checkpoint(
                     save_dir / "best_model", state.params, state.opt_state,
                     epoch=epoch, val_loss=val_loss, metrics=metrics,
-                    config=cfg)
+                    config=cfg, extra={"sched": sched.state_dict()})
                 if verbose:
                     print(f"✓ Saved BEST model (val_loss={best_val:.4f})")
         elif verbose:
@@ -390,7 +427,7 @@ def train_benchmark(
             last_ckpt = save_dir / f"checkpoint_epoch_{epoch}"
             ckpt_lib.save_checkpoint(
                 last_ckpt, state.params, state.opt_state, epoch=epoch,
-                config=cfg)
+                config=cfg, extra={"sched": sched.state_dict()})
         epoch += 1
 
     wall = time.time() - t0

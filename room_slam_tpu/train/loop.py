@@ -88,19 +88,32 @@ class PlateauScheduler:
         self.cooldown_counter = 0
 
     def step(self, value: float) -> float:
+        # torch order (lr_scheduler.ReduceLROnPlateau.step): count the bad
+        # epoch first, then — if in cooldown — decrement the counter every
+        # step and suppress num_bad, regardless of improvement.
         if value < self.best * (1.0 - self.threshold):
             self.best = value
             self.num_bad = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.num_bad = 0
         else:
             self.num_bad += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
         if self.num_bad > self.patience:
             self.lr = max(self.lr * self.factor, self.min_lr)
             self.cooldown_counter = self.cooldown
             self.num_bad = 0
         return self.lr
+
+    def state_dict(self) -> Dict[str, float]:
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad,
+                "cooldown_counter": self.cooldown_counter}
+
+    def load_state_dict(self, state: Dict[str, float]) -> None:
+        self.lr = float(state["lr"])
+        self.best = float(state["best"])
+        self.num_bad = int(state["num_bad"])
+        self.cooldown_counter = int(state["cooldown_counter"])
 
 
 def batch_to_sample(batch: Dict[str, jnp.ndarray]) -> Sample:
@@ -255,10 +268,13 @@ def sched_update(s: SchedState, value: jnp.ndarray,
     t = cfg.train
     min_lr = t.lr * t.plateau_min_scale
     improved = value < s.best * (1.0 - 1e-3)
-    in_cooldown = (~improved) & (s.cooldown > 0)
     best = jnp.where(improved, value, s.best)
-    num_bad = jnp.where(improved | in_cooldown, 0, s.num_bad + 1)
+    num_bad = jnp.where(improved, 0, s.num_bad + 1)
+    # torch semantics: while in cooldown, decrement every step and zero
+    # num_bad regardless of improvement
+    in_cooldown = s.cooldown > 0
     cooldown = jnp.where(in_cooldown, s.cooldown - 1, s.cooldown)
+    num_bad = jnp.where(in_cooldown, 0, num_bad)
     decay = num_bad > t.plateau_patience
     lr = jnp.where(decay, jnp.maximum(s.lr * t.plateau_factor, min_lr), s.lr)
     cooldown = jnp.where(decay, t.plateau_cooldown, cooldown)

@@ -141,7 +141,9 @@ def average_precision_3d(
         tp = np.zeros(pb.shape[0])
         fp = np.zeros(pb.shape[0])
         for i in range(pb.shape[0]):
-            j = int(np.argmax(iou[i] * ~taken))
+            # VOC assignment: best GT overall; FP if it's already taken
+            # (crediting via a second-best GT would inflate AP)
+            j = int(np.argmax(iou[i]))
             if iou[i, j] >= iou_thresh and not taken[j]:
                 taken[j] = True
                 tp[i] = 1
@@ -199,7 +201,8 @@ def average_precision_rotated_2d(
         tp = np.zeros(pb.shape[0])
         fp = np.zeros(pb.shape[0])
         for i in range(pb.shape[0]):
-            j = int(np.argmax(iou[i] * ~taken))
+            # VOC assignment (see average_precision_3d)
+            j = int(np.argmax(iou[i]))
             if iou[i, j] >= iou_thresh and not taken[j]:
                 taken[j] = True
                 tp[i] = 1

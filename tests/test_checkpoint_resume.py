@@ -53,6 +53,20 @@ def test_resume_continues_training(tmp_path):
     assert len(r2["history"]) == 2
     assert r2["history"][0]["epoch"] == 10
     assert np.isfinite(r2["history"][-1]["val_loss"])
+    # periodic checkpoints carry no val_loss (sidecar NaN); resuming from
+    # one must NOT poison best_val — a best model must still be saved and
+    # the returned best_val_loss must be finite
+    assert np.isfinite(r2["best_val_loss"])
+    best2 = tmp_path / "b" / "best_model"
+    assert best2.with_suffix(".msgpack").exists()
+    import json
+    side = json.loads(best2.with_suffix(".json").read_text())
+    assert np.isfinite(side["val_loss"])
+    # the plateau scheduler state was persisted and restored: the sidecar of
+    # the periodic checkpoint carries it
+    side9 = json.loads(resume_from.with_suffix(".json").read_text())
+    assert set(side9["sched"]) == {"lr", "best", "num_bad",
+                                   "cooldown_counter"}
 
 
 def test_orbax_backend_roundtrip(tmp_path):

@@ -98,6 +98,20 @@ def test_native_parser_parity(tmp_path):
     p3.write_text("{unclosed")
     assert trace_parser.parse_trace_file(str(p3)) is None
 
+    # a metadata OBJECT carrying x/y/z/timestamp keys must not inject a
+    # phantom row: rows are only accepted from array elements, anything
+    # else is a parse anomaly (None -> python fallback)
+    p4 = tmp_path / "meta.json"
+    p4.write_text(json.dumps(
+        {"origin": {"x": 9.0, "y": 9.0, "z": 9.0, "timestamp": 0.0},
+         "traces": rows}))
+    assert trace_parser.parse_trace_file(str(p4)) is None
+
+    # mismatched brackets are an anomaly too
+    p5 = tmp_path / "mismatch.json"
+    p5.write_text('[{"x": 1, "y": 2, "z": 3, "timestamp": 0}}')
+    assert trace_parser.parse_trace_file(str(p5)) is None
+
 
 def test_load_trace_json_uses_native_or_python(tmp_path):
     """formats.load_trace_json must give identical results either way."""

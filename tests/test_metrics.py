@@ -141,6 +141,27 @@ def test_map_perfect_and_wrong(rng):
     assert mAP0 == 0.0
 
 
+def test_map_voc_assignment_no_second_best_credit():
+    """A prediction whose best-overlapping GT is already taken is an FP
+    (VOC semantics) — it must NOT be credited via a second-best GT."""
+    size = np.array([1.0, 1.0, 1.0], np.float32)
+    gt = np.stack([np.r_[0.0, 0.0, 0.0, size],
+                   np.r_[0.8, 0.0, 0.0, size]]).astype(np.float32)
+    preds = np.stack([
+        gt[0],                                  # score .9: exact hit on A
+        np.r_[0.3, 0.0, 0.0, size],             # score .8: A=.538, B=.333
+        gt[1],                                  # score .7: exact hit on B
+    ]).astype(np.float32)
+    labels = np.zeros(3, np.int64)
+    img = np.zeros(3, np.int64)
+    mAP, _ = average_precision_3d(
+        preds, labels, np.array([0.9, 0.8, 0.7]), img,
+        gt, labels[:2], img[:2], iou_thresh=0.25)
+    # tp sequence [1, 0, 1] over npos=2 -> 101-pt AP = (51 + 50*2/3) / 101
+    expect = (51 + 50 * (2 / 3)) / 101
+    assert abs(mAP - expect) < 1e-6, mAP
+
+
 def test_legacy_model_and_criterion(rng):
     from room_slam_tpu.models.legacy_gru import RoomSlamGRU
     from room_slam_tpu.ops.losses import legacy_criterion

@@ -110,6 +110,61 @@ def test_plateau_scheduler_matches_torch_semantics():
     assert lrs[-1] == 0.5
 
 
+def test_plateau_scheduler_golden_vs_torch():
+    """Golden: PlateauScheduler and the on-device sched_update both track
+    torch.optim.lr_scheduler.ReduceLROnPlateau step for step (incl. the
+    cooldown-decrements-every-step semantics) on a mixed value sequence."""
+    torch = __import__("pytest").importorskip("torch")
+
+    from room_slam_tpu.train.loop import sched_init, sched_update
+
+    cfg = _tiny_config()
+    cfg.train.lr = 1.0
+    cfg.train.plateau_factor = 0.5
+    cfg.train.plateau_patience = 2
+    cfg.train.plateau_cooldown = 1
+    cfg.train.plateau_min_scale = 0.01
+
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=2, threshold=1e-3,
+        cooldown=1, min_lr=0.01)
+    ours = PlateauScheduler(lr=1.0, factor=0.5, patience=2, threshold=1e-3,
+                            cooldown=1, min_lr=0.01)
+    dev = sched_init(cfg)
+
+    # improvements sprinkled between plateaus so cooldown overlaps both
+    values = [10.0, 9.0, 9.0, 9.0, 9.0, 8.5, 9.0, 9.0, 9.0, 9.0, 9.0,
+              9.0, 9.0, 7.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0]
+    for v in values:
+        ref.step(v)
+        torch_lr = opt.param_groups[0]["lr"]
+        assert ours.step(v) == torch_lr, v
+        dev = sched_update(dev, jnp.asarray(v), cfg)
+        assert float(dev.lr) == torch_lr, v
+
+
+def test_query_capacity_guard_warns():
+    """num_valid > num_queries must not pass silently (the fast matcher
+    truncates to the first Q valid GT columns)."""
+    import warnings
+
+    import pytest
+
+    from room_slam_tpu.train.driver import _check_query_capacity
+
+    class DS:
+        def __init__(self, mv):
+            self.max_valid = mv
+
+    cfg = _tiny_config()  # num_queries=10
+    with pytest.warns(UserWarning, match="num_queries"):
+        _check_query_capacity(cfg, DS(11), None)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _check_query_capacity(cfg, DS(10), DS(3))
+
+
 def test_multidevice_data_parallel_step():
     """The train step under a 'data'-sharded batch on the virtual 8-CPU mesh
     (the dryrun_multichip path)."""
@@ -130,3 +185,44 @@ def test_multidevice_data_parallel_step():
     batch = mesh_lib.shard_batch(batch, mesh)
     state, losses = step(state, batch, jax.random.key(0))
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_multidevice_tensor_parallel_step():
+    """Transformer train step on a (4, 2) data x model mesh with the TP
+    partition rules active: loss is finite and at least one parameter is
+    actually sharded over 'model' (guards the only non-DP parallel path)."""
+    from room_slam_tpu.parallel import mesh as mesh_lib
+
+    assert jax.device_count() >= 8
+    cfg = _tiny_config()
+    cfg.model = ModelConfig(model_type="transformer", d_model=32, nhead=2,
+                            enc_layers=1, dec_layers=1, num_queries=10,
+                            dim_feedforward=64, dropout=0.0,
+                            use_pallas_rnn=False)
+    cfg.train.batch_size = 8
+    mesh = mesh_lib.make_mesh((4, 2))
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    params = mesh_lib.shard_params(params, mesh, tensor_parallel=True)
+
+    def sharded_over_model(leaf):
+        s = getattr(leaf, "sharding", None)
+        return s is not None and any(
+            "model" in (axis if isinstance(axis, tuple) else (axis,))
+            for axis in (s.spec or ()) if axis is not None)
+
+    n_sharded = sum(sharded_over_model(leaf)
+                    for leaf in jax.tree_util.tree_leaves(params))
+    assert n_sharded > 0, "no parameter is sharded over the 'model' axis"
+
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    step = make_train_step(model, tx, cfg, augment=True)
+    batch = jax.device_get(_synthetic_batch(cfg, batch=8))
+    batch = mesh_lib.shard_batch(batch, mesh)
+    state, losses = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(losses["total_loss"]))
+    # params keep their 'model' sharding through the update
+    n_after = sum(sharded_over_model(leaf)
+                  for leaf in jax.tree_util.tree_leaves(state.params))
+    assert n_after == n_sharded
