@@ -22,13 +22,40 @@ from room_slam_tpu.ops.nms import post_process
 from room_slam_tpu.train.driver import load_model_for_inference
 
 
+def model_input_dim(params, default: int = 11) -> int:
+    """Expected encoder input width, read from the checkpoint's input_proj
+    kernel — the source of truth even when the saved config disagrees
+    (ref: inference.py:242-252 reads encoder.input_proj.in_features)."""
+    import jax
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if ("input_proj" in keys and keys[-1] == "kernel"
+                and getattr(leaf, "ndim", 0) == 2):
+            return int(leaf.shape[0])
+    return default
+
+
+def adapt_features(feats: np.ndarray, in_feat: int) -> np.ndarray:
+    """Truncate/zero-pad the trailing feature dim to the model's expected
+    width, so an odd checkpoint (e.g. trained on raw 4-D [x,y,z,t]) still
+    runs (ref: inference.py:242-258)."""
+    cur = feats.shape[-1]
+    if cur == in_feat:
+        return feats
+    if cur > in_feat:
+        return feats[..., :in_feat]
+    pad = np.zeros((*feats.shape[:-1], in_feat - cur), feats.dtype)
+    return np.concatenate([feats, pad], axis=-1)
+
+
 def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             confidence_threshold: float = 0.7, nms_threshold: float = 0.3):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275).
 
     The forward + NMS run as ONE jitted dispatch at the fixed shape
-    [1, max_trace_len, 11] (zero-padded + masked), so repeated calls reuse
+    [1, max_trace_len, F] (zero-padded + masked), so repeated calls reuse
     the compiled program regardless of trace length."""
     import jax
 
@@ -40,15 +67,26 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         print(f"Downsampling traces from {arr.shape[0]} to "
               f"{max_trace_len} points")
     feats = process_traces_np(arr, max_len=max_trace_len)  # [n, 11]
+    in_feat = model_input_dim(params, default=feats.shape[-1])
+    if in_feat != feats.shape[-1]:
+        print(f"Adapting features from {feats.shape[-1]} to {in_feat} dims "
+              "to match the checkpoint")
+        feats = adapt_features(feats, in_feat)
     n = feats.shape[0]
-    padded = np.zeros((1, max_trace_len, 11), np.float32)
+    padded = np.zeros((1, max_trace_len, in_feat), np.float32)
     padded[0, :n] = feats
     mask = np.zeros((1, max_trace_len), bool)
     mask[0, :n] = True
 
     @jax.jit
     def run(params, traces, mask):
-        out = model.apply(params, traces, mask, deterministic=True)
+        # mask-less fallback for models whose __call__ doesn't take a mask
+        # (ref: inference.py:261-265 TypeError fallback); the TypeError
+        # surfaces at trace time, so plain try/except works under jit
+        try:
+            out = model.apply(params, traces, mask, deterministic=True)
+        except TypeError:
+            out = model.apply(params, traces, deterministic=True)
         keep, labels, conf = post_process(
             out["pred_boxes"][0], out["pred_classes"][0],
             confidence_threshold=confidence_threshold,

@@ -15,7 +15,10 @@ Semantics (each cites the reference):
 - random isotropic scale 0.8-1.2 applied to coords and boxes (dataloader.py:265-294)
 - sequence reversal p=0.5 (dataloader.py:357-360) is *inert* in the reference:
   each point keeps its own timestamp and featurization re-sorts by time
-  (dataloader.py:433-435), exactly restoring the original order. Not replicated.
+  (dataloader.py:433-435), exactly restoring the original order. Not
+  replicated; locked by a golden test running the reference's own
+  featurization on reversed input
+  (tests/test_augment.py::test_reversal_is_inert_through_reference_featurization).
 - gaussian position noise p=0.8, sigma=(0.02, 0.01, 0.02) (dataloader.py:362-367)
 - subsequence crop p=0.5 keeping [start, end) with start < 0.2*len,
   end >= 0.8*len, only when len > 100 (dataloader.py:369-373)
@@ -24,7 +27,9 @@ Semantics (each cites the reference):
   where a continuous warp needs ``k*t_max*s1`` (dataloader.py:385), which
   makes warped time non-monotone and — after the re-sort in featurization —
   interleaves the two halves of the trace. We use the continuous (monotone)
-  formula; the knee/scale distributions are identical.
+  formula; the knee/scale distributions are identical, and the formulas
+  coincide exactly at t_max=1 (locked by
+  tests/test_augment.py::test_time_warp_matches_reference_where_monotone).
 - collider dropout: gate p=0.5, per-collider drop 0.2, walls (BLOCK with
   size.x or size.z > 5 m) never dropped, never drop everything
   (dataloader.py:296-312, 390-392)

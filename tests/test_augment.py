@@ -1,12 +1,18 @@
 """Augmentation semantics (mirrors the reference's numeric rotation check,
-test_augmentation.py:126-150, plus invariants for the other transforms)."""
+test_augmentation.py:126-150, plus invariants for the other transforms, plus
+golden tests locking our two documented deviations — reversal omission and
+the monotone time-warp — against the reference's actual code)."""
+
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from room_slam_tpu.config import DataConfig
-from room_slam_tpu.data.augment import Sample, augment_sample, rotate_sample
+from room_slam_tpu.data.augment import (Sample, augment_sample, draw_rands,
+                                        apply_augment, rotate_sample)
+from tests.conftest import REFERENCE, requires_reference
 
 
 def _sample(rng, L=128, M=8, n=100):
@@ -108,6 +114,88 @@ def test_time_warp_monotone(rng):
     # positions untouched by the warp
     np.testing.assert_allclose(
         np.asarray(out.raw[:, :3]), np.asarray(s.raw[:, :3]))
+
+
+@requires_reference
+def test_reversal_is_inert_through_reference_featurization(rng):
+    """Locks deviation 1 (augment.py header): the reference's sequence
+    reversal (dataloader.py:357-360) keeps each point's own timestamp, and
+    its featurization re-sorts by timestamp (dataloader.py:433-435), so
+    reversal + featurization is an IDENTITY — which is why we omit it."""
+    sys.path.insert(0, f"{REFERENCE}/src/benchmark")
+    import importlib
+
+    ref_dl = importlib.import_module("dataloader")
+
+    traces = [{"timestamp": float(t), "x": float(x), "y": float(y),
+               "z": float(z)}
+              for t, x, y, z in zip(
+                  np.sort(rng.uniform(0, 60, 300)),
+                  rng.normal(size=300), rng.normal(size=300),
+                  rng.normal(size=300))]
+
+    class Stub:
+        max_trace_len = 3000
+
+    fwd = ref_dl.TraceColliderDataset._process_traces(Stub(), traces)
+    rev = ref_dl.TraceColliderDataset._process_traces(
+        Stub(), list(reversed(traces)))
+    np.testing.assert_array_equal(np.asarray(fwd), np.asarray(rev))
+
+
+def test_time_warp_matches_reference_where_monotone(rng):
+    """Locks deviation 2: our warp uses the continuous knee ``k*t_max*s1``
+    where the reference's second segment uses ``k*s1`` (dataloader.py:385).
+    The two formulas coincide exactly when t_max == 1; and where they
+    diverge, the reference's warped time is non-monotone (so featurization's
+    re-sort interleaves the trace halves) while ours stays monotone."""
+    cfg = DataConfig(
+        augment_rotation=False, augment_translation=False,
+        augment_scale=False, augment_collider_dropout=False,
+        noise_prob=0.0, crop_prob=0.0, time_warp_prob=1.0,
+    )
+
+    def ref_warp(t, k, s1, s2):
+        # the reference's formula, dataloader.py:375-388 semantics
+        t = np.asarray(t, np.float32) - t.min()
+        t_max = t.max() + 1e-6
+        m = t / t_max < k
+        out = t.copy()
+        out[m] *= s1
+        out[~m] = k * s1 + (t[~m] - k * t_max) * s2
+        return out
+
+    def our_warp(t, k, s1, s2, L=128):
+        n = t.shape[0]
+        raw = np.zeros((L, 4), np.float32)
+        raw[:n, 3] = t
+        s = Sample(raw=jnp.asarray(raw), length=jnp.asarray(n, jnp.int32),
+                   boxes=jnp.zeros((4, 6)), labels=jnp.zeros(4, jnp.int32),
+                   valid=jnp.ones(4, bool))
+        r = draw_rands(jax.random.key(0), 1, L, 4, cfg)
+        r = jax.tree_util.tree_map(lambda x: x[0], r)
+        r = r._replace(warp_gate=jnp.asarray(0.0),
+                       warp_k=jnp.asarray(k, jnp.float32),
+                       warp_s1=jnp.asarray(s1, jnp.float32),
+                       warp_s2=jnp.asarray(s2, jnp.float32))
+        out = apply_augment(s, jnp.asarray(0), r, cfg)
+        return np.asarray(out.raw[:n, 3])
+
+    for seed in range(5):
+        r2 = np.random.default_rng(seed)
+        k = r2.uniform(0.4, 0.6)
+        s1, s2 = r2.uniform(0.5, 1.5, 2)
+        # t_max == 1: formulas agree
+        t1 = np.sort(r2.uniform(0, 1, 100)).astype(np.float32)
+        t1[0], t1[-1] = 0.0, 1.0
+        np.testing.assert_allclose(
+            our_warp(t1, k, s1, s2), ref_warp(t1, k, s1, s2), atol=1e-4)
+        # t_max >> 1: reference warp jumps DOWN at the knee (non-monotone),
+        # ours is monotone with the same knee/scale distribution
+        t10 = np.sort(r2.uniform(0, 10, 100)).astype(np.float32)
+        t10[0], t10[-1] = 0.0, 10.0
+        assert np.min(np.diff(ref_warp(t10, k, s1, s2))) < -1.0
+        assert np.min(np.diff(our_warp(t10, k, s1, s2))) >= -1e-6
 
 
 def test_collider_dropout_keeps_walls(rng):
