@@ -5,14 +5,18 @@ Measures end-to-end training throughput (traces/sec/chip) of the flagship
 BiLSTM DETR model at the BASELINE.json shape — seq=500, batch=32, d=128,
 Q=30 — through the FULL jitted train step (on-device augmentation +
 featurization + forward + Hungarian matching + CE/L1/GIoU loss + backward +
-clip + AdamW), plus inference throughput as a secondary number.
+clip + AdamW), plus inference throughput, model FLOPs / MFU, and the
+scale-up (seq=5000, d=512 BiGRU) and synthetic-datagen sub-benchmarks.
 
 Baseline: the PyTorch-CPU reference measured by the same protocol
 (train step incl. scipy Hungarian + backward + AdamW); see
 BASELINE_MEASURED.json. North star (BASELINE.json): >= 10x.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "mfu": ..., "achieved_tflops": ..., "scaleup": {...}, "datagen": {...}}
+
+``--scaleup`` / ``--datagen`` run just that sub-benchmark (its own line).
 """
 
 from __future__ import annotations
@@ -26,9 +30,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    import argparse
+def _peak_flops_per_sec():
+    """bf16 matmul peak of the attached chip (MFU denominator), or None on
+    platforms we don't recognize (e.g. the CPU test mesh)."""
+    d = jax.devices()[0]
+    kind = str(getattr(d, "device_kind", "")).lower()
+    table = {
+        "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
+        "v5p": 459e12, "v4": 275e12, "v6e": 918e12, "trillium": 918e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return None
 
+
+def _step_flops(jitted, *args):
+    """FLOPs of one execution of a jitted fn, from XLA's own cost analysis
+    of the compiled (fused) HLO — covers encoder recurrence, attention,
+    heads, matching, and the backward pass without hand-derived formulas."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else None
+        if c and c.get("flops", 0) > 0:
+            return float(c["flops"])
+    except Exception:  # noqa: BLE001  (backend without cost analysis)
+        pass
+    return None
+
+
+def _mfu_fields(flops_per_step, steps, wall_s):
+    if not flops_per_step:
+        return {"achieved_tflops": None, "mfu": None}
+    achieved = flops_per_step * steps / wall_s
+    peak = _peak_flops_per_sec()
+    return {
+        "flops_per_step": round(flops_per_step / 1e9, 3),  # GFLOP
+        "achieved_tflops": round(achieved / 1e12, 4),
+        "mfu": round(achieved / peak, 5) if peak else None,
+    }
+
+
+def bench_headline(profile=None):
     from room_slam_tpu.config import (DataConfig, ExperimentConfig,
                                       ModelConfig, TrainConfig)
     from room_slam_tpu.data.features import featurize
@@ -36,25 +80,6 @@ def main():
     from room_slam_tpu.train.loop import (TrainState, make_optimizer,
                                           make_train_step)
     from room_slam_tpu.utils.profiling import StepTimer, device_trace
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--profile", type=str, default=None,
-                    help="capture a jax.profiler trace to this directory "
-                         "(NOTE: tracing through the remote TPU tunnel slows "
-                         "steps ~80x — throughput printed under --profile is "
-                         "not representative)")
-    ap.add_argument("--scaleup", action="store_true",
-                    help="BASELINE config 4: seq=5000, d=512, max_objects=32 "
-                         "BiGRU train-step throughput")
-    ap.add_argument("--datagen", action="store_true",
-                    help="BASELINE config 5: synthetic datagen throughput "
-                         "(10k traces, chunked)")
-    args = ap.parse_args()
-
-    if args.scaleup:
-        return bench_scaleup()
-    if args.datagen:
-        return bench_datagen()
 
     # bf16 matmuls (f32 accumulate) — ~9% faster on v5e, loss-identical
     jax.config.update("jax_default_matmul_precision", "bfloat16")
@@ -89,6 +114,7 @@ def main():
     }
 
     key = jax.random.key(0)
+    flops = _step_flops(train_step, state, batch, key)
 
     # --- train throughput ---
     for i in range(5):  # warmup + compile
@@ -98,7 +124,7 @@ def main():
 
     n = 30
     timer = StepTimer(batch_size=B, skip=0)
-    with device_trace(args.profile):
+    with device_trace(profile):
         t0 = time.perf_counter()
         for i in range(n):
             with timer.step():
@@ -131,7 +157,7 @@ def main():
         base_train = b.get("torch_cpu_train_traces_per_sec", base_train)
         base_infer = b.get("torch_cpu_infer_traces_per_sec", base_infer)
 
-    print(json.dumps({
+    return {
         "metric": "train traces/sec/chip (seq=500, batch=32, BiLSTM-DETR, "
                   "full step incl. device augmentation + Hungarian)",
         "value": round(train_tps, 2),
@@ -139,20 +165,24 @@ def main():
         "vs_baseline": round(train_tps / base_train, 2),
         "infer_traces_per_sec": round(infer_tps, 2),
         "infer_vs_baseline": round(infer_tps / base_infer, 2),
+        **_mfu_fields(flops, n, train_dt),
         "platform": jax.devices()[0].platform,
         "loss_final": float(losses["total_loss"]),
-    }))
+    }
 
 
 def bench_scaleup():
     """Scale-up config (BASELINE.json config 4): seq=5000, hidden=512,
-    max_objects=32 BiGRU with the fused loss — train-step traces/sec."""
+    max_objects=32 BiGRU with the fused loss — train-step traces/sec.
+    This is the config where MFU is a meaningful target (d=512 matmuls)."""
     from room_slam_tpu.config import (DataConfig, ExperimentConfig,
                                       ModelConfig, TrainConfig)
     from room_slam_tpu.models.factory import build_model, count_parameters, \
         init_params
     from room_slam_tpu.train.loop import (TrainState, make_optimizer,
                                           make_train_step)
+
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
 
     B, L, M = 8, 5000, 32
     cfg = ExperimentConfig(
@@ -180,6 +210,7 @@ def bench_scaleup():
         "weight": jnp.ones((B,), jnp.float32),
     }
     key = jax.random.key(0)
+    flops = _step_flops(train_step, state, batch, key)
     for _ in range(3):
         key, sub = jax.random.split(key)
         state, losses = train_step(state, batch, sub)
@@ -191,16 +222,17 @@ def bench_scaleup():
         state, losses = train_step(state, batch, sub)
     jax.block_until_ready(losses["total_loss"])
     dt = time.perf_counter() - t0
-    print(json.dumps({
+    return {
         "metric": "scale-up train traces/sec/chip (seq=5000, d=512, "
                   "BiGRU, max_objects=32, batch=8)",
         "value": round(n * B / dt, 2),
         "unit": "traces/sec",
         "vs_baseline": None,
         "ms_per_step": round(dt / n * 1000, 1),
+        **_mfu_fields(flops, n, dt),
         "n_params": count_parameters(params),
         "platform": jax.devices()[0].platform,
-    }))
+    }
 
 
 def bench_datagen():
@@ -218,7 +250,7 @@ def bench_datagen():
         d = generate_rooms_and_traces(jax.random.fold_in(key, i), chunk, L)
     jax.block_until_ready(d["raw"])
     dt = time.perf_counter() - t0
-    print(json.dumps({
+    return {
         "metric": "synthetic datagen traces/sec/chip "
                   "(3000-step rooms incl. layout sampling + collision walk)",
         "value": round(total / dt, 2),
@@ -227,7 +259,61 @@ def bench_datagen():
         "total_traces": total,
         "wall_s": round(dt, 2),
         "platform": jax.devices()[0].platform,
-    }))
+    }
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", type=str, default=None,
+                    help="capture a jax.profiler trace to this directory "
+                         "(NOTE: tracing through the remote TPU tunnel slows "
+                         "steps ~80x — throughput printed under --profile is "
+                         "not representative)")
+    ap.add_argument("--scaleup", action="store_true",
+                    help="run ONLY the scale-up sub-benchmark")
+    ap.add_argument("--datagen", action="store_true",
+                    help="run ONLY the datagen sub-benchmark")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the scaleup/datagen sub-benchmarks")
+    args = ap.parse_args()
+
+    if args.scaleup:
+        print(json.dumps(bench_scaleup()))
+        return
+    if args.datagen:
+        print(json.dumps(bench_datagen()))
+        return
+
+    result = bench_headline(profile=args.profile)
+    if not args.headline_only:
+        # fold the sub-benchmarks into the one artifact the driver records.
+        # Each runs in its OWN process: through the axon tunnel a process
+        # that has already run a bench measures later benches ~2-5x slow
+        # (queue/buffer buildup), so in-process sequencing understates them.
+        import subprocess
+        import sys
+
+        sub_keys = ("value", "unit", "ms_per_step", "flops_per_step",
+                    "achieved_tflops", "mfu", "wall_s")
+
+        def run_sub(flag, name):
+            proc = subprocess.run(
+                [sys.executable, __file__, flag], capture_output=True,
+                text=True, timeout=900)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    sub = json.loads(line)
+                    result[name] = {k: sub[k] for k in sub_keys if k in sub}
+                    return
+                except json.JSONDecodeError:
+                    continue
+            result[name] = {"error": f"rc={proc.returncode}"}
+
+        run_sub("--scaleup", "scaleup")
+        run_sub("--datagen", "datagen")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
