@@ -42,44 +42,107 @@ AGENT_Y = -0.46             # the Unity agent records a constant head height
 FLOOR_Y = -0.5              # the real room's floor: its LOW boxes span
                             # [-0.5, ...] and human head height is ~0.8
                             # (dataset/train/colliders.json)
+N_WALL_SLOTS = 8            # box slots reserved for wall segments (4 used by
+                            # a plain rectangle, up to 8 by a 2-room layout)
+
+
+def _log_uniform(key, lo, hi):
+    return jnp.exp(jax.random.uniform(
+        key, (), minval=jnp.log(lo), maxval=jnp.log(hi)))
 
 
 def sample_room(
     key: jax.Array,
     max_colliders: int = 50,
     max_furniture: int = 8,
+    multi_room_prob: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Sample one room: 4 BLOCK walls + 2..max_furniture furniture boxes.
+    """Sample one room layout + furniture.
 
-    Returns (boxes [M, 6], labels [M], valid [M]) with M = max_colliders.
+    Layout: a rectangle (4 BLOCK walls), or — with ``multi_room_prob`` — an
+    L-shaped two-room layout: a main room plus an annex on the +x side
+    connected by a doorway (8 wall segments; training's 4x rotation
+    augmentation supplies side variety). Furniture shape priors are fit to
+    the REAL captured rooms (dataset/{train,val}/colliders.json): log-uniform
+    small LOW items, elongated MID tables, near-ceiling interior BLOCK
+    partitions; the real rooms contain no HIGH, so HIGH stays rare.
+
+    Returns (boxes [M, 6], labels [M], valid [M]) with M = max_colliders;
+    wall segments occupy slots [0, N_WALL_SLOTS), furniture the rest.
     """
-    kw, kh, kn, kf = jax.random.split(key, 4)
+    kw, kh, kn, kf, km = jax.random.split(key, 5)
     M = max_colliders
 
     width = jax.random.uniform(kw, (), minval=3.5, maxval=9.0)
     depth = jax.random.uniform(jax.random.fold_in(kw, 1), (), minval=3.5,
                                maxval=9.0)
-    wall_h = jax.random.uniform(kh, (), minval=2.6, maxval=3.7)
+    # real wall heights are 3.4-3.93 (dataset colliders); keep range wide
+    wall_h = jax.random.uniform(kh, (), minval=2.6, maxval=4.0)
+    wt = WALL_THICKNESS
 
     boxes = jnp.zeros((M, 6), dtype=jnp.float32)
     labels = jnp.full((M,), -1, dtype=jnp.int32)
     valid = jnp.zeros((M,), dtype=bool)
 
-    # 4 walls: +x, -x, +z, -z
     half_w, half_d = width / 2, depth / 2
     cy = wall_h / 2 + FLOOR_Y  # boxes stand on the real-data floor level
-    walls = jnp.stack([
-        jnp.stack([half_w, cy, 0.0, WALL_THICKNESS, wall_h, depth]),
-        jnp.stack([-half_w, cy, 0.0, WALL_THICKNESS, wall_h, depth]),
-        jnp.stack([0.0, cy, half_d, width, wall_h, WALL_THICKNESS]),
-        jnp.stack([0.0, cy, -half_d, width, wall_h, WALL_THICKNESS]),
-    ])
-    boxes = boxes.at[:4].set(walls)
-    labels = labels.at[:4].set(_BLOCK)
-    valid = valid.at[:4].set(True)
 
-    # furniture candidates, then sequential rejection so every kept box is
-    # separated from walls, other furniture, and the spawn point by a
+    # ----- annex (second room) on the +x side, doorway in the shared wall
+    multi = jax.random.uniform(km, ()) < multi_room_prob
+    kb1, kb2, kb3, kd1, kd2 = jax.random.split(jax.random.fold_in(km, 1), 5)
+    b_w = jax.random.uniform(kb1, (), minval=2.5, maxval=6.0)
+    b_d = jnp.minimum(jax.random.uniform(kb2, (), minval=2.5, maxval=7.0),
+                      depth - 0.6)
+    # annex z-extent strictly inside the main room's z-extent
+    zb_margin = half_d - b_d / 2 - 0.3
+    zb = jax.random.uniform(kb3, (), minval=-1.0, maxval=1.0) * \
+        jnp.maximum(zb_margin, 0.0)
+    # doorway: wide enough for the human walker's 0.7 m wall clearance
+    door_w = jax.random.uniform(kd1, (), minval=1.6, maxval=2.4)
+    door_w = jnp.minimum(door_w, b_d - 0.4)
+    zdoor_margin = b_d / 2 - door_w / 2 - 0.2
+    zdoor = zb + jax.random.uniform(kd2, (), minval=-1.0, maxval=1.0) * \
+        jnp.maximum(zdoor_margin, 0.0)
+
+    # wall segments (slot layout: 0-3 = main rect; 4-7 = annex + shared
+    # split, only valid for multi-room layouts)
+    # single-room: slot 0 is the full +x wall; multi-room: slots 6-7 are the
+    # shared-wall segments around the door and slot 0 is reused by the annex
+    door_lo, door_hi = zdoor - door_w / 2, zdoor + door_w / 2
+    seg1_len = jnp.maximum(door_lo + half_d, 0.0)        # [-half_d, door_lo]
+    seg2_len = jnp.maximum(half_d - door_hi, 0.0)        # [door_hi, half_d]
+    bx_c = half_w + b_w / 2                              # annex center x
+    walls = jnp.stack([
+        # +x plane: full wall (single) / annex far wall (multi)
+        jnp.where(
+            multi,
+            jnp.stack([half_w + b_w, cy, zb, wt, wall_h, b_d]),
+            jnp.stack([half_w, cy, 0.0, wt, wall_h, depth])),
+        jnp.stack([-half_w, cy, 0.0, wt, wall_h, depth]),
+        jnp.stack([0.0, cy, half_d, width, wall_h, wt]),
+        jnp.stack([0.0, cy, -half_d, width, wall_h, wt]),
+        # annex side walls (multi only)
+        jnp.stack([bx_c, cy, zb + b_d / 2, b_w, wall_h, wt]),
+        jnp.stack([bx_c, cy, zb - b_d / 2, b_w, wall_h, wt]),
+        # shared-wall segments around the doorway (multi only)
+        jnp.stack([half_w, cy, (door_lo - half_d) / 2, wt, wall_h,
+                   seg1_len]),
+        jnp.stack([half_w, cy, (door_hi + half_d) / 2, wt, wall_h,
+                   seg2_len]),
+    ])
+    wall_valid = jnp.array([True, True, True, True,
+                            False, False, False, False]) | (
+        multi & jnp.array([True] * 6 + [False, False]))
+    # degenerate shared segments (door flush with a corner) stay invalid
+    wall_valid = wall_valid.at[6].set(multi & (seg1_len > 0.05))
+    wall_valid = wall_valid.at[7].set(multi & (seg2_len > 0.05))
+    boxes = boxes.at[:N_WALL_SLOTS].set(walls)
+    labels = labels.at[:N_WALL_SLOTS].set(
+        jnp.where(wall_valid, _BLOCK, -1))
+    valid = valid.at[:N_WALL_SLOTS].set(wall_valid)
+
+    # ----- furniture candidates, then sequential rejection so every kept box
+    # is separated from walls, other furniture, and the spawn point by a
     # corridor wider than the agent — the free space stays connected and the
     # walker can never spawn trapped (a paved room deadlocks the reflection
     # walk)
@@ -89,42 +152,82 @@ def sample_room(
     fkeys = jax.random.split(kf, n_attempts)
 
     def candidate(i, fkey):
-        kc, ks, kl = jax.random.split(fkey, 3)
-        # interior BLOCKs (columns/partitions) exist in the real data
-        # (dataset/train/colliders.json has 7 BLOCK for a 4-wall room)
+        kc, ks, kl, kr2 = jax.random.split(fkey, 4)
+        # class mix matched to the real rooms' furniture census
+        # (LOW 5 / MID 4 / interior BLOCK 4 / HIGH 0 across both rooms)
         cls = jax.random.choice(
             kl, jnp.array([_LOW, _MID, _HIGH, _BLOCK]), (),
-            p=jnp.array([0.4, 0.3, 0.15, 0.15]))
-        # class-conditional height ranges (LOW: sittable, MID: tables,
-        # HIGH: wardrobes, BLOCK: near-ceiling) — README.md:18-23 semantics
-        h_lo = jnp.where(cls == _LOW, 0.35,
-                         jnp.where(cls == _MID, 0.65,
-                                   jnp.where(cls == _HIGH, 1.5, 2.2)))
-        h_hi = jnp.where(cls == _LOW, 0.6,
-                         jnp.where(cls == _MID, 1.1,
-                                   jnp.where(cls == _HIGH, 2.3, 3.2)))
-        h = jax.random.uniform(ks, (), minval=h_lo, maxval=h_hi)
-        # footprint scaled to the room so small rooms still fit furniture
-        f_max_x = jnp.clip(width / 3.5, 0.5, 2.0)
-        f_max_z = jnp.clip(depth / 3.5, 0.5, 2.0)
-        fx = jax.random.uniform(jax.random.fold_in(ks, 1), (), minval=0.4,
-                                maxval=f_max_x)
-        fz = jax.random.uniform(jax.random.fold_in(ks, 2), (), minval=0.4,
-                                maxval=f_max_z)
-        margin_x = half_w - fx / 2 - WALL_THICKNESS - CORRIDOR
-        margin_z = half_d - fz / 2 - WALL_THICKNESS - CORRIDOR
+            p=jnp.array([0.38, 0.31, 0.08, 0.23]))
+        # heights per class (real: LOW 0.26-0.6, MID 0.68-1.18, interior
+        # BLOCK mostly near-ceiling with an occasional chest-height one)
+        kh1, kh2, kh3 = jax.random.split(ks, 3)
+        h_low = jax.random.uniform(kh1, (), minval=0.25, maxval=0.65)
+        h_mid = jax.random.uniform(kh1, (), minval=0.65, maxval=1.2)
+        h_high = jax.random.uniform(kh1, (), minval=1.5, maxval=2.3)
+        blk_tall = jax.random.uniform(kh2, ()) > 0.25
+        h_blk = jnp.where(
+            blk_tall,
+            wall_h * jax.random.uniform(kh1, (), minval=0.78, maxval=1.0),
+            jax.random.uniform(kh1, (), minval=0.9, maxval=1.4))
+        h = jnp.where(cls == _LOW, h_low,
+                      jnp.where(cls == _MID, h_mid,
+                                jnp.where(cls == _HIGH, h_high, h_blk)))
+        # footprints per class from the real size distributions:
+        # LOW log-uniform 0.2-1.6 each axis; MID elongated table
+        # (major 0.6-1.35 x minor 0.35-0.85); BLOCK partition
+        # (major log-uniform 0.7-2.8 x minor 0.6-1.2); HIGH 0.5-1.3
+        kf1, kf2, kf3 = jax.random.split(jax.random.fold_in(ks, 1), 3)
+        lo_x = _log_uniform(kf1, 0.2, 1.6)
+        lo_z = _log_uniform(kf2, 0.2, 1.6)
+        mid_a = jax.random.uniform(kf1, (), minval=0.6, maxval=1.35)
+        mid_b = jax.random.uniform(kf2, (), minval=0.35, maxval=0.85)
+        hi_a = jax.random.uniform(kf1, (), minval=0.5, maxval=1.3)
+        hi_b = jax.random.uniform(kf2, (), minval=0.5, maxval=1.3)
+        blk_a = _log_uniform(kf1, 0.7, 2.8)
+        blk_b = jax.random.uniform(kf2, (), minval=0.6, maxval=1.2)
+        swap = jax.random.uniform(kf3, ()) < 0.5
+        fa = jnp.where(cls == _LOW, lo_x,
+                       jnp.where(cls == _MID, mid_a,
+                                 jnp.where(cls == _HIGH, hi_a, blk_a)))
+        fb = jnp.where(cls == _LOW, lo_z,
+                       jnp.where(cls == _MID, mid_b,
+                                 jnp.where(cls == _HIGH, hi_b, blk_b)))
+        fx = jnp.where(swap, fb, fa)
+        fz = jnp.where(swap, fa, fb)
+        # an occasional LOW item sits elevated (a shelf object — the real
+        # val room has one at center y 0.93)
+        elev_gate = jax.random.uniform(kh3, ()) < 0.15
+        elev = jnp.where((cls == _LOW) & elev_gate,
+                         jax.random.uniform(jax.random.fold_in(kh3, 1), (),
+                                            minval=0.5, maxval=1.2),
+                         0.0)
+
+        # placement: main room, or the annex (when present) with probability
+        # ~ its share of footprint
+        share_b = jnp.where(
+            multi, (b_w * b_d) / (width * depth + b_w * b_d), 0.0)
+        in_b = jax.random.uniform(kr2, ()) < share_b
+        # main-room margins
+        a_mx = half_w - fx / 2 - wt - CORRIDOR
+        a_mz = half_d - fz / 2 - wt - CORRIDOR
+        # annex margins
+        b_mx = b_w / 2 - fx / 2 - wt - CORRIDOR
+        b_mz = b_d / 2 - fz / 2 - wt - CORRIDOR
         u = jax.random.uniform(kc, (), minval=-1.0, maxval=1.0)
         v = jax.random.uniform(jax.random.fold_in(kc, 1), (),
                                minval=-1.0, maxval=1.0)
-        px = u * jnp.maximum(margin_x, 0.0)
-        pz = v * jnp.maximum(margin_z, 0.0)
-        fits = (margin_x > 0.0) & (margin_z > 0.0)
+        px = jnp.where(in_b, bx_c + u * jnp.maximum(b_mx, 0.0),
+                       u * jnp.maximum(a_mx, 0.0))
+        pz = jnp.where(in_b, zb + v * jnp.maximum(b_mz, 0.0),
+                       v * jnp.maximum(a_mz, 0.0))
+        fits = jnp.where(in_b, (b_mx > 0.0) & (b_mz > 0.0),
+                         (a_mx > 0.0) & (a_mz > 0.0))
         # the spawn point only needs to sit OUTSIDE the agent-expanded
         # footprint (the inter-box corridor keeps space connected)
         covers_spawn = (jnp.abs(px) < fx / 2 + AGENT_RADIUS + 0.1) & (
             jnp.abs(pz) < fz / 2 + AGENT_RADIUS + 0.1)
         ok = fits & ~covers_spawn
-        box = jnp.stack([px, h / 2 + FLOOR_Y, pz, fx, h, fz])
+        box = jnp.stack([px, h / 2 + FLOOR_Y + elev, pz, fx, h, fz])
         return box, cls, ok
 
     fboxes, fcls, f_ok = jax.vmap(candidate)(
@@ -142,13 +245,14 @@ def sample_room(
     kept = jax.lax.fori_loop(
         0, n_attempts, keep_body, jnp.zeros((n_attempts,), dtype=bool))
 
-    # compact the kept candidates into the first max_furniture slots
+    # compact the kept candidates into the furniture slots
     order = jnp.argsort(~kept, stable=True)[:max_furniture]
     fvalid = kept[order]
-    boxes = boxes.at[4:4 + max_furniture].set(fboxes[order])
-    labels = labels.at[4:4 + max_furniture].set(
+    s0 = N_WALL_SLOTS
+    boxes = boxes.at[s0:s0 + max_furniture].set(fboxes[order])
+    labels = labels.at[s0:s0 + max_furniture].set(
         jnp.where(fvalid, fcls[order], -1))
-    valid = valid.at[4:4 + max_furniture].set(fvalid)
+    valid = valid.at[s0:s0 + max_furniture].set(fvalid)
     labels = jnp.where(valid, labels, -1)
     return boxes, labels, valid
 
@@ -160,12 +264,14 @@ def _collide(pos_xz: jnp.ndarray, boxes: jnp.ndarray,
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Check a 2D position against box footprints (expanded by the walker
     radius). Returns (hit: bool, normal [2]) for the deepest collision —
-    the reflection signal of RandomMovement.cs:199-214."""
+    the reflection signal of RandomMovement.cs:199-214. Boxes whose bottom
+    sits above knee height (elevated shelf items) don't block the walk."""
     dx = pos_xz[0] - boxes[:, 0]
     dz = pos_xz[1] - boxes[:, 2]
     pen_x = boxes[:, 3] / 2 + radius - jnp.abs(dx)
     pen_z = boxes[:, 5] / 2 + radius - jnp.abs(dz)
-    inside = (pen_x > 0) & (pen_z > 0) & valid
+    blocking = valid & (boxes[:, 1] - boxes[:, 4] / 2 < FLOOR_Y + 0.4)
+    inside = (pen_x > 0) & (pen_z > 0) & blocking
     depth = jnp.where(inside, jnp.minimum(pen_x, pen_z), -jnp.inf)
     j = jnp.argmax(depth)
     hit = inside[j]
@@ -212,7 +318,7 @@ def simulate_trace(
         wall_r = jax.random.uniform(kr, (), minval=0.4, maxval=0.7)
         furn_r = jax.random.uniform(
             jax.random.fold_in(kr, 2), (), minval=0.3, maxval=0.4)
-        radius = jnp.where(jnp.arange(M) < 4, wall_r, furn_r)
+        radius = jnp.where(jnp.arange(M) < N_WALL_SLOTS, wall_r, furn_r)
         speed0 = jax.random.uniform(
             jax.random.fold_in(kr, 1), (), minval=0.4, maxval=1.2)
     else:
@@ -268,7 +374,8 @@ def simulate_trace(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rooms", "num_steps", "max_colliders", "hz", "human"))
+    static_argnames=("n_rooms", "num_steps", "max_colliders", "hz", "human",
+                     "multi_room_prob"))
 def generate_rooms_and_traces(
     key: jax.Array,
     n_rooms: int,
@@ -276,6 +383,7 @@ def generate_rooms_and_traces(
     max_colliders: int = 50,
     hz: float = 30.0,
     human: bool = False,
+    multi_room_prob: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Batched datagen: n_rooms layouts, one trace each, in ONE jitted
     dispatch (eager per-primitive dispatch through a remote TPU tunnel costs
@@ -288,7 +396,8 @@ def generate_rooms_and_traces(
 
     def one(k):
         k1, k2 = jax.random.split(k)
-        boxes, labels, valid = sample_room(k1, max_colliders)
+        boxes, labels, valid = sample_room(
+            k1, max_colliders, multi_room_prob=multi_room_prob)
         raw = simulate_trace(k2, boxes, valid, num_steps, hz, human)
         return raw, boxes, labels, valid
 
@@ -311,6 +420,7 @@ def write_synthetic_dataset(
     seed: int = 0,
     max_colliders: int = 50,
     human: bool = False,
+    multi_room_prob: float = 0.0,
 ) -> None:
     """Generate rooms on device and write *_trace.json / *_collider.json pairs
     (pairing pattern 1 of the reference loader, dataloader.py:111-125)."""
@@ -319,7 +429,8 @@ def write_synthetic_dataset(
     data = jax.device_get(
         generate_rooms_and_traces(
             jax.random.key(seed), n_rooms, num_steps,
-            max_colliders=max_colliders, human=human)
+            max_colliders=max_colliders, human=human,
+            multi_room_prob=multi_room_prob)
     )
     for i in range(n_rooms):
         stem = f"synthetic_{i:04d}"

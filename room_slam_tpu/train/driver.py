@@ -55,12 +55,14 @@ def _check_query_capacity(cfg: ExperimentConfig, *datasets) -> None:
 
 
 def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
-                            seed: int = 0, mode: str = "agent"):
+                            seed: int = 0, mode: str = "agent",
+                            multi_room_prob: float = 0.0):
     """On-device synthetic train/val datasets (val = n_rooms // 8 + 1 extra
     rooms from an independent seed).
 
     mode: 'agent' (constant sensor height, like the Unity robot), 'human'
     (head-height with bob, like the ARKit captures), or 'mixed' (half each).
+    multi_room_prob: share of layouts that are two rooms with a doorway.
     """
     from room_slam_tpu.data import synthetic
 
@@ -75,18 +77,19 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
             a = synthetic.generate_rooms_and_traces(
                 k1, n // 2, cfg.data.max_trace_len,
                 max_colliders=cfg.data.max_colliders, hz=AGENT_HZ,
-                human=False)
+                human=False, multi_room_prob=multi_room_prob)
             b = synthetic.generate_rooms_and_traces(
                 k2, n - n // 2, cfg.data.max_trace_len,
                 max_colliders=cfg.data.max_colliders, hz=HUMAN_HZ,
-                human=True)
+                human=True, multi_room_prob=multi_room_prob)
             return {k: np.concatenate(
                 [np.asarray(a[k]), np.asarray(b[k])]) for k in a}
         human = mode == "human"
         return jax.device_get(synthetic.generate_rooms_and_traces(
             key, n, cfg.data.max_trace_len,
             max_colliders=cfg.data.max_colliders,
-            hz=HUMAN_HZ if human else AGENT_HZ, human=human))
+            hz=HUMAN_HZ if human else AGENT_HZ, human=human,
+            multi_room_prob=multi_room_prob))
 
     n_val = max(n_rooms // 8, 4)
     train = gen(jax.random.key(seed), n_rooms)

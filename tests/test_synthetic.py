@@ -35,8 +35,11 @@ def test_trace_stays_in_room_and_avoids_furniture():
     assert np.all(np.abs(raw[:, 0]) <= half_w + 0.05)
     assert np.all(np.abs(raw[:, 2]) <= half_d + 0.05)
 
-    # never inside a furniture footprint (minus the agent radius slack)
+    # never inside a GROUND furniture footprint (elevated shelf items are
+    # walked under by design; _collide ignores boxes above knee height)
     for j in np.where(valid)[0][4:]:
+        if boxes[j, 1] - boxes[j, 4] / 2 >= synthetic.FLOOR_Y + 0.4:
+            continue
         dx = np.abs(raw[:, 0] - boxes[j, 0])
         dz = np.abs(raw[:, 2] - boxes[j, 2])
         inside = (dx < boxes[j, 3] / 2) & (dz < boxes[j, 5] / 2)
@@ -44,6 +47,69 @@ def test_trace_stays_in_room_and_avoids_furniture():
 
     # the agent actually moves around
     assert raw[:, 0].std() > 0.3 and raw[:, 2].std() > 0.3
+
+
+def test_multi_room_layout():
+    """multi_room_prob=1: an annex on +x with a doorway — more wall
+    segments, all BLOCK, annex walls beyond the main room's +x plane."""
+    boxes, labels, valid = synthetic.sample_room(
+        jax.random.key(3), multi_room_prob=1.0)
+    boxes, labels, valid = map(np.asarray, (boxes, labels, valid))
+    nw = synthetic.N_WALL_SLOTS
+    wall_valid = valid[:nw]
+    assert wall_valid.sum() >= 6  # 3 main + 3 annex at minimum
+    assert (labels[:nw][wall_valid] == 0).all()
+    half_w = boxes[2, 3] / 2  # +z wall spans the main room width
+    # the +x plane wall (slot 0) became the annex far wall: strictly beyond
+    assert boxes[0, 0] > half_w + 0.5
+    # shared-wall segments (slots 6/7), when valid, sit ON the main +x plane
+    for s in (6, 7):
+        if valid[s]:
+            np.testing.assert_allclose(boxes[s, 0], half_w, atol=1e-5)
+    # doorway gap: shared segments don't cover the full main-room depth
+    depth = boxes[1, 5]
+    covered = boxes[6, 5] * valid[6] + boxes[7, 5] * valid[7]
+    assert covered < depth - 1.0  # at least a ~1.6m door plus slack
+
+
+def test_walker_crosses_doorway():
+    """The walker can actually reach the annex through the door (the layout
+    would otherwise train models on never-observed space)."""
+    entered = 0
+    for seed in range(6):
+        k = jax.random.key(100 + seed)
+        boxes, labels, valid = synthetic.sample_room(k, multi_room_prob=1.0)
+        raw = np.asarray(synthetic.simulate_trace(
+            jax.random.fold_in(k, 1), boxes, valid, num_steps=3000))
+        half_w = float(np.asarray(boxes)[2, 3]) / 2
+        if (raw[:, 0] > half_w + 0.2).any():
+            entered += 1
+        # never outside the annex far wall either
+        assert np.all(raw[:, 0] <= float(np.asarray(boxes)[0, 0]) + 0.05)
+    assert entered >= 2, entered
+
+
+def test_furniture_priors_match_real_classes():
+    """Class-conditional shape priors: MID heights in the table band,
+    ground LOW items small, interior BLOCKs mostly near ceiling height."""
+    data = synthetic.generate_rooms_and_traces(
+        jax.random.key(7), n_rooms=32, num_steps=8)
+    boxes = np.asarray(data["boxes"])
+    labels = np.asarray(data["labels"])
+    valid = np.asarray(data["valid"])
+    nw = synthetic.N_WALL_SLOTS
+    furn = valid.copy()
+    furn[:, :nw] = False
+    mid = furn & (labels == 2)
+    low = furn & (labels == 1)
+    assert mid.any() and low.any()
+    assert boxes[mid][:, 4].min() >= 0.6 and boxes[mid][:, 4].max() <= 1.25
+    # LOW items can be tiny (real data has 0.2 m objects)
+    assert boxes[low][:, 3].min() < 0.45
+    # ground LOW items rest on the floor; elevated shelf items exist but
+    # are the minority
+    base = boxes[low][:, 1] - boxes[low][:, 4] / 2
+    assert (np.abs(base - synthetic.FLOOR_Y) < 1e-4).mean() > 0.6
 
 
 def test_batched_generation_and_roundtrip(tmp_path):

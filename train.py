@@ -52,6 +52,9 @@ def main():
     p.add_argument("--synthetic", type=int, default=None, metavar="N_ROOMS",
                    help="train on N on-device synthetic rooms instead of "
                         "--data_dir (val = N/8 independent rooms)")
+    p.add_argument("--multi_room_prob", type=float, default=0.0,
+                   help="share of synthetic layouts that are two rooms "
+                        "connected by a doorway (sim2real lever)")
     p.add_argument("--synthetic_mode", choices=["agent", "human", "mixed"],
                    default="agent",
                    help="walker height model for --synthetic: constant "
@@ -144,8 +147,9 @@ def main():
 
         print(f"[train] generating {args.synthetic} synthetic rooms "
               f"on device (mode={args.synthetic_mode})")
-        tr, va = make_synthetic_datasets(cfg, args.synthetic, cfg.train.seed,
-                                         mode=args.synthetic_mode)
+        tr, va = make_synthetic_datasets(
+            cfg, args.synthetic, cfg.train.seed, mode=args.synthetic_mode,
+            multi_room_prob=args.multi_room_prob)
         kwargs = {"train_ds": tr, "val_ds": va}
 
     if args.resume:
