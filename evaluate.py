@@ -50,12 +50,20 @@ def evaluate_benchmark(args) -> dict:
         for b in range(db["raw"].shape[0]):
             if batch["weight"][b] == 0:
                 continue
+            pred_b = out["pred_boxes"][b]
+            if args.refine is not None:
+                from room_slam_tpu.ops.refine import refine_walls
+
+                pred_b = refine_walls(
+                    pred_b, jnp.argmax(out["pred_classes"][b], -1),
+                    db["raw"][b], db["length"][b],
+                    clearance=args.refine)
             keep, labels, conf = post_process(
-                out["pred_boxes"][b], out["pred_classes"][b],
+                pred_b, out["pred_classes"][b],
                 confidence_threshold=args.threshold,
                 nms_threshold=args.nms)
             keep = np.asarray(keep)
-            boxes = np.asarray(out["pred_boxes"][b])
+            boxes = np.asarray(pred_b)
             for q in np.where(keep)[0]:
                 pred_rows.append((boxes[q], int(labels[q]),
                                   float(conf[q]), img))
@@ -232,6 +240,10 @@ def main():
     p.add_argument("--threshold", type=float, default=0.5,
                    help="confidence threshold for detection metrics")
     p.add_argument("--nms", type=float, default=0.3)
+    p.add_argument("--refine", type=float, default=None, metavar="CLEARANCE",
+                   help="trace-informed wall refinement before NMS, with "
+                        "this walker-clearance prior in meters (agent: 0.3, "
+                        "human: ~0.55); see room_slam_tpu/ops/refine.py")
     p.add_argument("--hidden_size", type=int, default=128)
     p.add_argument("--max_objects", type=int, default=10)
     p.add_argument("--compare_baseline", action="store_true")

@@ -50,7 +50,8 @@ def adapt_features(feats: np.ndarray, in_feat: int) -> np.ndarray:
 
 
 def predict(model, params, traces_file: str, max_trace_len: int = 3000,
-            confidence_threshold: float = 0.7, nms_threshold: float = 0.3):
+            confidence_threshold: float = 0.7, nms_threshold: float = 0.3,
+            refine_clearance: float | None = None):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275).
 
@@ -87,17 +88,26 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             out = model.apply(params, traces, mask, deterministic=True)
         except TypeError:
             out = model.apply(params, traces, deterministic=True)
+        boxes0 = out["pred_boxes"][0]
+        if refine_clearance is not None and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.refine import refine_walls
+
+            # feature columns 0..3 are (x, y, z, t) — the raw trace
+            boxes0 = refine_walls(
+                boxes0, jnp.argmax(out["pred_classes"][0], -1),
+                traces[0, :, :4], jnp.sum(mask[0].astype(jnp.int32)),
+                clearance=refine_clearance)
         keep, labels, conf = post_process(
-            out["pred_boxes"][0], out["pred_classes"][0],
+            boxes0, out["pred_classes"][0],
             confidence_threshold=confidence_threshold,
             nms_threshold=nms_threshold)
-        return out, keep, labels, conf
+        return boxes0, keep, labels, conf
 
-    out, keep, labels, conf = run(
+    boxes0, keep, labels, conf = run(
         params, jnp.asarray(padded), jnp.asarray(mask))
 
     keep = np.asarray(keep)
-    boxes = np.asarray(out["pred_boxes"][0])
+    boxes = np.asarray(boxes0)
     labels = np.asarray(labels)
     conf = np.asarray(conf)
     order = np.argsort(-conf * keep)
@@ -121,6 +131,11 @@ def main():
                         help="Confidence threshold (default: 0.7)")
     parser.add_argument("--nms", type=float, default=0.3,
                         help="NMS IoU threshold (default: 0.3)")
+    parser.add_argument("--refine", type=float, default=None,
+                        metavar="CLEARANCE",
+                        help="trace-informed wall refinement with this "
+                             "walker-clearance prior in meters (agent: 0.3, "
+                             "human: ~0.55)")
     args = parser.parse_args()
 
     print(f"Loading model from {args.checkpoint}")
@@ -130,7 +145,8 @@ def main():
     predictions = predict(
         model, params, args.input,
         max_trace_len=cfg.data.max_trace_len,
-        confidence_threshold=args.threshold, nms_threshold=args.nms)
+        confidence_threshold=args.threshold, nms_threshold=args.nms,
+        refine_clearance=args.refine)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -24,11 +24,17 @@ import numpy as np
 
 def score_checkpoint(checkpoint: str, data_dir: str, batch_size: int = 8,
                      iou_thresh: float = 0.5, threshold: float = 0.5,
-                     nms: float = 0.3) -> Dict:
-    """Hungarian-aligned metrics + 3D mAP for one checkpoint."""
+                     nms: float = 0.3,
+                     refine_clearance: float | None = None) -> Dict:
+    """Hungarian-aligned metrics + 3D mAP for one checkpoint.
+
+    ``refine_clearance`` enables the trace-informed wall refinement
+    (ops/refine.py) before NMS — applied identically to every checkpoint
+    scored, so comparisons stay apples-to-apples."""
     from room_slam_tpu.data.dataset import TraceColliderArrays
     from room_slam_tpu.data.features import featurize
     from room_slam_tpu.ops.nms import post_process
+    from room_slam_tpu.ops.refine import refine_walls
     from room_slam_tpu.train.driver import load_model_for_inference
     from room_slam_tpu.train.loop import make_forward
     from room_slam_tpu.train.metrics import (average_precision_3d,
@@ -53,11 +59,17 @@ def score_checkpoint(checkpoint: str, data_dir: str, batch_size: int = 8,
         for b in range(db["raw"].shape[0]):
             if batch["weight"][b] == 0:
                 continue
+            pred_b = out["pred_boxes"][b]
+            if refine_clearance is not None:
+                pred_b = refine_walls(
+                    pred_b, jnp.argmax(out["pred_classes"][b], -1),
+                    db["raw"][b], db["length"][b],
+                    clearance=refine_clearance)
             keep, labels, conf = post_process(
-                out["pred_boxes"][b], out["pred_classes"][b],
+                pred_b, out["pred_classes"][b],
                 confidence_threshold=threshold, nms_threshold=nms)
             keep = np.asarray(keep)
-            boxes = np.asarray(out["pred_boxes"][b])
+            boxes = np.asarray(pred_b)
             for q in np.where(keep)[0]:
                 pred_rows.append(
                     (boxes[q], int(labels[q]), float(conf[q]), img))
@@ -95,6 +107,9 @@ def main():
     p.add_argument("--iou_thresh", type=float, default=0.5)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--nms", type=float, default=0.3)
+    p.add_argument("--refine", type=float, default=None, metavar="CLEARANCE",
+                   help="apply trace-informed wall refinement (ops/refine.py)"
+                        " to EVERY checkpoint scored")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args()
 
@@ -104,7 +119,7 @@ def main():
         print(f"scoring {name}: {path}")
         results[name] = score_checkpoint(
             path, args.data_dir, args.batch_size, args.iou_thresh,
-            args.threshold, args.nms)
+            args.threshold, args.nms, refine_clearance=args.refine)
 
     print(json.dumps(results, indent=2, default=float))
     names = list(results)

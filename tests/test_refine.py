@@ -1,0 +1,66 @@
+"""Trace-informed wall refinement (ops/refine.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from room_slam_tpu.ops.refine import refine_walls, trace_extent
+
+
+def _trace(L=64, x0=-2.0, x1=2.0, z0=-3.0, z1=3.0):
+    """A trace whose free-space extent is exactly the given rectangle."""
+    rng = np.random.default_rng(0)
+    raw = np.zeros((L, 4), np.float32)
+    raw[:, 0] = rng.uniform(x0, x1, L)
+    raw[:, 2] = rng.uniform(z0, z1, L)
+    raw[0, 0], raw[1, 0] = x0, x1
+    raw[2, 2], raw[3, 2] = z0, z1
+    raw[:, 3] = np.arange(L) * 0.03
+    return raw
+
+
+def test_trace_extent_respects_length():
+    raw = _trace()
+    raw[32:, 0] = 100.0  # padding garbage beyond the valid length
+    x_min, x_max, z_min, z_max = trace_extent(
+        jnp.asarray(raw), jnp.asarray(32))
+    assert float(x_max) < 3.0
+    assert float(x_min) == -2.0
+
+
+def test_wall_snaps_to_extent_plane():
+    raw = _trace()
+    wt, cl = 0.125, 0.3
+    # GT-style wall on +x: center = x_max + clearance + wt/2 = 2.3625
+    truth_cx = 2.0 + cl + wt / 2
+    boxes = jnp.asarray(np.array([
+        [2.25, 1.0, 0.1, 0.2, 3.0, 5.0],    # near-plane thin BLOCK -> snap
+        [1.0, 1.0, 0.0, 0.8, 0.9, 0.6],     # MID-shaped furniture (BLOCK
+                                            # label but not thin) -> keep
+        [0.0, 1.0, -4.5, 5.0, 3.0, 0.2],    # -z wall 1.2m off-plane -> keep
+    ], np.float32))
+    labels = jnp.asarray(np.zeros(3, np.int32))  # all predicted BLOCK
+    out = np.asarray(refine_walls(
+        boxes, labels, jnp.asarray(raw), jnp.asarray(raw.shape[0]),
+        clearance=cl, wall_thickness=wt))
+    # snapped: exact plane, slab thickness, stretched to observed z span
+    np.testing.assert_allclose(out[0, 0], truth_cx, atol=1e-5)
+    np.testing.assert_allclose(out[0, 3], wt, atol=1e-6)
+    assert out[0, 5] >= 6.0 + 2 * cl
+    np.testing.assert_allclose(out[0, 2], 0.0, atol=1e-5)
+    # non-thin box untouched
+    np.testing.assert_allclose(out[1], np.asarray(boxes)[1])
+    # off-plane wall outside the trust region untouched
+    np.testing.assert_allclose(out[2], np.asarray(boxes)[2])
+    # y never modified
+    np.testing.assert_allclose(out[:, 1], np.asarray(boxes)[:, 1])
+    np.testing.assert_allclose(out[:, 4], np.asarray(boxes)[:, 4])
+
+
+def test_non_block_labels_untouched():
+    raw = _trace()
+    boxes = jnp.asarray(np.array(
+        [[2.25, 1.0, 0.0, 0.2, 3.0, 5.0]], np.float32))
+    out = np.asarray(refine_walls(
+        boxes, jnp.asarray(np.array([2], np.int32)),  # predicted MID
+        jnp.asarray(raw), jnp.asarray(raw.shape[0])))
+    np.testing.assert_allclose(out, np.asarray(boxes))
