@@ -141,6 +141,73 @@ def test_map_perfect_and_wrong(rng):
     assert mAP0 == 0.0
 
 
+def _corners(box):
+    cx, cy, w, h, th = box
+    c, s = np.cos(th), np.sin(th)
+    pts = np.array([[-w / 2, -h / 2], [w / 2, -h / 2],
+                    [w / 2, h / 2], [-w / 2, h / 2]])
+    rot = pts @ np.array([[c, s], [-s, c]])
+    return rot + np.array([cx, cy])
+
+
+def _clip_polygon(subject, clip):
+    """Sutherland–Hodgman convex clipping — an independent numpy oracle."""
+    out = list(subject)
+    n = len(clip)
+    for i in range(n):
+        a, b = clip[i], clip[(i + 1) % n]
+        edge = b - a
+        inp, out = out, []
+        if not inp:
+            break
+
+        def inside(p):
+            return edge[0] * (p[1] - a[1]) - edge[1] * (p[0] - a[0]) >= -1e-12
+
+        def intersect(p, q):
+            d = q - p
+            denom = edge[0] * d[1] - edge[1] * d[0]
+            t = (edge[0] * (a[1] - p[1]) - edge[1] * (a[0] - p[0])) / denom
+            return p + t * d
+
+        for j in range(len(inp)):
+            p, q = inp[j], inp[(j + 1) % len(inp)]
+            if inside(q):
+                if not inside(p):
+                    out.append(intersect(p, q))
+                out.append(q)
+            elif inside(p):
+                out.append(intersect(p, q))
+    return np.array(out) if out else np.zeros((0, 2))
+
+
+def _poly_area(pts):
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def test_rotated_iou_vs_polygon_clipping_oracle(rng):
+    """Cross-check rotated_iou_2d against an independent Sutherland-Hodgman
+    polygon-clipping implementation on random rotated boxes (the legacy
+    rotated-IoU/mAP math has no reference-code anchor — SURVEY §0.1 — so
+    anchor it to computational geometry instead)."""
+    for _ in range(60):
+        a = np.array([rng.uniform(-2, 2), rng.uniform(-2, 2),
+                      rng.uniform(0.3, 3), rng.uniform(0.3, 3),
+                      rng.uniform(0, 2 * np.pi)], np.float64)
+        b = np.array([rng.uniform(-2, 2), rng.uniform(-2, 2),
+                      rng.uniform(0.3, 3), rng.uniform(0.3, 3),
+                      rng.uniform(0, 2 * np.pi)], np.float64)
+        inter = _poly_area(_clip_polygon(_corners(a), _corners(b)))
+        union = a[2] * a[3] + b[2] * b[3] - inter
+        expect = inter / union
+        got = float(rotated_iou_2d(jnp.asarray(a, jnp.float32),
+                                   jnp.asarray(b, jnp.float32)))
+        assert abs(got - expect) < 2e-3, (a, b, got, expect)
+
+
 def test_map_voc_assignment_no_second_best_credit():
     """A prediction whose best-overlapping GT is already taken is an FP
     (VOC semantics) — it must NOT be credited via a second-best GT."""
