@@ -95,6 +95,9 @@ class TrainConfig:
     save_dir: str = "./checkpoints"
     # class_loss / l1_loss / giou_loss weights (ref: train.py:433-437)
     loss_weights: Tuple[float, float, float] = (2.0, 5.0, 2.0)
+    # auxiliary XZ-footprint GIoU weight (0.0 = reference loss exactly;
+    # furniture box error is footprint-dominated, see ops/iou.iou_giou_2d_xz)
+    footprint_weight: float = 0.0
     # LR schedule: 'plateau' (the reference's active ReduceLROnPlateau) or
     # 'cosine' (the warmup+cosine lr_lambda the reference defines but never
     # plugs in, train.py:447-458)

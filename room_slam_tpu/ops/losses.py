@@ -127,12 +127,21 @@ def set_criterion(
         + loss_weights["l1_loss"] * l1_loss
         + loss_weights["giou_loss"] * giou_loss
     )
-    return {
+    out = {
         "class_loss": class_loss,
         "l1_loss": l1_loss,
         "giou_loss": giou_loss,
-        "total_loss": total,
     }
+    # optional footprint (XZ) GIoU — furniture localization error is
+    # footprint-dominated; off (0.0) reproduces the reference loss exactly
+    fw = loss_weights.get("footprint_loss", 0.0)
+    if fw:
+        _, giou2d = iou_ops.iou_giou_2d_xz(mp_boxes, gt_boxes)
+        footprint_loss = _weighted_mean(1.0 - giou2d, pair_w)
+        out["footprint_loss"] = footprint_loss
+        total = total + fw * footprint_loss
+    out["total_loss"] = total
+    return out
 
 
 LEGACY_WEIGHTS = {

@@ -131,6 +131,7 @@ def _loss_weight_dict(cfg: ExperimentConfig) -> Dict[str, float]:
         "class_loss": cfg.train.loss_weights[0],
         "l1_loss": cfg.train.loss_weights[1],
         "giou_loss": cfg.train.loss_weights[2],
+        "footprint_loss": cfg.train.footprint_weight,
     }
 
 

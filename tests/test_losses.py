@@ -108,3 +108,43 @@ def test_sample_weight_excludes_padding(rng):
     for k in full:
         np.testing.assert_allclose(
             float(full[k]), float(padded[k]), rtol=1e-5)
+
+
+def test_footprint_giou_and_aux_loss(rng):
+    from room_slam_tpu.ops.iou import iou_giou_2d_xz
+
+    # identical footprints -> iou 1 regardless of y
+    a = jnp.asarray([0.0, 0.0, 0.0, 2.0, 1.0, 3.0])
+    b = jnp.asarray([0.0, 5.0, 0.0, 2.0, 0.2, 3.0])
+    iou, giou = iou_giou_2d_xz(a, b)
+    assert abs(float(iou) - 1.0) < 1e-5
+    # half-overlap in x only: inter 1x3, union 9 -> 1/3
+    c = jnp.asarray([1.0, 0.0, 0.0, 2.0, 1.0, 3.0])
+    iou2, _ = iou_giou_2d_xz(a, c)
+    assert abs(float(iou2) - 1.0 / 3.0) < 1e-4
+
+    # criterion: footprint term appears only when weighted, and total
+    # grows by exactly fw * footprint_loss
+    B, Q, M, C = 2, 6, 4, 4
+    out = {
+        "pred_boxes": jnp.asarray(
+            np.abs(rng.normal(size=(B, Q, 6))).astype(np.float32) + 0.2),
+        "pred_classes": jnp.asarray(
+            rng.normal(size=(B, Q, C)).astype(np.float32)),
+    }
+    tgt = {
+        "boxes": jnp.asarray(
+            np.abs(rng.normal(size=(B, M, 6))).astype(np.float32) + 0.2),
+        "labels": jnp.asarray(rng.integers(0, C, (B, M)).astype(np.int32)),
+        "valid_mask": jnp.ones((B, M), bool),
+    }
+    base = set_criterion(out, tgt)
+    assert "footprint_loss" not in base
+    lw = {"class_loss": 2.0, "l1_loss": 5.0, "giou_loss": 2.0,
+          "footprint_loss": 1.5}
+    with_fp = set_criterion(out, tgt, loss_weights=lw)
+    assert float(with_fp["footprint_loss"]) > 0
+    np.testing.assert_allclose(
+        float(with_fp["total_loss"]),
+        float(base["total_loss"]) + 1.5 * float(with_fp["footprint_loss"]),
+        rtol=1e-5)
