@@ -421,19 +421,24 @@ def write_synthetic_dataset(
     max_colliders: int = 50,
     human: bool = False,
     multi_room_prob: float = 0.0,
+    hz: float = 30.0,
+    stem_prefix: str = "synthetic",
 ) -> None:
     """Generate rooms on device and write *_trace.json / *_collider.json pairs
-    (pairing pattern 1 of the reference loader, dataloader.py:111-125)."""
+    (pairing pattern 1 of the reference loader, dataloader.py:111-125).
+
+    ``stem_prefix`` lets several exports (e.g. agent + human halves of a
+    mixed set) coexist in one directory."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     data = jax.device_get(
         generate_rooms_and_traces(
             jax.random.key(seed), n_rooms, num_steps,
-            max_colliders=max_colliders, human=human,
+            max_colliders=max_colliders, hz=hz, human=human,
             multi_room_prob=multi_room_prob)
     )
     for i in range(n_rooms):
-        stem = f"synthetic_{i:04d}"
+        stem = f"{stem_prefix}_{i:04d}"
         formats.save_trace_json(out_dir / f"{stem}_trace.json",
                                 data["raw"][i])
         v = data["valid"][i]

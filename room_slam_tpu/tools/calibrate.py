@@ -1,0 +1,164 @@
+"""Detection-calibration sweep: confidence threshold x NMS IoU x wall-refine.
+
+The matcher-based metrics (F1, mIoU) see more quality than ranked mAP does —
+the gap is calibration: which confidence cut, NMS IoU, and refinement setting
+turn the model's raw (boxes, logits) into the best ranked detections. The
+reference hardcodes threshold=0.7/nms=0.3 (src/benchmark/inference.py:133-134)
+and never sweeps; this tool forwards the val set ONCE and then scores every
+grid cell from the cached outputs, so a 48-cell sweep costs one model pass.
+
+    python -m room_slam_tpu.tools.calibrate --checkpoint /tmp/ckpt/best_model \
+        --data_dir /tmp/val --thresholds 0.3,0.5,0.7 --nms 0.1,0.3,0.5 \
+        --refine none,0.3,0.55
+
+Runs on CPU by default (per-cell post-processing is many small dispatches —
+hostile to the axon tunnel's per-dispatch latency; the model forward at val
+scale is cheap on host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+
+import numpy as np
+
+
+def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
+    """One jitted forward over the whole val set; returns host arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    from room_slam_tpu.data.dataset import TraceColliderArrays
+    from room_slam_tpu.data.features import featurize
+    from room_slam_tpu.train.driver import load_model_for_inference
+    from room_slam_tpu.train.loop import make_forward
+
+    model, params, cfg = load_model_for_inference(checkpoint)
+    ds = TraceColliderArrays(data_dir, cfg.data, augment=False, verbose=False)
+    fwd = make_forward(model)
+
+    rows = {k: [] for k in ("pred_boxes", "pred_logits", "raw", "length",
+                            "gt_boxes", "gt_labels", "gt_valid")}
+    for batch in ds.epoch_batches(batch_size, shuffle=False):
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        feats, mask = featurize(db["raw"], db["length"])
+        out = fwd(params, feats, mask)
+        keepers = np.where(batch["weight"] != 0)[0]
+        rows["pred_boxes"].append(np.asarray(out["pred_boxes"])[keepers])
+        rows["pred_logits"].append(np.asarray(out["pred_classes"])[keepers])
+        for k in ("raw", "length"):
+            rows[k].append(batch[k][keepers])
+        rows["gt_boxes"].append(batch["boxes"][keepers])
+        rows["gt_labels"].append(batch["labels"][keepers])
+        rows["gt_valid"].append(batch["valid"][keepers])
+    return {k: np.concatenate(v) for k, v in rows.items()}
+
+
+def sweep(cached: dict, thresholds, nms_vals, refine_vals,
+          iou_thresholds=(0.5, 0.25)) -> list:
+    """Score every (threshold, nms, refine) cell from cached forwards."""
+    import jax
+    import jax.numpy as jnp
+
+    from room_slam_tpu.ops.nms import post_process
+    from room_slam_tpu.ops.refine import refine_walls
+    from room_slam_tpu.train.metrics import average_precision_3d
+
+    pred_labels_all = np.argmax(cached["pred_logits"], -1)
+
+    @jax.jit
+    def _refine_all(boxes, labels, raw, length, clearance):
+        return jax.vmap(
+            lambda b, l, r, n: refine_walls(b, l, r, n, clearance=clearance)
+        )(boxes, labels, raw, length)
+
+    @jax.jit
+    def _post_all(boxes, logits, thr, nms_thr):
+        return jax.vmap(lambda b, lg: post_process(
+            b, lg, confidence_threshold=thr, nms_threshold=nms_thr)
+        )(boxes, logits)
+
+    boxes_by_refine = {}
+    for rf in refine_vals:
+        if rf is None:
+            boxes_by_refine[rf] = cached["pred_boxes"]
+        else:
+            boxes_by_refine[rf] = np.asarray(_refine_all(
+                jnp.asarray(cached["pred_boxes"]),
+                jnp.asarray(pred_labels_all),
+                jnp.asarray(cached["raw"]), jnp.asarray(cached["length"]),
+                jnp.float32(rf)))
+
+    n_img = cached["pred_boxes"].shape[0]
+    gt_rows = [(cached["gt_boxes"][i][cached["gt_valid"][i]],
+                cached["gt_labels"][i][cached["gt_valid"][i]], i)
+               for i in range(n_img)]
+    gt_boxes = np.concatenate([r[0] for r in gt_rows])
+    gt_labels = np.concatenate([r[1] for r in gt_rows])
+    gt_imgs = np.concatenate([np.full(len(r[0]), r[2]) for r in gt_rows])
+
+    results = []
+    for rf, thr, nm in itertools.product(refine_vals, thresholds, nms_vals):
+        boxes = boxes_by_refine[rf]
+        keep, labels, conf = (np.asarray(a) for a in _post_all(
+            jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
+            jnp.float32(thr), jnp.float32(nm)))
+        img_ids, flat = np.nonzero(keep)
+        cell = {"threshold": thr, "nms": nm, "refine": rf,
+                "num_predictions": int(keep.sum())}
+        for it in iou_thresholds:
+            if keep.any():
+                mAP, aps = average_precision_3d(
+                    boxes[img_ids, flat], labels[img_ids, flat],
+                    conf[img_ids, flat], img_ids,
+                    gt_boxes, gt_labels, gt_imgs, iou_thresh=it)
+            else:
+                mAP, aps = 0.0, {}
+            cell[f"mAP@{it}"] = round(float(mAP), 4)
+            cell[f"AP_per_class@{it}"] = {int(k): round(float(v), 3)
+                                          for k, v in aps.items()}
+        results.append(cell)
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--thresholds", default="0.3,0.5,0.7")
+    p.add_argument("--nms", default="0.1,0.3,0.5")
+    p.add_argument("--refine", default="none,0.3,0.55",
+                   help="comma list of wall-refine clearances; 'none' = off")
+    p.add_argument("--device", choices=["cpu", "default"], default="cpu")
+    p.add_argument("--output", default=None)
+    args = p.parse_args()
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    thresholds = [float(x) for x in args.thresholds.split(",")]
+    nms_vals = [float(x) for x in args.nms.split(",")]
+    refine_vals = [None if x == "none" else float(x)
+                   for x in args.refine.split(",")]
+
+    cached = _forward_val_set(args.checkpoint, args.data_dir,
+                              args.batch_size)
+    results = sweep(cached, thresholds, nms_vals, refine_vals)
+    results.sort(key=lambda c: (-c["mAP@0.5"], -c["mAP@0.25"]))
+    for c in results:
+        print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
+              f"refine={c['refine']} preds={c['num_predictions']:4d} "
+              f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
+    best = results[0]
+    print("\nbest:", json.dumps(best, default=float))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()
