@@ -62,6 +62,12 @@ def evaluate_benchmark(args) -> dict:
                 pred_b, out["pred_classes"][b],
                 confidence_threshold=args.threshold,
                 nms_threshold=args.nms)
+            if args.extent_slack is not None:
+                from room_slam_tpu.ops.refine import outside_extent_mask
+
+                keep = keep & ~outside_extent_mask(
+                    pred_b, db["raw"][b], db["length"][b],
+                    slack=args.extent_slack)
             keep = np.asarray(keep)
             boxes = np.asarray(pred_b)
             for q in np.where(keep)[0]:
@@ -240,6 +246,11 @@ def main():
     p.add_argument("--threshold", type=float, default=0.5,
                    help="confidence threshold for detection metrics")
     p.add_argument("--nms", type=float, default=0.3)
+    p.add_argument("--extent_slack", type=float, default=None,
+                   metavar="METERS",
+                   help="suppress predictions entirely outside the trace "
+                        "extent + this margin (single-room captures; see "
+                        "ops/refine.py outside_extent_mask)")
     p.add_argument("--refine", type=float, default=None, metavar="CLEARANCE",
                    help="trace-informed wall refinement before NMS, with "
                         "this walker-clearance prior in meters (agent: 0.3, "

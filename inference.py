@@ -51,7 +51,8 @@ def adapt_features(feats: np.ndarray, in_feat: int) -> np.ndarray:
 
 def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             confidence_threshold: float = 0.7, nms_threshold: float = 0.3,
-            refine_clearance: float | None = None):
+            refine_clearance: float | None = None,
+            extent_slack: float | None = None):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275).
 
@@ -101,6 +102,12 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             boxes0, out["pred_classes"][0],
             confidence_threshold=confidence_threshold,
             nms_threshold=nms_threshold)
+        if extent_slack is not None and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.refine import outside_extent_mask
+
+            keep = keep & ~outside_extent_mask(
+                boxes0, traces[0, :, :4],
+                jnp.sum(mask[0].astype(jnp.int32)), slack=extent_slack)
         return boxes0, keep, labels, conf
 
     boxes0, keep, labels, conf = run(
@@ -136,6 +143,11 @@ def main():
                         help="trace-informed wall refinement with this "
                              "walker-clearance prior in meters (agent: 0.3, "
                              "human: ~0.55)")
+    parser.add_argument("--extent_slack", type=float, default=None,
+                        metavar="METERS",
+                        help="suppress predictions entirely outside the "
+                             "trace extent + this margin (single-room "
+                             "captures)")
     args = parser.parse_args()
 
     print(f"Loading model from {args.checkpoint}")
@@ -146,7 +158,7 @@ def main():
         model, params, args.input,
         max_trace_len=cfg.data.max_trace_len,
         confidence_threshold=args.threshold, nms_threshold=args.nms,
-        refine_clearance=args.refine)
+        refine_clearance=args.refine, extent_slack=args.extent_slack)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

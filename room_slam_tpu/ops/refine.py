@@ -91,3 +91,36 @@ def refine_walls(
     cx = jnp.where(do_z, mid_x, cx)
 
     return jnp.stack([cx, cy, cz, sx, sy, sz], axis=-1)
+
+
+def outside_extent_mask(
+    boxes: jnp.ndarray,         # [Q, 6] (cx, cy, cz, sx, sy, sz)
+    raw: jnp.ndarray,           # [L, 4] the input trace
+    length: jnp.ndarray,        # [] valid length
+    slack: float = 1.0,         # plausible-region margin beyond the extent
+) -> jnp.ndarray:
+    """True for boxes whose XZ footprint lies ENTIRELY outside the plausible
+    room region (trace free-space extent expanded by ``slack``).
+
+    The walker's path is inside the room by construction, so everything a
+    single-room capture can contain intersects extent + (clearance + wall +
+    a little). A model trained with partial-coverage layouts (two-room
+    doorway traces) learns to extrapolate unseen annexes; on a single-room
+    capture those hallucinations land far outside the visited envelope and
+    this mask removes them before NMS. ``slack`` should be at least
+    clearance + wall thickness (~0.5 m for human captures); 1.0 m keeps
+    unvisited-corner furniture while dropping phantom rooms.
+
+    The reference has no analogue (its inference is threshold+NMS only,
+    src/benchmark/inference.py:130-197); pure jnp, composes under jit.
+    """
+    x_min, x_max, z_min, z_max = trace_extent(raw, length)
+    lo_x, hi_x = x_min - slack, x_max + slack
+    lo_z, hi_z = z_min - slack, z_max + slack
+    bx_min = boxes[:, 0] - boxes[:, 3] / 2
+    bx_max = boxes[:, 0] + boxes[:, 3] / 2
+    bz_min = boxes[:, 2] - boxes[:, 5] / 2
+    bz_max = boxes[:, 2] + boxes[:, 5] / 2
+    overlaps = ((bx_max >= lo_x) & (bx_min <= hi_x) &
+                (bz_max >= lo_z) & (bz_min <= hi_z))
+    return ~overlaps

@@ -57,13 +57,14 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
 
 
 def sweep(cached: dict, thresholds, nms_vals, refine_vals,
-          iou_thresholds=(0.5, 0.25)) -> list:
-    """Score every (threshold, nms, refine) cell from cached forwards."""
+          extent_vals=(None,), iou_thresholds=(0.5, 0.25)) -> list:
+    """Score every (threshold, nms, refine, extent) cell from cached
+    forwards."""
     import jax
     import jax.numpy as jnp
 
     from room_slam_tpu.ops.nms import post_process
-    from room_slam_tpu.ops.refine import refine_walls
+    from room_slam_tpu.ops.refine import outside_extent_mask, refine_walls
     from room_slam_tpu.train.metrics import average_precision_3d
 
     pred_labels_all = np.argmax(cached["pred_logits"], -1)
@@ -99,14 +100,25 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     gt_labels = np.concatenate([r[1] for r in gt_rows])
     gt_imgs = np.concatenate([np.full(len(r[0]), r[2]) for r in gt_rows])
 
+    @jax.jit
+    def _outside_all(boxes, raw, length, slack):
+        return jax.vmap(
+            lambda b, r, n: outside_extent_mask(b, r, n, slack=slack)
+        )(boxes, raw, length)
+
     results = []
-    for rf, thr, nm in itertools.product(refine_vals, thresholds, nms_vals):
+    for rf, thr, nm, ext in itertools.product(refine_vals, thresholds,
+                                              nms_vals, extent_vals):
         boxes = boxes_by_refine[rf]
         keep, labels, conf = (np.asarray(a) for a in _post_all(
             jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
             jnp.float32(thr), jnp.float32(nm)))
+        if ext is not None:
+            keep &= ~np.asarray(_outside_all(
+                jnp.asarray(boxes), jnp.asarray(cached["raw"]),
+                jnp.asarray(cached["length"]), jnp.float32(ext)))
         img_ids, flat = np.nonzero(keep)
-        cell = {"threshold": thr, "nms": nm, "refine": rf,
+        cell = {"threshold": thr, "nms": nm, "refine": rf, "extent": ext,
                 "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
@@ -132,6 +144,9 @@ def main():
     p.add_argument("--nms", default="0.1,0.3,0.5")
     p.add_argument("--refine", default="none,0.3,0.55",
                    help="comma list of wall-refine clearances; 'none' = off")
+    p.add_argument("--extent", default="none",
+                   help="comma list of extent-suppression slacks (m); "
+                        "'none' = off")
     p.add_argument("--device", choices=["cpu", "default"], default="cpu")
     p.add_argument("--output", default=None)
     args = p.parse_args()
@@ -144,14 +159,17 @@ def main():
     nms_vals = [float(x) for x in args.nms.split(",")]
     refine_vals = [None if x == "none" else float(x)
                    for x in args.refine.split(",")]
+    extent_vals = [None if x == "none" else float(x)
+                   for x in args.extent.split(",")]
 
     cached = _forward_val_set(args.checkpoint, args.data_dir,
                               args.batch_size)
-    results = sweep(cached, thresholds, nms_vals, refine_vals)
+    results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals)
     results.sort(key=lambda c: (-c["mAP@0.5"], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
-              f"refine={c['refine']} preds={c['num_predictions']:4d} "
+              f"refine={c['refine']} extent={c['extent']} "
+              f"preds={c['num_predictions']:4d} "
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
     best = results[0]
     print("\nbest:", json.dumps(best, default=float))

@@ -25,16 +25,18 @@ import numpy as np
 def score_checkpoint(checkpoint: str, data_dir: str, batch_size: int = 8,
                      iou_thresh: float = 0.5, threshold: float = 0.5,
                      nms: float = 0.3,
-                     refine_clearance: float | None = None) -> Dict:
+                     refine_clearance: float | None = None,
+                     extent_slack: float | None = None) -> Dict:
     """Hungarian-aligned metrics + 3D mAP for one checkpoint.
 
-    ``refine_clearance`` enables the trace-informed wall refinement
-    (ops/refine.py) before NMS — applied identically to every checkpoint
-    scored, so comparisons stay apples-to-apples."""
+    ``refine_clearance`` enables the trace-informed wall refinement and
+    ``extent_slack`` the outside-extent suppression (ops/refine.py) — each
+    applied identically to every checkpoint scored, so comparisons stay
+    apples-to-apples."""
     from room_slam_tpu.data.dataset import TraceColliderArrays
     from room_slam_tpu.data.features import featurize
     from room_slam_tpu.ops.nms import post_process
-    from room_slam_tpu.ops.refine import refine_walls
+    from room_slam_tpu.ops.refine import outside_extent_mask, refine_walls
     from room_slam_tpu.train.driver import load_model_for_inference
     from room_slam_tpu.train.loop import make_forward
     from room_slam_tpu.train.metrics import (average_precision_3d,
@@ -68,6 +70,10 @@ def score_checkpoint(checkpoint: str, data_dir: str, batch_size: int = 8,
             keep, labels, conf = post_process(
                 pred_b, out["pred_classes"][b],
                 confidence_threshold=threshold, nms_threshold=nms)
+            if extent_slack is not None:
+                keep = keep & ~outside_extent_mask(
+                    pred_b, db["raw"][b], db["length"][b],
+                    slack=extent_slack)
             keep = np.asarray(keep)
             boxes = np.asarray(pred_b)
             for q in np.where(keep)[0]:
@@ -110,6 +116,10 @@ def main():
     p.add_argument("--refine", type=float, default=None, metavar="CLEARANCE",
                    help="apply trace-informed wall refinement (ops/refine.py)"
                         " to EVERY checkpoint scored")
+    p.add_argument("--extent_slack", type=float, default=None,
+                   metavar="METERS",
+                   help="suppress predictions entirely outside trace extent"
+                        " + margin, for EVERY checkpoint scored")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args()
 
@@ -119,7 +129,8 @@ def main():
         print(f"scoring {name}: {path}")
         results[name] = score_checkpoint(
             path, args.data_dir, args.batch_size, args.iou_thresh,
-            args.threshold, args.nms, refine_clearance=args.refine)
+            args.threshold, args.nms, refine_clearance=args.refine,
+            extent_slack=args.extent_slack)
 
     print(json.dumps(results, indent=2, default=float))
     names = list(results)

@@ -64,3 +64,32 @@ def test_non_block_labels_untouched():
         boxes, jnp.asarray(np.array([2], np.int32)),  # predicted MID
         jnp.asarray(raw), jnp.asarray(raw.shape[0])))
     np.testing.assert_allclose(out, np.asarray(boxes))
+
+
+def test_outside_extent_mask():
+    from room_slam_tpu.ops.refine import outside_extent_mask
+
+    raw = _trace()  # extent x in [-2, 2], z in [-3, 3]
+    boxes = jnp.asarray(np.array([
+        [0.0, 1.0, 0.0, 1.0, 1.0, 1.0],     # fully inside -> keep
+        [2.6, 1.0, 0.0, 0.4, 3.0, 6.0],     # wall just past extent -> keep
+        [6.0, 1.0, 0.0, 1.0, 1.0, 1.0],     # phantom annex box -> suppress
+        [0.0, 1.0, -9.0, 2.0, 1.0, 1.0],    # far -z hallucination -> drop
+        [3.2, 1.0, 0.0, 1.0, 1.0, 1.0],     # straddles the margin -> keep
+    ], np.float32))
+    out = outside_extent_mask(boxes, jnp.asarray(raw), jnp.asarray(64),
+                              slack=1.0)
+    assert np.array_equal(np.asarray(out),
+                          [False, False, True, True, False])
+
+
+def test_outside_extent_mask_uses_valid_length_only():
+    from room_slam_tpu.ops.refine import outside_extent_mask
+
+    raw = _trace()
+    raw[32:, 0] = 50.0  # padding garbage: must not widen the extent
+    boxes = jnp.asarray(
+        np.array([[40.0, 1.0, 0.0, 2.0, 1.0, 2.0]], np.float32))
+    out = outside_extent_mask(boxes, jnp.asarray(raw), jnp.asarray(32),
+                              slack=1.0)
+    assert bool(out[0])
