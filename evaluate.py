@@ -61,7 +61,7 @@ def evaluate_benchmark(args) -> dict:
             keep, labels, conf = post_process(
                 pred_b, out["pred_classes"][b],
                 confidence_threshold=args.threshold,
-                nms_threshold=args.nms)
+                nms_threshold=args.nms, consensus=args.consensus)
             if args.extent_slack is not None:
                 from room_slam_tpu.ops.refine import outside_extent_mask
 
@@ -246,6 +246,9 @@ def main():
     p.add_argument("--threshold", type=float, default=0.5,
                    help="confidence threshold for detection metrics")
     p.add_argument("--nms", type=float, default=0.3)
+    p.add_argument("--consensus", action="store_true",
+                   help="rescore detections by NMS cluster-size consensus "
+                        "(rank-only; see ops/nms.py post_process)")
     p.add_argument("--extent_slack", type=float, default=None,
                    metavar="METERS",
                    help="suppress predictions entirely outside the trace "

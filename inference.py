@@ -52,7 +52,8 @@ def adapt_features(feats: np.ndarray, in_feat: int) -> np.ndarray:
 def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             confidence_threshold: float = 0.7, nms_threshold: float = 0.3,
             refine_clearance: float | None = None,
-            extent_slack: float | None = None):
+            extent_slack: float | None = None,
+            consensus: bool = False):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275).
 
@@ -101,7 +102,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         keep, labels, conf = post_process(
             boxes0, out["pred_classes"][0],
             confidence_threshold=confidence_threshold,
-            nms_threshold=nms_threshold)
+            nms_threshold=nms_threshold, consensus=consensus)
         if extent_slack is not None and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import outside_extent_mask
 
@@ -143,6 +144,9 @@ def main():
                         help="trace-informed wall refinement with this "
                              "walker-clearance prior in meters (agent: 0.3, "
                              "human: ~0.55)")
+    parser.add_argument("--consensus", action="store_true",
+                        help="rescore detections by NMS cluster-size "
+                             "consensus (rank-only)")
     parser.add_argument("--extent_slack", type=float, default=None,
                         metavar="METERS",
                         help="suppress predictions entirely outside the "
@@ -158,7 +162,8 @@ def main():
         model, params, args.input,
         max_trace_len=cfg.data.max_trace_len,
         confidence_threshold=args.threshold, nms_threshold=args.nms,
-        refine_clearance=args.refine, extent_slack=args.extent_slack)
+        refine_clearance=args.refine, extent_slack=args.extent_slack,
+        consensus=args.consensus)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -162,13 +162,17 @@ def sample_room(
         # BLOCK mostly near-ceiling with an occasional chest-height one)
         kh1, kh2, kh3 = jax.random.split(ks, 3)
         h_low = jax.random.uniform(kh1, (), minval=0.25, maxval=0.65)
-        h_mid = jax.random.uniform(kh1, (), minval=0.65, maxval=1.2)
-        h_high = jax.random.uniform(kh1, (), minval=1.5, maxval=2.3)
+        h_mid = jax.random.uniform(
+            jax.random.fold_in(kh1, 1), (), minval=0.65, maxval=1.2)
+        h_high = jax.random.uniform(
+            jax.random.fold_in(kh1, 2), (), minval=1.5, maxval=2.3)
         blk_tall = jax.random.uniform(kh2, ()) > 0.25
         h_blk = jnp.where(
             blk_tall,
-            wall_h * jax.random.uniform(kh1, (), minval=0.78, maxval=1.0),
-            jax.random.uniform(kh1, (), minval=0.9, maxval=1.4))
+            wall_h * jax.random.uniform(
+                jax.random.fold_in(kh1, 3), (), minval=0.78, maxval=1.0),
+            jax.random.uniform(
+                jax.random.fold_in(kh1, 4), (), minval=0.9, maxval=1.4))
         h = jnp.where(cls == _LOW, h_low,
                       jnp.where(cls == _MID, h_mid,
                                 jnp.where(cls == _HIGH, h_high, h_blk)))
@@ -301,26 +305,35 @@ def simulate_trace(
     ang0 = jax.random.uniform(k0, (), minval=0.0, maxval=2 * math.pi)
     pos0 = jnp.zeros((2,))
     y_base = (
-        jax.random.uniform(ky, (), minval=0.7, maxval=0.9)
+        jax.random.uniform(ky, (), minval=0.45, maxval=0.9)
         if human
         else jnp.float32(AGENT_Y)
     )
-    # humans keep more personal distance from obstacles than the robot's
-    # collider radius, and wander at varying pace (the real captures stay
-    # ~0.5 m off the walls); the Unity agent hugs at its capsule radius and
-    # walks at constant speed (ThirdPersonController.cs:19). Clearance is
-    # per box: walls get the big personal-space margin, furniture a modest
-    # one (a too-large furniture margin would close walk corridors — closed
-    # passages are merely unreachable, never deadlocks, because candidate
-    # positions inside expanded boxes are rejected before being entered).
+    # humans hold the phone anywhere between hip and head and keep a
+    # per-wall distance that depends on what stands in the way — the real
+    # capture (dataset/val) hugs two walls at ~0 clearance and stays 0.76 m
+    # off a furniture-lined one, ambling at median 0.24 m/s with y mean
+    # 0.52 +/- 0.30. Clearance is therefore drawn PER WALL SLOT (0.05-0.8)
+    # and the pace log-uniform around the observed median; furniture gets a
+    # modest fixed margin (a too-large furniture margin would close walk
+    # corridors — closed passages are merely unreachable, never deadlocks,
+    # because candidate positions inside expanded boxes are rejected before
+    # being entered). The Unity agent hugs at its capsule radius and walks
+    # at constant speed (ThirdPersonController.cs:19).
     M = boxes.shape[0]
     if human:
-        wall_r = jax.random.uniform(kr, (), minval=0.4, maxval=0.7)
+        wall_r = jax.random.uniform(kr, (N_WALL_SLOTS,), minval=0.05,
+                                    maxval=0.8)
         furn_r = jax.random.uniform(
-            jax.random.fold_in(kr, 2), (), minval=0.3, maxval=0.4)
-        radius = jnp.where(jnp.arange(M) < N_WALL_SLOTS, wall_r, furn_r)
-        speed0 = jax.random.uniform(
-            jax.random.fold_in(kr, 1), (), minval=0.4, maxval=1.2)
+            jax.random.fold_in(kr, 2), (), minval=0.25, maxval=0.4)
+        radius = jnp.concatenate(
+            [wall_r, jnp.full((M - N_WALL_SLOTS,), 1.0) * furn_r])
+
+        def _pace(k):
+            return jnp.exp(jax.random.uniform(
+                k, (), minval=math.log(0.08), maxval=math.log(0.9)))
+
+        speed0 = _pace(jax.random.fold_in(kr, 1))
     else:
         radius = jnp.full((M,), AGENT_RADIUS, jnp.float32)
         speed0 = jnp.float32(WALK_SPEED)
@@ -335,11 +348,9 @@ def simulate_trace(
             ang,
         )
         if human:
-            # re-draw pace at each heading change
-            speed = jnp.where(
-                turn,
-                jax.random.uniform(ks, (), minval=0.3, maxval=1.5),
-                speed)
+            # re-draw pace at each heading change (log-uniform: ambles and
+            # near-pauses dominate, brisk walking is the tail)
+            speed = jnp.where(turn, _pace(ks), speed)
         until_turn = jnp.where(
             turn,
             TURN_INTERVAL * jax.random.uniform(kt, (), minval=0.6,
@@ -364,11 +375,18 @@ def simulate_trace(
         step, (pos0, ang0, jnp.float32(0.0), speed0), skeys)
 
     t = jnp.arange(num_steps, dtype=jnp.float32) * dt
-    # human head height bobs slightly; the Unity agent records a constant y
-    y = y_base + (
-        0.03 * jnp.sin(t * 1.7) + 0.01 * jnp.sin(t * 5.3) if human else 0.0
-    )
-    y = jnp.broadcast_to(y, (num_steps,))
+    # the hand-held phone wanders vertically (pointing down at the floor,
+    # raising to scan) — slow multi-sinusoid wander matching the real
+    # capture's y std ~0.3 — while the Unity agent records a constant y
+    if human:
+        kw1, kw2 = jax.random.split(jax.random.fold_in(ky, 1))
+        amp = jax.random.uniform(kw1, (), minval=0.1, maxval=0.3)
+        ph = jax.random.uniform(kw2, (2,), minval=0.0, maxval=2 * math.pi)
+        y = y_base + (amp * jnp.sin(t * 0.23 + ph[0])
+                      + 0.5 * amp * jnp.sin(t * 0.61 + ph[1])
+                      + 0.03 * jnp.sin(t * 1.7))
+    else:
+        y = jnp.broadcast_to(y_base, (num_steps,))
     return jnp.stack([path[:, 0], y, path[:, 1], t], axis=-1)
 
 

@@ -36,18 +36,44 @@ def nms_3d_mask(
     neg_inf = jnp.finfo(scores.dtype).min
     order = jnp.argsort(jnp.where(mask, scores, neg_inf))[::-1]
 
+    keep, _ = nms_3d_with_counts(boxes, scores, mask, iou_threshold)
+    return keep
+
+
+def nms_3d_with_counts(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    mask: jnp.ndarray,
+    iou_threshold: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS that also reports each kept box's cluster size — how many
+    candidates (itself included) it suppressed.
+
+    DETR-style query decoders emit several near-identical boxes for an
+    object they are sure about; the cluster size is a consensus vote that
+    stays informative even when every softmax confidence saturates at 1.0,
+    so it can re-rank detections for AP (see post_process consensus)."""
+    Q = boxes.shape[0]
+    iou = pairwise_iou_3d(boxes, boxes)
+    neg_inf = jnp.finfo(scores.dtype).min
+    order = jnp.argsort(jnp.where(mask, scores, neg_inf))[::-1]
+
     def body(i, carry):
-        keep, suppressed = carry
+        keep, suppressed, counts = carry
         idx = order[i]
         alive = (~suppressed[idx]) & mask[idx]
         keep = keep.at[idx].set(alive)
-        sup = (iou[idx] >= iou_threshold) & alive
-        return keep, suppressed | sup
+        sup = (iou[idx] >= iou_threshold) & alive & ~suppressed
+        counts = counts.at[idx].set(
+            jnp.where(alive, sup.sum(), 0).astype(jnp.int32))
+        return keep, suppressed | sup, counts
 
     keep = jnp.zeros((Q,), dtype=bool)
     suppressed = ~mask
-    keep, _ = jax.lax.fori_loop(0, Q, body, (keep, suppressed))
-    return keep
+    counts = jnp.zeros((Q,), dtype=jnp.int32)
+    keep, _, counts = jax.lax.fori_loop(
+        0, Q, body, (keep, suppressed, counts))
+    return keep, counts
 
 
 def post_process(
@@ -56,11 +82,18 @@ def post_process(
     confidence_threshold: float = 0.7,
     nms_threshold: float = 0.3,
     num_classes: int = 4,
+    consensus: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Confidence filter + per-class NMS (ref: inference.py:130-170).
 
     Args:
         pred_boxes: [Q, 6]; pred_logits: [Q, C].
+        consensus: rescore each kept detection by its NMS cluster size
+            (fraction of queries that voted for it) times its softmax
+            confidence — restores a usable ranking when the softmax
+            saturates at 1.0 for every query. Keep/labels are unchanged;
+            only the returned confidences (and hence downstream ranking /
+            thresholding) differ.
 
     Returns:
         (keep [Q] bool, labels [Q] int32, confidences [Q] float32).
@@ -71,9 +104,13 @@ def post_process(
     passed = conf > confidence_threshold
 
     def per_class(c):
-        return nms_3d_mask(
+        return nms_3d_with_counts(
             pred_boxes, conf, passed & (labels == c), nms_threshold)
 
-    keep_per_class = jax.vmap(per_class)(jnp.arange(num_classes))  # [C, Q]
+    keep_per_class, counts_per_class = jax.vmap(per_class)(
+        jnp.arange(num_classes))  # [C, Q] each
     keep = jnp.any(keep_per_class, axis=0)
+    if consensus:
+        counts = counts_per_class.sum(axis=0)  # one class kept each box
+        conf = conf * counts / pred_boxes.shape[0]
     return keep, labels, conf

@@ -54,9 +54,13 @@ def refine_walls(
 
     A box is an x-thin wall candidate if it's BLOCK, its x size is small,
     and elongated in z (and symmetrically for z-thin). The snapped plane is
-    extent +/- (clearance + thickness/2); the wall is stretched along its
-    long axis to the observed span + 2*clearance + thickness. Only applied
-    when the predicted center is within ``trust`` of the snapped plane.
+    extent +/- (clearance + thickness/2); the snapped wall's length along
+    its long axis is set to exactly the trace-implied room span (observed
+    extent + 2*clearance + thickness) — the extent pins the span just as it
+    pins the plane, and models hedging toward the average training-room
+    size otherwise leave multi-metre overhangs past the room corners. Only
+    applied when the predicted center is within ``trust`` of the snapped
+    plane.
     """
     x_min, x_max, z_min, z_max = trace_extent(raw, length)
     off = clearance + wall_thickness / 2
@@ -76,7 +80,7 @@ def refine_walls(
     do_x = thin_x & (jnp.abs(cx - snap_x) < trust)
     cx = jnp.where(do_x, snap_x, cx)
     sx = jnp.where(do_x, wall_thickness, sx)
-    sz = jnp.where(do_x, jnp.maximum(sz, span_z), sz)
+    sz = jnp.where(do_x, span_z, sz)
     cz = jnp.where(do_x, mid_z, cz)
 
     # --- z-thin walls (planes z = const)
@@ -87,7 +91,7 @@ def refine_walls(
     do_z = thin_z & (jnp.abs(boxes[:, 2] - snap_z) < trust)
     cz = jnp.where(do_z, snap_z, cz)
     sz = jnp.where(do_z, wall_thickness, sz)
-    sx = jnp.where(do_z, jnp.maximum(sx, span_x), sx)
+    sx = jnp.where(do_z, span_x, sx)
     cx = jnp.where(do_z, mid_x, cx)
 
     return jnp.stack([cx, cy, cz, sx, sy, sz], axis=-1)

@@ -19,6 +19,7 @@ scale is cheap on host).
 from __future__ import annotations
 
 import argparse
+import functools
 import itertools
 import json
 
@@ -57,9 +58,10 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
 
 
 def sweep(cached: dict, thresholds, nms_vals, refine_vals,
-          extent_vals=(None,), iou_thresholds=(0.5, 0.25)) -> list:
-    """Score every (threshold, nms, refine, extent) cell from cached
-    forwards."""
+          extent_vals=(None,), consensus_vals=(False,),
+          iou_thresholds=(0.5, 0.25)) -> list:
+    """Score every (threshold, nms, refine, extent, consensus) cell from
+    cached forwards."""
     import jax
     import jax.numpy as jnp
 
@@ -75,10 +77,11 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             lambda b, l, r, n: refine_walls(b, l, r, n, clearance=clearance)
         )(boxes, labels, raw, length)
 
-    @jax.jit
-    def _post_all(boxes, logits, thr, nms_thr):
+    @functools.partial(jax.jit, static_argnames=("consensus",))
+    def _post_all(boxes, logits, thr, nms_thr, consensus=False):
         return jax.vmap(lambda b, lg: post_process(
-            b, lg, confidence_threshold=thr, nms_threshold=nms_thr)
+            b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
+            consensus=consensus)
         )(boxes, logits)
 
     boxes_by_refine = {}
@@ -107,19 +110,19 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         )(boxes, raw, length)
 
     results = []
-    for rf, thr, nm, ext in itertools.product(refine_vals, thresholds,
-                                              nms_vals, extent_vals):
+    for rf, thr, nm, ext, cns in itertools.product(
+            refine_vals, thresholds, nms_vals, extent_vals, consensus_vals):
         boxes = boxes_by_refine[rf]
         keep, labels, conf = (np.asarray(a) for a in _post_all(
             jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
-            jnp.float32(thr), jnp.float32(nm)))
+            jnp.float32(thr), jnp.float32(nm), consensus=cns))
         if ext is not None:
             keep &= ~np.asarray(_outside_all(
                 jnp.asarray(boxes), jnp.asarray(cached["raw"]),
                 jnp.asarray(cached["length"]), jnp.float32(ext)))
         img_ids, flat = np.nonzero(keep)
         cell = {"threshold": thr, "nms": nm, "refine": rf, "extent": ext,
-                "num_predictions": int(keep.sum())}
+                "consensus": cns, "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
                 mAP, aps = average_precision_3d(
@@ -147,6 +150,9 @@ def main():
     p.add_argument("--extent", default="none",
                    help="comma list of extent-suppression slacks (m); "
                         "'none' = off")
+    p.add_argument("--consensus", default="off",
+                   help="'off', 'on', or 'off,on' to sweep cluster-size "
+                        "consensus rescoring")
     p.add_argument("--device", choices=["cpu", "default"], default="cpu")
     p.add_argument("--output", default=None)
     args = p.parse_args()
@@ -161,14 +167,17 @@ def main():
                    for x in args.refine.split(",")]
     extent_vals = [None if x == "none" else float(x)
                    for x in args.extent.split(",")]
+    consensus_vals = [x == "on" for x in args.consensus.split(",")]
 
     cached = _forward_val_set(args.checkpoint, args.data_dir,
                               args.batch_size)
-    results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals)
+    results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
+                    consensus_vals)
     results.sort(key=lambda c: (-c["mAP@0.5"], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
               f"refine={c['refine']} extent={c['extent']} "
+              f"cns={int(c['consensus'])} "
               f"preds={c['num_predictions']:4d} "
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
     best = results[0]

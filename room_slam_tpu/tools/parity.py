@@ -26,7 +26,8 @@ def score_checkpoint(checkpoint: str, data_dir: str, batch_size: int = 8,
                      iou_thresh: float = 0.5, threshold: float = 0.5,
                      nms: float = 0.3,
                      refine_clearance: float | None = None,
-                     extent_slack: float | None = None) -> Dict:
+                     extent_slack: float | None = None,
+                     consensus: bool = False) -> Dict:
     """Hungarian-aligned metrics + 3D mAP for one checkpoint.
 
     ``refine_clearance`` enables the trace-informed wall refinement and
@@ -69,7 +70,8 @@ def score_checkpoint(checkpoint: str, data_dir: str, batch_size: int = 8,
                     clearance=refine_clearance)
             keep, labels, conf = post_process(
                 pred_b, out["pred_classes"][b],
-                confidence_threshold=threshold, nms_threshold=nms)
+                confidence_threshold=threshold, nms_threshold=nms,
+                consensus=consensus)
             if extent_slack is not None:
                 keep = keep & ~outside_extent_mask(
                     pred_b, db["raw"][b], db["length"][b],
@@ -120,6 +122,9 @@ def main():
                    metavar="METERS",
                    help="suppress predictions entirely outside trace extent"
                         " + margin, for EVERY checkpoint scored")
+    p.add_argument("--consensus", action="store_true",
+                   help="cluster-size consensus rescoring (rank-only), for "
+                        "EVERY checkpoint scored")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args()
 
@@ -130,7 +135,7 @@ def main():
         results[name] = score_checkpoint(
             path, args.data_dir, args.batch_size, args.iou_thresh,
             args.threshold, args.nms, refine_clearance=args.refine,
-            extent_slack=args.extent_slack)
+            extent_slack=args.extent_slack, consensus=args.consensus)
 
     print(json.dumps(results, indent=2, default=float))
     names = list(results)

@@ -72,3 +72,47 @@ def test_post_process_confidence_and_classes(rng):
     keep2, _, _ = post_process(
         jnp.asarray(dup), jnp.asarray(logits_same.astype(np.float32)))
     assert int(np.asarray(keep2).sum()) == 1
+
+
+def test_nms_counts_cluster_sizes():
+    from room_slam_tpu.ops.nms import nms_3d_with_counts
+
+    boxes = jnp.asarray(np.array([
+        [0.0, 0.0, 0.0, 1.0, 1.0, 1.0],    # cluster leader (3 votes)
+        [0.05, 0.0, 0.0, 1.0, 1.0, 1.0],   # near-duplicate
+        [0.0, 0.05, 0.0, 1.0, 1.0, 1.0],   # near-duplicate
+        [5.0, 0.0, 0.0, 1.0, 1.0, 1.0],    # lone detection (1 vote)
+    ], np.float32))
+    scores = jnp.asarray(np.array([0.9, 0.8, 0.7, 0.6], np.float32))
+    keep, counts = nms_3d_with_counts(
+        boxes, scores, jnp.ones(4, bool), iou_threshold=0.5)
+    assert np.asarray(keep).tolist() == [True, False, False, True]
+    assert np.asarray(counts).tolist() == [3, 0, 0, 1]
+
+
+def test_post_process_consensus_reranks_only():
+    """Consensus rescoring must keep the same detections/labels and only
+    change the ranking scores (cluster votes x softmax confidence)."""
+    rng = np.random.default_rng(3)
+    Q = 12
+    boxes = np.zeros((Q, 6), np.float32)
+    boxes[:, 3:] = 1.0
+    boxes[:6, 0] = rng.normal(0.0, 0.02, 6)      # 6-vote cluster at origin
+    boxes[6:, 0] = np.arange(6) * 5.0 + 10.0     # singletons
+    logits = np.zeros((Q, 4), np.float32)
+    logits[:, 0] = 10.0                          # saturated confidence
+    keep0, lab0, conf0 = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits),
+        confidence_threshold=0.3, nms_threshold=0.3)
+    keep1, lab1, conf1 = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits),
+        confidence_threshold=0.3, nms_threshold=0.3, consensus=True)
+    assert np.array_equal(np.asarray(keep0), np.asarray(keep1))
+    assert np.array_equal(np.asarray(lab0), np.asarray(lab1))
+    k = np.where(np.asarray(keep1))[0]
+    cluster = k[np.asarray(boxes)[k, 0] < 1.0][0]
+    single = k[np.asarray(boxes)[k, 0] > 1.0][0]
+    # raw confidences tie at ~1.0; consensus breaks the tie toward the
+    # multi-vote cluster
+    assert float(conf0[cluster]) == float(conf0[single])
+    assert float(conf1[cluster]) > float(conf1[single])

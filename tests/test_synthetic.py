@@ -127,3 +127,24 @@ def test_batched_generation_and_roundtrip(tmp_path):
     b, l = formats.load_colliders_json(pairs[0][1])
     # 4 walls + whatever furniture survived corridor rejection (>= 1)
     assert b.shape[1] == 6 and b.shape[0] >= 5
+
+
+def test_human_walker_matches_real_capture_stats():
+    """The v6 human walker's pace and phone-height statistics bracket the
+    real capture (dataset/val human trace: speed median 0.24 m/s, y mean
+    0.52 std 0.30, per-wall clearance 0..0.76)."""
+    boxes, labels, valid = synthetic.sample_room(jax.random.key(3))
+    med_speeds, y_stds, y_means = [], [], []
+    for s in range(6):
+        raw = np.asarray(synthetic.simulate_trace(
+            jax.random.key(100 + s), boxes, valid, num_steps=2000,
+            hz=37.0, human=True))
+        dt = np.diff(raw[:, 3])
+        sp = np.linalg.norm(np.diff(raw[:, :3], axis=0), axis=1) / dt
+        med_speeds.append(np.median(sp))
+        y_stds.append(raw[:, 1].std())
+        y_means.append(raw[:, 1].mean())
+    # medians across rooms bracket the real capture's statistics
+    assert 0.08 <= np.median(med_speeds) <= 0.9
+    assert 0.05 <= np.median(y_stds) <= 0.45
+    assert 0.2 <= np.median(y_means) <= 1.1
