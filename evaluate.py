@@ -58,10 +58,12 @@ def evaluate_benchmark(args) -> dict:
                     pred_b, jnp.argmax(out["pred_classes"][b], -1),
                     db["raw"][b], db["length"][b],
                     clearance=args.refine)
+            obj = out.get("pred_objectness")
             keep, labels, conf = post_process(
                 pred_b, out["pred_classes"][b],
                 confidence_threshold=args.threshold,
-                nms_threshold=args.nms, consensus=args.consensus)
+                nms_threshold=args.nms, consensus=args.consensus,
+                objectness=None if obj is None else obj[b])
             if args.extent_slack is not None:
                 from room_slam_tpu.ops.refine import outside_extent_mask
 

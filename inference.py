@@ -99,10 +99,12 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
                 boxes0, jnp.argmax(out["pred_classes"][0], -1),
                 traces[0, :, :4], jnp.sum(mask[0].astype(jnp.int32)),
                 clearance=refine_clearance)
+        obj = out.get("pred_objectness")
         keep, labels, conf = post_process(
             boxes0, out["pred_classes"][0],
             confidence_threshold=confidence_threshold,
-            nms_threshold=nms_threshold, consensus=consensus)
+            nms_threshold=nms_threshold, consensus=consensus,
+            objectness=None if obj is None else obj[0])
         if extent_slack is not None and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import outside_extent_mask
 

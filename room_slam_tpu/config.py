@@ -77,6 +77,13 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # use the Pallas fused recurrence kernel when on TPU
     use_pallas_rnn: bool = True
+    # add a sigmoid no-object head trained on the Hungarian match indicator.
+    # Off (the default) reproduces the reference architecture exactly; on, it
+    # fixes ranked-AP collapse from saturated softmax confidences (the
+    # reference ranks by max softmax over 4 real classes,
+    # src/benchmark/inference.py:138-143, which cannot separate matched from
+    # hallucinated queries). See models/lstm.py SimpleQueryDecoder.
+    objectness: bool = False
 
 
 @dataclass
@@ -98,6 +105,9 @@ class TrainConfig:
     # auxiliary XZ-footprint GIoU weight (0.0 = reference loss exactly;
     # furniture box error is footprint-dominated, see ops/iou.iou_giou_2d_xz)
     footprint_weight: float = 0.0
+    # BCE weight for the no-object head; only active when model.objectness
+    # adds the head (the loss keys off the model's pred_objectness output)
+    objectness_weight: float = 1.0
     # LR schedule: 'plateau' (the reference's active ReduceLROnPlateau) or
     # 'cosine' (the warmup+cosine lr_lambda the reference defines but never
     # plugs in, train.py:447-458)

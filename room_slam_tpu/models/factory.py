@@ -27,6 +27,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             dim_feedforward=cfg.dim_feedforward,
             dropout=cfg.dropout,
             num_classes=cfg.num_classes,
+            objectness=cfg.objectness,
         )
     if t == "lstm":
         return TraceToColliderLSTM(
@@ -36,6 +37,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             dropout=cfg.dropout,
             num_classes=cfg.num_classes,
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
+            objectness=cfg.objectness,
         )
     if t == "bigru":
         from room_slam_tpu.models.gru import TraceToColliderGRU
@@ -47,6 +49,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             dropout=cfg.dropout,
             num_classes=cfg.num_classes,
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
+            objectness=cfg.objectness,
         )
     if t == "gru":
         from room_slam_tpu.models.legacy_gru import RoomSlamGRU

@@ -78,6 +78,7 @@ class TraceToColliderGRU(nn.Module):
     dropout: float = 0.1
     num_classes: int = 4
     use_pallas: bool = False
+    objectness: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -88,10 +89,14 @@ class TraceToColliderGRU(nn.Module):
             use_pallas=self.use_pallas,
             name="encoder",
         )(traces, mask, deterministic)
-        boxes, classes = SimpleQueryDecoder(
+        outs = SimpleQueryDecoder(
             d_model=self.d_model,
             num_queries=self.num_queries,
             num_classes=self.num_classes,
+            objectness=self.objectness,
             name="decoder",
         )(memory, coords, mean, scale, mask)
-        return {"pred_boxes": boxes, "pred_classes": classes}
+        out = {"pred_boxes": outs[0], "pred_classes": outs[1]}
+        if self.objectness:
+            out["pred_objectness"] = outs[2]
+        return out

@@ -98,6 +98,14 @@ class SimpleQueryDecoder(nn.Module):
     d_model: int = 128
     num_queries: int = 30
     num_classes: int = 4
+    # Optional no-object head. The reference ranks detections by max softmax
+    # prob over the 4 REAL classes (src/benchmark/inference.py:138-143), which
+    # saturates at ~1.0 for every query — matched or hallucinated — so ranked
+    # AP collapses even when matcher-aligned F1 is high. A sigmoid objectness
+    # logit trained on the Hungarian match indicator restores a usable
+    # ranking (DETR's background-class trick, adapted as a separate head so
+    # the class-head layout stays checkpoint-compatible with the reference).
+    objectness: bool = False
 
     @nn.compact
     def __call__(
@@ -107,7 +115,7 @@ class SimpleQueryDecoder(nn.Module):
         mean: jnp.ndarray,     # [B, 1, 3]
         scale: jnp.ndarray,    # [B, 1, 1]
         mask: Optional[jnp.ndarray] = None,  # [B, N]
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ) -> Tuple[jnp.ndarray, ...]:
         B, N, D = memory.shape
         queries = self.param(
             "query_embed", nn.initializers.normal(1.0),
@@ -149,6 +157,9 @@ class SimpleQueryDecoder(nn.Module):
         size = size_norm * scale
         boxes = jnp.concatenate([center, size], axis=-1)
         classes = dense(decoded, self.num_classes, name="class_head")
+        if self.objectness:
+            obj = dense(decoded, 1, name="objectness_head")[..., 0]
+            return boxes, classes, obj
         return boxes, classes
 
 
@@ -161,6 +172,7 @@ class TraceToColliderLSTM(nn.Module):
     dropout: float = 0.1
     num_classes: int = 4
     use_pallas: bool = False
+    objectness: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -171,10 +183,14 @@ class TraceToColliderLSTM(nn.Module):
             use_pallas=self.use_pallas,
             name="encoder",
         )(traces, mask, deterministic)
-        boxes, classes = SimpleQueryDecoder(
+        outs = SimpleQueryDecoder(
             d_model=self.d_model,
             num_queries=self.num_queries,
             num_classes=self.num_classes,
+            objectness=self.objectness,
             name="decoder",
         )(memory, coords, mean, scale, mask)
-        return {"pred_boxes": boxes, "pred_classes": classes}
+        out = {"pred_boxes": outs[0], "pred_classes": outs[1]}
+        if self.objectness:
+            out["pred_objectness"] = outs[2]
+        return out

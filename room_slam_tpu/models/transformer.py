@@ -117,12 +117,14 @@ class ColliderDecoder(nn.Module):
     dim_feedforward: int = 512
     dropout: float = 0.1
     num_classes: int = 4
+    # optional no-object head (see models/lstm.py SimpleQueryDecoder)
+    objectness: bool = False
 
     @nn.compact
     def __call__(
         self, memory, coords, mean, scale, mask=None,
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ) -> Tuple[jnp.ndarray, ...]:
         B, N, D = memory.shape
         queries = self.param(
             "query_embed", nn.initializers.normal(1.0),
@@ -153,6 +155,9 @@ class ColliderDecoder(nn.Module):
         size = size_norm * scale
         boxes = jnp.concatenate([center, size], axis=-1)
         classes = dense(tgt, self.num_classes, name="class_head")
+        if self.objectness:
+            obj = dense(tgt, 1, name="objectness_head")[..., 0]
+            return boxes, classes, obj
         return boxes, classes
 
 
@@ -167,6 +172,7 @@ class TraceToColliderTransformer(nn.Module):
     dim_feedforward: int = 512
     dropout: float = 0.1
     num_classes: int = 4
+    objectness: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -178,7 +184,7 @@ class TraceToColliderTransformer(nn.Module):
             dropout=self.dropout,
             name="encoder",
         )(traces, mask, deterministic)
-        boxes, classes = ColliderDecoder(
+        outs = ColliderDecoder(
             d_model=self.d_model,
             nhead=self.nhead,
             num_layers=self.num_decoder_layers,
@@ -186,6 +192,10 @@ class TraceToColliderTransformer(nn.Module):
             dim_feedforward=self.dim_feedforward,
             dropout=self.dropout,
             num_classes=self.num_classes,
+            objectness=self.objectness,
             name="decoder",
         )(memory, coords, mean, scale, mask, deterministic)
-        return {"pred_boxes": boxes, "pred_classes": classes}
+        out = {"pred_boxes": outs[0], "pred_classes": outs[1]}
+        if self.objectness:
+            out["pred_objectness"] = outs[2]
+        return out

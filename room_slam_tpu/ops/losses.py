@@ -140,6 +140,23 @@ def set_criterion(
         footprint_loss = _weighted_mean(1.0 - giou2d, pair_w)
         out["footprint_loss"] = footprint_loss
         total = total + fw * footprint_loss
+    # optional no-object head: BCE on the Hungarian match indicator over ALL
+    # query slots (1 = this query was matched to a valid GT). Active only
+    # when the model emits pred_objectness (model.objectness=True); the
+    # reference has no analog — its softmax confidence saturates and cannot
+    # rank detections (see models/lstm.py SimpleQueryDecoder).
+    if "pred_objectness" in outputs:
+        obj_logits = outputs["pred_objectness"]  # [B, Q]
+        slot_target = jnp.zeros((B, Q), dtype=pred_boxes.dtype)
+        slot_target = jax.vmap(
+            lambda st, r, m: st.at[r].max(m.astype(st.dtype)))(
+            slot_target, rows, matched)
+        bce = optax_sigmoid_bce(obj_logits, slot_target)
+        objectness_loss = _weighted_mean(
+            bce, jnp.broadcast_to(sample_weight[:, None], bce.shape))
+        out["objectness_loss"] = objectness_loss
+        total = total + loss_weights.get("objectness_loss", 1.0) * \
+            objectness_loss
     out["total_loss"] = total
     return out
 

@@ -83,6 +83,7 @@ def post_process(
     nms_threshold: float = 0.3,
     num_classes: int = 4,
     consensus: bool = False,
+    objectness: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Confidence filter + per-class NMS (ref: inference.py:130-170).
 
@@ -94,12 +95,18 @@ def post_process(
             saturates at 1.0 for every query. Keep/labels are unchanged;
             only the returned confidences (and hence downstream ranking /
             thresholding) differ.
+        objectness: optional [Q] no-object logits (models trained with
+            model.objectness=True). Confidence becomes
+            ``softmax maxprob * sigmoid(objectness)`` — the trained ranking
+            signal, applied before thresholding and NMS ordering.
 
     Returns:
         (keep [Q] bool, labels [Q] int32, confidences [Q] float32).
     """
     probs = jax.nn.softmax(pred_logits, axis=-1)
     conf = jnp.max(probs, axis=-1)
+    if objectness is not None:
+        conf = conf * jax.nn.sigmoid(objectness)
     labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     passed = conf > confidence_threshold
 

@@ -49,6 +49,9 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
         keepers = np.where(batch["weight"] != 0)[0]
         rows["pred_boxes"].append(np.asarray(out["pred_boxes"])[keepers])
         rows["pred_logits"].append(np.asarray(out["pred_classes"])[keepers])
+        if "pred_objectness" in out:
+            rows.setdefault("pred_objectness", []).append(
+                np.asarray(out["pred_objectness"])[keepers])
         for k in ("raw", "length"):
             rows[k].append(batch[k][keepers])
         rows["gt_boxes"].append(batch["boxes"][keepers])
@@ -77,12 +80,19 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             lambda b, l, r, n: refine_walls(b, l, r, n, clearance=clearance)
         )(boxes, labels, raw, length)
 
+    obj_all = cached.get("pred_objectness")  # [B, Q] or None
+
     @functools.partial(jax.jit, static_argnames=("consensus",))
     def _post_all(boxes, logits, thr, nms_thr, consensus=False):
-        return jax.vmap(lambda b, lg: post_process(
+        if obj_all is None:
+            return jax.vmap(lambda b, lg: post_process(
+                b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
+                consensus=consensus)
+            )(boxes, logits)
+        return jax.vmap(lambda b, lg, o: post_process(
             b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
-            consensus=consensus)
-        )(boxes, logits)
+            consensus=consensus, objectness=o)
+        )(boxes, logits, jnp.asarray(obj_all))
 
     boxes_by_refine = {}
     for rf in refine_vals:

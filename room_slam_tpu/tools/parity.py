@@ -68,10 +68,12 @@ def score_checkpoint(checkpoint: str, data_dir: str, batch_size: int = 8,
                     pred_b, jnp.argmax(out["pred_classes"][b], -1),
                     db["raw"][b], db["length"][b],
                     clearance=refine_clearance)
+            obj = out.get("pred_objectness")
             keep, labels, conf = post_process(
                 pred_b, out["pred_classes"][b],
                 confidence_threshold=threshold, nms_threshold=nms,
-                consensus=consensus)
+                consensus=consensus,
+                objectness=None if obj is None else obj[b])
             if extent_slack is not None:
                 keep = keep & ~outside_extent_mask(
                     pred_b, db["raw"][b], db["length"][b],

@@ -132,6 +132,7 @@ def _loss_weight_dict(cfg: ExperimentConfig) -> Dict[str, float]:
         "l1_loss": cfg.train.loss_weights[1],
         "giou_loss": cfg.train.loss_weights[2],
         "footprint_loss": cfg.train.footprint_weight,
+        "objectness_loss": cfg.train.objectness_weight,
     }
 
 
@@ -449,6 +450,9 @@ def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
         "class_loss": cfg.train.loss_weights[0],
         "l1_loss": cfg.train.loss_weights[1],
         "giou_loss": cfg.train.loss_weights[2],
+        # keep val_loss comparable to the reference's validate():
+        # auxiliary heads are monitored but excluded from the val total
+        "objectness_loss": 0.0,
     }
 
     @jax.jit

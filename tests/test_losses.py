@@ -148,3 +148,50 @@ def test_footprint_giou_and_aux_loss(rng):
         float(with_fp["total_loss"]),
         float(base["total_loss"]) + 1.5 * float(with_fp["footprint_loss"]),
         rtol=1e-5)
+
+
+def test_objectness_bce_targets_match_indicator(rng):
+    """The objectness BCE target is 1 exactly for the query slots the
+    Hungarian matcher paired with a valid GT; the loss only enters the
+    total when the model emits pred_objectness."""
+    from room_slam_tpu.ops.losses import match, set_criterion
+
+    B, Q, M, C = 2, 6, 4, 4
+    pb = rng.normal(size=(B, Q, 6)).astype(np.float32)
+    pl = rng.normal(size=(B, Q, C)).astype(np.float32)
+    gt_b = rng.normal(size=(B, M, 6)).astype(np.float32)
+    gt_l = rng.integers(0, C, size=(B, M)).astype(np.int32)
+    valid = np.array([[1, 1, 0, 0], [1, 1, 1, 1]], dtype=bool)
+
+    outputs = {"pred_boxes": jnp.asarray(pb), "pred_classes": jnp.asarray(pl)}
+    targets = {"boxes": jnp.asarray(gt_b), "labels": jnp.asarray(gt_l),
+               "valid_mask": jnp.asarray(valid)}
+    base = set_criterion(outputs, targets)
+    assert "objectness_loss" not in base
+
+    rows, matched = match(outputs["pred_boxes"], outputs["pred_classes"],
+                          targets["boxes"], targets["labels"],
+                          targets["valid_mask"])
+    rows, matched = np.asarray(rows), np.asarray(matched)
+
+    # logits that agree perfectly with the match indicator -> tiny BCE;
+    # inverted logits -> large BCE
+    good = np.full((B, Q), -20.0, np.float32)
+    for b in range(B):
+        good[b, rows[b][matched[b]]] = 20.0
+    lo = set_criterion({**outputs, "pred_objectness": jnp.asarray(good)},
+                       targets)
+    hi = set_criterion({**outputs, "pred_objectness": jnp.asarray(-good)},
+                       targets)
+    assert float(lo["objectness_loss"]) < 1e-6
+    assert float(hi["objectness_loss"]) > 10.0
+    assert float(lo["total_loss"]) == pytest.approx(
+        float(base["total_loss"]) + float(lo["objectness_loss"]), rel=1e-5)
+    # weight plumbed through loss_weights
+    w = set_criterion({**outputs, "pred_objectness": jnp.asarray(-good)},
+                      targets,
+                      loss_weights={"class_loss": 2.0, "l1_loss": 5.0,
+                                    "giou_loss": 2.0,
+                                    "objectness_loss": 0.0})
+    assert float(w["total_loss"]) == pytest.approx(
+        float(base["total_loss"]), rel=1e-5)

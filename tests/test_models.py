@@ -175,3 +175,30 @@ def test_param_counts_match_reference():
                       use_pallas_rnn=False)
     n = count_parameters(init_params(build_model(cfg), cfg))
     assert n == 370_443 - 1_024, n
+
+
+@pytest.mark.parametrize("model_type", ["lstm", "transformer", "bigru"])
+def test_objectness_head(model_type, rng):
+    """model.objectness adds a [B, Q] logit output; off leaves the output
+    dict (and param tree) identical to the reference architecture."""
+    cfg = ModelConfig(model_type=model_type, d_model=32, num_queries=8,
+                      enc_layers=1, dec_layers=1, dim_feedforward=64,
+                      use_pallas_rnn=False, objectness=True)
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=32)
+    B, N = 2, 32
+    traces = jnp.asarray(rng.normal(size=(B, N, 11)).astype(np.float32))
+    mask = jnp.ones((B, N), dtype=bool)
+    out = model.apply(params, traces, mask, deterministic=True)
+    assert out["pred_objectness"].shape == (B, cfg.num_queries)
+    assert bool(jnp.all(jnp.isfinite(out["pred_objectness"])))
+
+    cfg_off = ModelConfig(model_type=model_type, d_model=32, num_queries=8,
+                          enc_layers=1, dec_layers=1, dim_feedforward=64,
+                          use_pallas_rnn=False)
+    model_off = build_model(cfg_off)
+    params_off = init_params(model_off, cfg_off, seq_len=32)
+    out_off = model_off.apply(params_off, traces, mask, deterministic=True)
+    assert "pred_objectness" not in out_off
+    flat = jax.tree_util.tree_leaves_with_path(params_off)
+    assert not any("objectness" in jax.tree_util.keystr(p) for p, _ in flat)

@@ -116,3 +116,32 @@ def test_post_process_consensus_reranks_only():
     # multi-vote cluster
     assert float(conf0[cluster]) == float(conf0[single])
     assert float(conf1[cluster]) > float(conf1[single])
+
+
+def test_post_process_objectness_rescores(rng):
+    """sigmoid(objectness) multiplies the softmax confidence: a saturated
+    but no-object query drops below threshold, and ranking follows the
+    objectness signal."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    Q = 6
+    boxes = np.zeros((Q, 6), np.float32)
+    boxes[:, :3] = np.arange(Q)[:, None] * 10.0  # far apart: no suppression
+    boxes[:, 3:] = 1.0
+    logits = np.full((Q, 4), -10.0, np.float32)
+    logits[:, 1] = 10.0  # saturated softmax ~1.0 for class 1
+    obj = np.array([8.0, -8.0, 8.0, -8.0, 8.0, -8.0], np.float32)
+
+    keep0, _, conf0 = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits),
+        confidence_threshold=0.5, nms_threshold=0.3)
+    assert bool(keep0.all())  # without objectness everything saturates
+
+    keep, _, conf = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits),
+        confidence_threshold=0.5, nms_threshold=0.3,
+        objectness=jnp.asarray(obj))
+    keep, conf = np.asarray(keep), np.asarray(conf)
+    assert keep.tolist() == [True, False, True, False, True, False]
+    assert (conf[obj > 0] > 0.99).all() and (conf[obj < 0] < 0.01).all()
