@@ -20,6 +20,12 @@ Subcommands:
               configurable rate (the reference's iOS sender rate-limits to
               1-60 Hz, default 30 — ContentView.swift:108-112); serves as the
               test double for the phone
+    live    — record AND run the model on the growing trace every
+              ``--interval`` seconds, printing the current room estimate and
+              (optionally) rewriting a predictions JSON. The reference only
+              visualizes the live pose marker (FaceReceiver.cs:64-83); here
+              the fixed-shape jitted forward (one compile, reused every
+              refresh) makes live room inference practical while walking.
 """
 
 from __future__ import annotations
@@ -143,6 +149,106 @@ def replay(
     return n
 
 
+def live(
+    checkpoint: str,
+    host: str = "0.0.0.0",
+    port: int = DEFAULT_PORT,
+    interval: float = 2.0,
+    min_points: int = 50,
+    duration: Optional[float] = None,
+    max_points: Optional[int] = None,
+    output: Optional[str] = None,
+    threshold: float = 0.5,
+    nms: float = 0.3,
+    refine: Optional[float] = None,
+    extent_slack: Optional[float] = None,
+    consensus: bool = False,
+    flip_handedness: bool = True,
+) -> list:
+    """Streamed room inference: accumulate poses like ``record`` and rerun
+    the predictor on the full trace-so-far every ``interval`` seconds.
+
+    Returns the final prediction list. The predictor pads/downsamples to the
+    checkpoint's fixed max_trace_len, so every refresh after the first
+    reuses one compiled program (room_slam_tpu/predictor.py)."""
+    import numpy as np
+
+    from room_slam_tpu.data import formats
+    from room_slam_tpu.predictor import build_predictor
+    from room_slam_tpu.train.driver import load_model_for_inference
+
+    # bind BEFORE the (slow) model load so early packets queue in the
+    # kernel receive buffer instead of being dropped
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind((host, port))
+    sock.settimeout(0.2)
+
+    print(f"Loading model from {checkpoint}")
+    model, params, cfg = load_model_for_inference(checkpoint)
+    predict_array = build_predictor(
+        model, params, max_trace_len=cfg.data.max_trace_len,
+        confidence_threshold=threshold, nms_threshold=nms,
+        refine_clearance=refine, extent_slack=extent_slack,
+        consensus=consensus, verbose=False)
+    print(f"Live inference on {host}:{port} "
+          f"(refresh every {interval}s once {min_points}+ points) ...")
+    rows: List[List[float]] = []  # [x, y, z, t]
+    preds: list = []
+    t_start = None
+    t_wall = time.monotonic()
+    last_run = t_wall
+
+    def refresh(now: float) -> list:
+        p = predict_array(np.asarray(rows, dtype=np.float32))
+        summary = ", ".join(
+            f"{d['label']}@({d['center']['x']:.1f},{d['center']['z']:.1f})"
+            f":{d['confidence']:.2f}" for d in p[:6])
+        print(f"[t={now - t_wall:6.1f}s n={len(rows):5d}] "
+              f"{len(p)} colliders  {summary}")
+        if output:
+            formats.save_predictions_json(output, p, threshold, nms)
+        return p
+
+    try:
+        while True:
+            now = time.monotonic()
+            if duration is not None and now - t_wall > duration:
+                break
+            if max_points is not None and len(rows) >= max_points:
+                break
+            try:
+                data, _ = sock.recvfrom(4096)
+            except socket.timeout:
+                data = None
+            if data is not None:
+                try:
+                    pose = json.loads(data)
+                except json.JSONDecodeError:
+                    pose = None
+                if pose is not None:
+                    if t_start is None:
+                        t_start = now
+                    z = float(pose.get("z", 0.0))
+                    rows.append([
+                        float(pose.get("x", 0.0)),
+                        float(pose.get("y", 0.0)),
+                        -z if flip_handedness else z,
+                        now - t_start,
+                    ])
+            if len(rows) >= min_points and now - last_run >= interval:
+                preds = refresh(now)
+                last_run = time.monotonic()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        sock.close()
+
+    if len(rows) >= min_points:
+        preds = refresh(time.monotonic())
+    print(f"Final estimate: {len(preds)} colliders from {len(rows)} poses")
+    return preds
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -166,6 +272,25 @@ def main():
     ps.add_argument("--hz", type=float, default=30.0)
     ps.add_argument("--realtime", action="store_true")
 
+    pv = sub.add_parser("live")
+    pv.add_argument("--checkpoint", required=True)
+    pv.add_argument("--host", default="0.0.0.0")
+    pv.add_argument("--port", type=int, default=DEFAULT_PORT)
+    pv.add_argument("--interval", type=float, default=2.0,
+                    help="seconds between model refreshes")
+    pv.add_argument("--min_points", type=int, default=50)
+    pv.add_argument("--duration", type=float, default=None)
+    pv.add_argument("--max_points", type=int, default=None)
+    pv.add_argument("--output", default=None,
+                    help="predictions JSON, rewritten at each refresh")
+    pv.add_argument("--threshold", type=float, default=0.5)
+    pv.add_argument("--nms", type=float, default=0.3)
+    pv.add_argument("--refine", type=float, default=None,
+                    metavar="CLEARANCE")
+    pv.add_argument("--extent_slack", type=float, default=None,
+                    metavar="METERS")
+    pv.add_argument("--consensus", action="store_true")
+
     args = p.parse_args()
     if args.cmd == "listen":
         listen(args.host, args.port, args.max_packets)
@@ -176,6 +301,11 @@ def main():
         n = replay(args.trace_file, args.host, args.port, args.hz,
                    args.realtime)
         print(f"Sent {n} pose packets")
+    elif args.cmd == "live":
+        live(args.checkpoint, args.host, args.port, args.interval,
+             args.min_points, args.duration, args.max_points, args.output,
+             args.threshold, args.nms, args.refine, args.extent_slack,
+             args.consensus)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,131 @@
+"""Reusable single-trace predictor: featurize -> jitted forward+NMS -> dicts.
+
+Shared by the inference CLI (one file, one call) and the live UDP demo
+(data/ingest.py ``live``: many calls against a growing trace). The forward,
+optional wall refinement, NMS and extent suppression run as ONE jitted
+dispatch at the fixed shape [1, max_trace_len, F] (zero-padded + masked), so
+every call after the first reuses the compiled program regardless of how
+many points have arrived (ref: src/benchmark/inference.py:200-275).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from room_slam_tpu.data import formats
+from room_slam_tpu.data.features import process_traces_np
+from room_slam_tpu.ops.nms import post_process
+
+
+def model_input_dim(params, default: int = 11) -> int:
+    """Expected encoder input width, read from the checkpoint's input_proj
+    kernel — the source of truth even when the saved config disagrees
+    (ref: inference.py:242-252 reads encoder.input_proj.in_features)."""
+    import jax
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if ("input_proj" in keys and keys[-1] == "kernel"
+                and getattr(leaf, "ndim", 0) == 2):
+            return int(leaf.shape[0])
+    return default
+
+
+def adapt_features(feats: np.ndarray, in_feat: int) -> np.ndarray:
+    """Truncate/zero-pad the trailing feature dim to the model's expected
+    width, so an odd checkpoint (e.g. trained on raw 4-D [x,y,z,t]) still
+    runs (ref: inference.py:242-258)."""
+    cur = feats.shape[-1]
+    if cur == in_feat:
+        return feats
+    if cur > in_feat:
+        return feats[..., :in_feat]
+    pad = np.zeros((*feats.shape[:-1], in_feat - cur), feats.dtype)
+    return np.concatenate([feats, pad], axis=-1)
+
+
+def build_predictor(model, params, max_trace_len: int = 3000,
+                    confidence_threshold: float = 0.7,
+                    nms_threshold: float = 0.3,
+                    refine_clearance: float | None = None,
+                    extent_slack: float | None = None,
+                    consensus: bool = False,
+                    verbose: bool = True):
+    """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
+
+    The returned callable owns one jit-compiled program; call it as often
+    as desired (the live demo calls it every few seconds on the growing
+    trace)."""
+    import jax
+
+    @jax.jit
+    def run(params, traces, mask):
+        # mask-less fallback for models whose __call__ doesn't take a mask
+        # (ref: inference.py:261-265 TypeError fallback); the TypeError
+        # surfaces at trace time, so plain try/except works under jit
+        try:
+            out = model.apply(params, traces, mask, deterministic=True)
+        except TypeError:
+            out = model.apply(params, traces, deterministic=True)
+        boxes0 = out["pred_boxes"][0]
+        if refine_clearance is not None and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.refine import refine_walls
+
+            # feature columns 0..3 are (x, y, z, t) — the raw trace
+            boxes0 = refine_walls(
+                boxes0, jnp.argmax(out["pred_classes"][0], -1),
+                traces[0, :, :4], jnp.sum(mask[0].astype(jnp.int32)),
+                clearance=refine_clearance)
+        obj = out.get("pred_objectness")
+        keep, labels, conf = post_process(
+            boxes0, out["pred_classes"][0],
+            confidence_threshold=confidence_threshold,
+            nms_threshold=nms_threshold, consensus=consensus,
+            objectness=None if obj is None else obj[0])
+        if extent_slack is not None and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.refine import outside_extent_mask
+
+            keep = keep & ~outside_extent_mask(
+                boxes0, traces[0, :, :4],
+                jnp.sum(mask[0].astype(jnp.int32)), slack=extent_slack)
+        return boxes0, keep, labels, conf
+
+    adapted_once = [False]
+
+    def predict_array(arr: np.ndarray):
+        if arr.shape[0] == 0:
+            if verbose:
+                print("Warning: No traces found in file")
+            return []
+        if arr.shape[0] > max_trace_len and verbose:
+            print(f"Downsampling traces from {arr.shape[0]} to "
+                  f"{max_trace_len} points")
+        feats = process_traces_np(arr, max_len=max_trace_len)  # [n, 11]
+        in_feat = model_input_dim(params, default=feats.shape[-1])
+        if in_feat != feats.shape[-1]:
+            if verbose and not adapted_once[0]:
+                print(f"Adapting features from {feats.shape[-1]} to "
+                      f"{in_feat} dims to match the checkpoint")
+                adapted_once[0] = True
+            feats = adapt_features(feats, in_feat)
+        n = feats.shape[0]
+        padded = np.zeros((1, max_trace_len, in_feat), np.float32)
+        padded[0, :n] = feats
+        mask = np.zeros((1, max_trace_len), bool)
+        mask[0, :n] = True
+
+        boxes0, keep, labels, conf = run(
+            params, jnp.asarray(padded), jnp.asarray(mask))
+
+        keep = np.asarray(keep)
+        boxes = np.asarray(boxes0)
+        labels = np.asarray(labels)
+        conf = np.asarray(conf)
+        order = np.argsort(-conf * keep)
+        return [
+            formats.collider_to_dict(boxes[i], labels[i], conf[i])
+            for i in order if keep[i]
+        ]
+
+    return predict_array

@@ -121,3 +121,59 @@ def test_load_trace_json_uses_native_or_python(tmp_path):
     arr = formats.load_trace_json(p)
     np.testing.assert_allclose(
         arr, [[1.25, 2.5, -3.75, 0.5]], rtol=1e-6)
+
+
+def test_live_inference_over_udp(tmp_path):
+    """replay -> live: streamed poses produce a predictions JSON via the
+    shared fixed-shape predictor (ingest.py live, the reference's
+    FaceReceiver only shows the live marker — FaceReceiver.cs:64-83)."""
+    import jax
+    import jax.numpy as jnp
+
+    from room_slam_tpu.config import (DataConfig, ExperimentConfig,
+                                      ModelConfig)
+    from room_slam_tpu.models.factory import build_model, init_params
+    from room_slam_tpu.train.checkpoint import save_checkpoint
+
+    cfg = ExperimentConfig(
+        data=DataConfig(max_trace_len=64, max_colliders=8),
+        model=ModelConfig(model_type="lstm", d_model=16, num_queries=4,
+                          lstm_layers=1, use_pallas_rnn=False,
+                          objectness=True))
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=64)
+    ckpt = tmp_path / "ck" / "best_model"
+    save_checkpoint(ckpt, params, config=cfg)
+
+    rng = np.random.default_rng(3)
+    src = np.column_stack([
+        rng.normal(size=(40, 3)).astype(np.float32),
+        np.cumsum(rng.uniform(0.02, 0.05, size=40)).astype(np.float32)])
+    trace_file = tmp_path / "trace.json"
+    formats.save_trace_json(trace_file, src)
+
+    port = _free_port()
+    out_json = tmp_path / "live_preds.json"
+    result = {}
+
+    def runner():
+        result["preds"] = ingest.live(
+            str(ckpt), host="127.0.0.1", port=port, interval=0.2,
+            min_points=10, duration=30.0, max_points=40,
+            output=str(out_json), threshold=0.0)
+
+    th = threading.Thread(target=runner)
+    th.start()
+    import time
+
+    time.sleep(1.0)  # model load + socket bind
+    ingest.replay(str(trace_file), host="127.0.0.1", port=port, hz=0)
+    th.join(timeout=120)
+    assert not th.is_alive()
+    assert "preds" in result
+    saved = json.loads(out_json.read_text())
+    assert "colliders" in saved
+    # threshold 0 with an untrained model: every query slot survives NMS or
+    # not, but the pipeline must produce well-formed collider dicts
+    for c in saved["colliders"]:
+        assert set(c) >= {"label", "center", "size", "confidence"}
