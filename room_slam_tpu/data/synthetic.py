@@ -23,6 +23,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from room_slam_tpu.config import BENCH_LABELS
 from room_slam_tpu.data import formats
@@ -393,7 +394,7 @@ def simulate_trace(
 @functools.partial(
     jax.jit,
     static_argnames=("n_rooms", "num_steps", "max_colliders", "hz", "human",
-                     "multi_room_prob"))
+                     "multi_room_prob", "sim_steps"))
 def generate_rooms_and_traces(
     key: jax.Array,
     n_rooms: int,
@@ -402,21 +403,34 @@ def generate_rooms_and_traces(
     hz: float = 30.0,
     human: bool = False,
     multi_room_prob: float = 0.0,
+    sim_steps: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched datagen: n_rooms layouts, one trace each, in ONE jitted
     dispatch (eager per-primitive dispatch through a remote TPU tunnel costs
     minutes; this compiles once per shape).
 
+    ``sim_steps`` decouples WALK DURATION from emitted points: the physics
+    runs sim_steps ticks at ``hz`` and the trace is uniform-downsampled to
+    num_steps with the same linspace indexing the loader applies to real
+    captures (features.py:111, ref dataloader.py:453-456). The real human
+    capture is ~97 s at 37 Hz = 3587 points downsampled to 1500 — a
+    num_steps-tick walk (~40 s) covers far less of the room than the real
+    capture, which starves training coverage at realistic ambling paces.
+
     Returns dict of raw [n, T, 4], length [n], boxes [n, M, 6],
     labels [n, M], valid [n, M].
     """
     kr, kt = jax.random.split(key)
+    S = num_steps if sim_steps is None else max(int(sim_steps), num_steps)
 
     def one(k):
         k1, k2 = jax.random.split(k)
         boxes, labels, valid = sample_room(
             k1, max_colliders, multi_room_prob=multi_room_prob)
-        raw = simulate_trace(k2, boxes, valid, num_steps, hz, human)
+        raw = simulate_trace(k2, boxes, valid, S, hz, human)
+        if S != num_steps:
+            idx = np.linspace(0, S - 1, num_steps).astype(np.int32)
+            raw = raw[idx]
         return raw, boxes, labels, valid
 
     keys = jax.random.split(kr, n_rooms)
@@ -441,6 +455,7 @@ def write_synthetic_dataset(
     multi_room_prob: float = 0.0,
     hz: float = 30.0,
     stem_prefix: str = "synthetic",
+    sim_steps: int | None = None,
 ) -> None:
     """Generate rooms on device and write *_trace.json / *_collider.json pairs
     (pairing pattern 1 of the reference loader, dataloader.py:111-125).
@@ -453,7 +468,7 @@ def write_synthetic_dataset(
         generate_rooms_and_traces(
             jax.random.key(seed), n_rooms, num_steps,
             max_colliders=max_colliders, hz=hz, human=human,
-            multi_room_prob=multi_room_prob)
+            multi_room_prob=multi_room_prob, sim_steps=sim_steps)
     )
     for i in range(n_rooms):
         stem = f"{stem_prefix}_{i:04d}"

@@ -56,13 +56,20 @@ def _check_query_capacity(cfg: ExperimentConfig, *datasets) -> None:
 
 def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
                             seed: int = 0, mode: str = "agent",
-                            multi_room_prob: float = 0.0):
+                            multi_room_prob: float = 0.0,
+                            sim_factor: float | None = None):
     """On-device synthetic train/val datasets (val = n_rooms // 8 + 1 extra
     rooms from an independent seed).
 
     mode: 'agent' (constant sensor height, like the Unity robot), 'human'
     (head-height with bob, like the ARKit captures), or 'mixed' (half each).
     multi_room_prob: share of layouts that are two rooms with a doorway.
+    sim_factor: walk duration as a multiple of max_trace_len ticks; the
+    trace is downsampled back to max_trace_len like real captures are
+    (synthetic.py generate_rooms_and_traces). None = per-mode defaults
+    matching the real recordings: human 2.4 (dataset/val is 3587 points
+    -> 1500) and agent 4.0 (the Unity robot records minutes-long runs,
+    dataset/train reaches 41k points).
     """
     from room_slam_tpu.data import synthetic
 
@@ -70,26 +77,35 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
     # ~37 Hz (dataset/val: 3587 points over ~97 s); the Unity agent records
     # per frame, downsampled here to 30 Hz
     HUMAN_HZ, AGENT_HZ = 37.0, 30.0
+    HUMAN_SIM, AGENT_SIM = 2.4, 4.0
+    L = cfg.data.max_trace_len
+
+    def steps(human: bool) -> int:
+        f = sim_factor if sim_factor is not None else (
+            HUMAN_SIM if human else AGENT_SIM)
+        return int(round(L * f))
 
     def gen(key, n):
         if mode == "mixed":
             k1, k2 = jax.random.split(key)
             a = synthetic.generate_rooms_and_traces(
-                k1, n // 2, cfg.data.max_trace_len,
+                k1, n // 2, L,
                 max_colliders=cfg.data.max_colliders, hz=AGENT_HZ,
-                human=False, multi_room_prob=multi_room_prob)
+                human=False, multi_room_prob=multi_room_prob,
+                sim_steps=steps(False))
             b = synthetic.generate_rooms_and_traces(
-                k2, n - n // 2, cfg.data.max_trace_len,
+                k2, n - n // 2, L,
                 max_colliders=cfg.data.max_colliders, hz=HUMAN_HZ,
-                human=True, multi_room_prob=multi_room_prob)
+                human=True, multi_room_prob=multi_room_prob,
+                sim_steps=steps(True))
             return {k: np.concatenate(
                 [np.asarray(a[k]), np.asarray(b[k])]) for k in a}
         human = mode == "human"
         return jax.device_get(synthetic.generate_rooms_and_traces(
-            key, n, cfg.data.max_trace_len,
+            key, n, L,
             max_colliders=cfg.data.max_colliders,
             hz=HUMAN_HZ if human else AGENT_HZ, human=human,
-            multi_room_prob=multi_room_prob))
+            multi_room_prob=multi_room_prob, sim_steps=steps(human)))
 
     n_val = max(n_rooms // 8, 4)
     train = gen(jax.random.key(seed), n_rooms)

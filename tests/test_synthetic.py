@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from room_slam_tpu.data import formats, synthetic
 
@@ -148,3 +149,34 @@ def test_human_walker_matches_real_capture_stats():
     assert 0.08 <= np.median(med_speeds) <= 0.9
     assert 0.05 <= np.median(y_stds) <= 0.45
     assert 0.2 <= np.median(y_means) <= 1.1
+
+
+def test_sim_steps_extends_duration_not_points():
+    """sim_steps walks longer but emits num_steps points, downsampled with
+    the same linspace indexing the loader applies to real captures
+    (features.py:111): timestamps span the FULL walk and path coverage
+    grows with duration."""
+    import jax
+
+    from room_slam_tpu.data.synthetic import generate_rooms_and_traces
+
+    key = jax.random.key(7)
+    L, S, hz = 200, 480, 30.0
+    short = generate_rooms_and_traces(
+        key, 2, L, max_colliders=16, hz=hz, human=True)
+    long = generate_rooms_and_traces(
+        key, 2, L, max_colliders=16, hz=hz, human=True, sim_steps=S)
+
+    assert long["raw"].shape == short["raw"].shape == (2, L, 4)
+    t_short = np.asarray(short["raw"][..., 3])
+    t_long = np.asarray(long["raw"][..., 3])
+    assert t_short.max() == pytest.approx((L - 1) / hz, rel=1e-5)
+    assert t_long.max() == pytest.approx((S - 1) / hz, rel=1e-5)
+    assert np.all(np.diff(t_long, axis=1) > 0)  # still time-sorted
+
+    # same layout (same key), longer walk: path length must grow
+    def path_len(raw):
+        xy = np.asarray(raw[..., [0, 2]])
+        return np.linalg.norm(np.diff(xy, axis=1), axis=-1).sum(axis=1)
+
+    assert (path_len(long["raw"]) > path_len(short["raw"])).all()

@@ -60,6 +60,11 @@ def main():
                    help="walker height model for --synthetic: constant "
                         "sensor (agent), head-height with bob (human), or "
                         "half each (mixed)")
+    p.add_argument("--sim_factor", type=float, default=None,
+                   help="synthetic walk duration as a multiple of "
+                        "max_trace_len ticks, downsampled back like real "
+                        "captures (default: human 2.4 / agent 4.0, matching "
+                        "the real recordings; 1.0 = old behavior)")
     p.add_argument("--schedule", choices=["plateau", "cosine"], default=None,
                    help="LR schedule: ReduceLROnPlateau (reference default) "
                         "or warmup+cosine (the schedule the reference "
@@ -149,7 +154,8 @@ def main():
               f"on device (mode={args.synthetic_mode})")
         tr, va = make_synthetic_datasets(
             cfg, args.synthetic, cfg.train.seed, mode=args.synthetic_mode,
-            multi_room_prob=args.multi_room_prob)
+            multi_room_prob=args.multi_room_prob,
+            sim_factor=args.sim_factor)
         kwargs = {"train_ds": tr, "val_ds": va}
 
     if args.resume:
