@@ -113,6 +113,43 @@ class TraceColliderArrays:
                 f"{rot}°"
             )
 
+    @classmethod
+    def concat(cls, parts: List["TraceColliderArrays"],
+               copies: List[int] | None = None) -> "TraceColliderArrays":
+        """Concatenate datasets base-sample-wise (all parts must share the
+        same fixed shapes and rotation set). ``copies[i]`` tiles part i —
+        the domain-mixing knob for folding a handful of real captures into
+        a large synthetic set (the reference's own workflow trains on its
+        dataset/train captures; no analog for mixing exists there)."""
+        if copies is None:
+            copies = [1] * len(parts)
+        first = parts[0]
+        for p in parts[1:]:
+            if p.raw.shape[1:] != first.raw.shape[1:] or \
+                    p.boxes.shape[1:] != first.boxes.shape[1:]:
+                raise ValueError("concat: mismatched fixed shapes "
+                                 f"{p.raw.shape} vs {first.raw.shape}")
+            if p.rotation_angles != first.rotation_angles:
+                raise ValueError("concat: mismatched rotation sets")
+
+        def tile(arr_name):
+            return np.concatenate([
+                np.concatenate([getattr(p, arr_name)] * c)
+                for p, c in zip(parts, copies)])
+
+        self = cls.__new__(cls)
+        self.cfg = first.cfg
+        self.augment = first.augment
+        self.data_dir = None
+        for name in ("raw", "length", "boxes", "labels", "valid"):
+            setattr(self, name, tile(name))
+        self.names = [n for p, c in zip(parts, copies)
+                      for _ in range(c) for n in p.names]
+        self.rotation_angles = first.rotation_angles
+        self.n_base = self.raw.shape[0]
+        self.num_samples = self.n_base * len(self.rotation_angles)
+        return self
+
     def __len__(self) -> int:
         return self.num_samples
 

@@ -180,3 +180,37 @@ def test_sim_steps_extends_duration_not_points():
         return np.linalg.norm(np.diff(xy, axis=1), axis=-1).sum(axis=1)
 
     assert (path_len(long["raw"]) > path_len(short["raw"])).all()
+
+
+def test_dataset_concat_tiles_real_into_synthetic():
+    """TraceColliderArrays.concat folds K copies of a small (real) set into
+    a synthetic set, preserving fixed shapes and the rotation expansion."""
+    from room_slam_tpu.config import DataConfig
+    from room_slam_tpu.data.dataset import TraceColliderArrays
+
+    cfg = DataConfig(max_trace_len=64, max_colliders=8)
+
+    def make(n, seed):
+        key = jax.random.key(seed)
+        data = synthetic.generate_rooms_and_traces(
+            key, n, 64, max_colliders=8, hz=30.0)
+        return TraceColliderArrays.from_arrays(
+            jax.device_get(data), cfg, augment=True)
+
+    big, small = make(6, 0), make(2, 1)
+    mixed = TraceColliderArrays.concat([big, small], [1, 3])
+    assert mixed.n_base == 6 + 2 * 3
+    assert mixed.num_samples == mixed.n_base * len(big.rotation_angles)
+    assert mixed.raw.shape == (12, 64, 4)
+    # tiled copies are the same base samples
+    np.testing.assert_array_equal(mixed.raw[6:8], mixed.raw[8:10])
+    np.testing.assert_array_equal(mixed.raw[:6], big.raw)
+    batch = mixed.gather(np.arange(8))
+    assert batch["raw"].shape == (8, 64, 4)
+
+    other = TraceColliderArrays.from_arrays(
+        jax.device_get(synthetic.generate_rooms_and_traces(
+            jax.random.key(2), 2, 32, max_colliders=8, hz=30.0)),
+        DataConfig(max_trace_len=32, max_colliders=8), augment=True)
+    with pytest.raises(ValueError):
+        TraceColliderArrays.concat([big, other])

@@ -65,6 +65,14 @@ def main():
                         "max_trace_len ticks, downsampled back like real "
                         "captures (default: human 2.4 / agent 4.0, matching "
                         "the real recordings; 1.0 = old behavior)")
+    p.add_argument("--mix_real", type=str, default=None, metavar="DIR",
+                   help="with --synthetic: also fold the real trace/collider "
+                        "pairs from DIR into the training set (the val "
+                        "split stays purely synthetic)")
+    p.add_argument("--mix_copies", type=int, default=16,
+                   help="how many times to tile the --mix_real samples "
+                        "(few real captures vs thousands of synthetic "
+                        "rooms)")
     p.add_argument("--schedule", choices=["plateau", "cosine"], default=None,
                    help="LR schedule: ReduceLROnPlateau (reference default) "
                         "or warmup+cosine (the schedule the reference "
@@ -156,6 +164,15 @@ def main():
             cfg, args.synthetic, cfg.train.seed, mode=args.synthetic_mode,
             multi_room_prob=args.multi_room_prob,
             sim_factor=args.sim_factor)
+        if args.mix_real:
+            from room_slam_tpu.data.dataset import TraceColliderArrays
+
+            real = TraceColliderArrays(args.mix_real, cfg.data, augment=True)
+            print(f"[train] mixing {real.n_base} real samples x "
+                  f"{args.mix_copies} copies into "
+                  f"{tr.n_base} synthetic rooms")
+            tr = TraceColliderArrays.concat([tr, real],
+                                            [1, args.mix_copies])
         kwargs = {"train_ds": tr, "val_ds": va}
 
     if args.resume:
