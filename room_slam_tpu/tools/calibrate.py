@@ -127,7 +127,8 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
             jnp.float32(thr), jnp.float32(nm), consensus=cns))
         if ext is not None:
-            keep &= ~np.asarray(_outside_all(
+            # np.asarray over a jax array is read-only: no in-place &=
+            keep = keep & ~np.asarray(_outside_all(
                 jnp.asarray(boxes), jnp.asarray(cached["raw"]),
                 jnp.asarray(cached["length"]), jnp.float32(ext)))
         img_ids, flat = np.nonzero(keep)
