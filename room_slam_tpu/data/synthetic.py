@@ -323,57 +323,124 @@ def simulate_trace(
     # at constant speed (ThirdPersonController.cs:19).
     M = boxes.shape[0]
     if human:
-        wall_r = jax.random.uniform(kr, (N_WALL_SLOTS,), minval=0.05,
-                                    maxval=0.8)
+        # most walls get hugged nearly flush (the real capture reaches ~0
+        # clearance on two walls); larger standoffs arise naturally where
+        # furniture lines a wall, so the extra radius stays small
+        wall_r = jax.random.uniform(kr, (N_WALL_SLOTS,), minval=0.0,
+                                    maxval=0.35)
         furn_r = jax.random.uniform(
             jax.random.fold_in(kr, 2), (), minval=0.25, maxval=0.4)
         radius = jnp.concatenate(
             [wall_r, jnp.full((M - N_WALL_SLOTS,), 1.0) * furn_r])
 
         def _pace(k):
+            # log-uniform around the real capture's 0.24 m/s median; floored
+            # at 0.12 so a slow leg still makes progress toward coverage
             return jnp.exp(jax.random.uniform(
-                k, (), minval=math.log(0.08), maxval=math.log(0.9)))
+                k, (), minval=math.log(0.12), maxval=math.log(0.9)))
 
         speed0 = _pace(jax.random.fold_in(kr, 1))
     else:
         radius = jnp.full((M,), AGENT_RADIUS, jnp.float32)
         speed0 = jnp.float32(WALK_SPEED)
 
-    def step(state, skey):
-        pos, ang, until_turn, speed = state
-        kt, ka, ks = jax.random.split(skey, 3)
-        turn = until_turn <= 0.0
-        new_ang = jnp.where(
-            turn,
-            jax.random.uniform(ka, (), minval=0.0, maxval=2 * math.pi),
-            ang,
-        )
-        if human:
-            # re-draw pace at each heading change (log-uniform: ambles and
-            # near-pauses dominate, brisk walking is the tail)
-            speed = jnp.where(turn, _pace(ks), speed)
-        until_turn = jnp.where(
-            turn,
-            TURN_INTERVAL * jax.random.uniform(kt, (), minval=0.6,
-                                               maxval=1.4),
-            until_turn,
-        )
-        d = jnp.stack([jnp.cos(new_ang), jnp.sin(new_ang)])
-        cand = pos + speed * dt * d
-        hit, n = _collide(cand, boxes, valid, radius)
-        refl = d - 2.0 * jnp.dot(d, n) * n
-        new_ang = jnp.where(hit, jnp.arctan2(refl[1], refl[0]), new_ang)
-        # on hit: hold position, but if the CURRENT position is itself inside
-        # a box (spawned overlapping), step out along the collision normal so
-        # the walker can never get stuck
-        stuck, n0 = _collide(pos, boxes, valid, radius)
-        escape = pos + speed * dt * n0
-        new_pos = jnp.where(hit, jnp.where(stuck, escape, pos), cand)
-        return (new_pos, new_ang, until_turn - dt, speed), new_pos
+    if human:
+        # waypoint-coverage walk (the Patrol idea of RandomMovement.cs:78-89
+        # adapted to free waypoints): a human scanning a room walks TOWARD
+        # places — the real capture covers ~80% of the room span — whereas a
+        # random-heading walk leaves coverage to chance, which at ambling
+        # paces trains models that walls may sit far beyond the visited
+        # envelope (observed failure: 10 m wall predictions for a 4 m room).
+        # Waypoints are sampled uniformly inside the wall bounding box; ones
+        # inside furniture just trigger a reflection + resample on contact.
+        nw = N_WALL_SLOTS
+        wv = valid[:nw]
+        x_hi = jnp.max(jnp.where(wv, boxes[:nw, 0], -jnp.inf)) - 0.3
+        x_lo = jnp.min(jnp.where(wv, boxes[:nw, 0], jnp.inf)) + 0.3
+        z_hi = jnp.max(jnp.where(wv, boxes[:nw, 2], -jnp.inf)) - 0.3
+        z_lo = jnp.min(jnp.where(wv, boxes[:nw, 2], jnp.inf)) + 0.3
+
+        def _waypoint(k):
+            ku, kb, ks_ = jax.random.split(k, 3)
+            u = jax.random.uniform(ku, (2,))
+            pt = jnp.stack([x_lo + u[0] * (x_hi - x_lo),
+                            z_lo + u[1] * (z_hi - z_lo)])
+            # perimeter bias: scanning humans deliberately visit walls and
+            # corners (the real capture reaches ~0 clearance on two walls),
+            # so 60% of waypoints project one coordinate to a boundary;
+            # the per-wall clearance radius still stops the walker at its
+            # allowed hug distance
+            side = jax.random.randint(kb, (), 0, 4)
+            snapped = jnp.stack([
+                jnp.where(side == 0, x_hi, jnp.where(side == 1, x_lo,
+                                                     pt[0])),
+                jnp.where(side == 2, z_hi, jnp.where(side == 3, z_lo,
+                                                     pt[1])),
+            ])
+            return jnp.where(jax.random.uniform(ks_, ()) < 0.6, snapped, pt)
+
+        def step(state, skey):
+            pos, wp, until_turn, speed = state
+            kt, ka, ks = jax.random.split(skey, 3)
+            renew = (until_turn <= 0.0) | (
+                jnp.linalg.norm(wp - pos) < 0.25)
+            wp = jnp.where(renew, _waypoint(ka), wp)
+            # re-draw pace per leg (log-uniform: ambles dominate, brisk
+            # walking is the tail)
+            speed = jnp.where(renew, _pace(ks), speed)
+            # the leg's time budget covers actually REACHING the waypoint
+            # (1.5x the straight-line time), so far corners get visited
+            # instead of abandoned on a fixed timer
+            leg_t = jnp.clip(
+                1.5 * jnp.linalg.norm(wp - pos) / speed, 2.0, 40.0
+            ) * jax.random.uniform(kt, (), minval=0.8, maxval=1.2)
+            until_turn = jnp.where(renew, leg_t, until_turn)
+            to_wp = wp - pos
+            d = to_wp / jnp.maximum(jnp.linalg.norm(to_wp), 1e-6)
+            cand = pos + speed * dt * d
+            hit, _n = _collide(cand, boxes, valid, radius)
+            # blocked: hold position this tick and aim somewhere new
+            wp = jnp.where(hit, _waypoint(jax.random.fold_in(ka, 1)), wp)
+            stuck, n0 = _collide(pos, boxes, valid, radius)
+            escape = pos + speed * dt * n0
+            new_pos = jnp.where(hit, jnp.where(stuck, escape, pos), cand)
+            return (new_pos, wp, until_turn - dt, speed), new_pos
+
+        state0 = (pos0, pos0, jnp.float32(0.0), speed0)
+    else:
+
+        def step(state, skey):
+            pos, ang, until_turn, speed = state
+            kt, ka, ks = jax.random.split(skey, 3)
+            turn = until_turn <= 0.0
+            new_ang = jnp.where(
+                turn,
+                jax.random.uniform(ka, (), minval=0.0, maxval=2 * math.pi),
+                ang,
+            )
+            until_turn = jnp.where(
+                turn,
+                TURN_INTERVAL * jax.random.uniform(kt, (), minval=0.6,
+                                                   maxval=1.4),
+                until_turn,
+            )
+            d = jnp.stack([jnp.cos(new_ang), jnp.sin(new_ang)])
+            cand = pos + speed * dt * d
+            hit, n = _collide(cand, boxes, valid, radius)
+            refl = d - 2.0 * jnp.dot(d, n) * n
+            new_ang = jnp.where(hit, jnp.arctan2(refl[1], refl[0]), new_ang)
+            # on hit: hold position, but if the CURRENT position is itself
+            # inside a box (spawned overlapping), step out along the
+            # collision normal so the walker can never get stuck
+            stuck, n0 = _collide(pos, boxes, valid, radius)
+            escape = pos + speed * dt * n0
+            new_pos = jnp.where(hit, jnp.where(stuck, escape, pos), cand)
+            return (new_pos, new_ang, until_turn - dt, speed), new_pos
+
+        state0 = (pos0, ang0, jnp.float32(0.0), speed0)
 
     skeys = jax.random.split(kscan, num_steps)
-    _, path = jax.lax.scan(
-        step, (pos0, ang0, jnp.float32(0.0), speed0), skeys)
+    _, path = jax.lax.scan(step, state0, skeys)
 
     t = jnp.arange(num_steps, dtype=jnp.float32) * dt
     # the hand-held phone wanders vertically (pointing down at the floor,
