@@ -108,6 +108,9 @@ class TrainConfig:
     # BCE weight for the no-object head; only active when model.objectness
     # adds the head (the loss keys off the model's pred_objectness output)
     objectness_weight: float = 1.0
+    # scale-relative |log(pred_size/gt_size)| weight (0.0 = reference loss
+    # exactly); absolute L1 under-penalizes small-furniture size errors
+    size_log_weight: float = 0.0
     # LR schedule: 'plateau' (the reference's active ReduceLROnPlateau) or
     # 'cosine' (the warmup+cosine lr_lambda the reference defines but never
     # plugs in, train.py:447-458)

@@ -140,6 +140,20 @@ def set_criterion(
         footprint_loss = _weighted_mean(1.0 - giou2d, pair_w)
         out["footprint_loss"] = footprint_loss
         total = total + fw * footprint_loss
+    # optional scale-relative size loss: |log(pred_size / gt_size)| makes a
+    # 2x size error cost the same for a 0.3 m shelf item as for a 4 m wall —
+    # absolute L1 (the reference's only size signal, train.py:160-187)
+    # under-penalizes small-furniture errors that destroy IoU. Off (0.0)
+    # reproduces the reference loss exactly.
+    sw = loss_weights.get("size_log_loss", 0.0)
+    if sw:
+        eps = 1e-3
+        log_ratio = jnp.log((jnp.abs(mp_boxes[..., 3:]) + eps)
+                            / (jnp.abs(gt_boxes[..., 3:]) + eps))
+        size_log_loss = _weighted_mean(
+            jnp.mean(jnp.abs(log_ratio), axis=-1), pair_w)
+        out["size_log_loss"] = size_log_loss
+        total = total + sw * size_log_loss
     # optional no-object head: BCE on the Hungarian match indicator over ALL
     # query slots (1 = this query was matched to a valid GT). Active only
     # when the model emits pred_objectness (model.objectness=True); the

@@ -195,3 +195,44 @@ def test_objectness_bce_targets_match_indicator(rng):
                                     "objectness_loss": 0.0})
     assert float(w["total_loss"]) == pytest.approx(
         float(base["total_loss"]), rel=1e-5)
+
+
+def test_size_log_loss_scale_relative(rng):
+    """|log(pred/gt size)|: a 2x size error costs the same for a tiny box
+    as for a wall, and weight 0 (the default) reproduces the reference
+    loss exactly."""
+    from room_slam_tpu.ops.losses import set_criterion
+
+    B, Q, M, C = 1, 4, 2, 4
+    pb = rng.normal(size=(B, Q, 6)).astype(np.float32)
+    pl = rng.normal(size=(B, Q, C)).astype(np.float32)
+    gt_b = rng.normal(size=(B, M, 6)).astype(np.float32)
+    gt_b[..., 3:] = np.abs(gt_b[..., 3:]) + 0.1
+    gt_l = rng.integers(0, C, size=(B, M)).astype(np.int32)
+    valid = np.ones((B, M), bool)
+    outputs = {"pred_boxes": jnp.asarray(pb), "pred_classes": jnp.asarray(pl)}
+    targets = {"boxes": jnp.asarray(gt_b), "labels": jnp.asarray(gt_l),
+               "valid_mask": jnp.asarray(valid)}
+
+    base = set_criterion(outputs, targets)
+    assert "size_log_loss" not in base
+
+    lw = {"class_loss": 2.0, "l1_loss": 5.0, "giou_loss": 2.0,
+          "size_log_loss": 1.0}
+    with_term = set_criterion(outputs, targets, loss_weights=lw)
+    assert float(with_term["size_log_loss"]) > 0
+    assert float(with_term["total_loss"]) == pytest.approx(
+        float(base["total_loss"]) + float(with_term["size_log_loss"]),
+        rel=1e-5)
+
+    # scale-relative: doubling every size doubles nothing — the ratio to a
+    # doubled GT stays identical, so the term is invariant to joint scaling
+    big_out = {"pred_boxes": jnp.asarray(pb * np.array([1, 1, 1, 2, 2, 2],
+                                                       np.float32)),
+               "pred_classes": jnp.asarray(pl)}
+    big_tgt = {"boxes": jnp.asarray(gt_b * np.array([1, 1, 1, 2, 2, 2],
+                                                    np.float32)),
+               "labels": jnp.asarray(gt_l), "valid_mask": jnp.asarray(valid)}
+    scaled = set_criterion(big_out, big_tgt, loss_weights=lw)
+    assert float(scaled["size_log_loss"]) == pytest.approx(
+        float(with_term["size_log_loss"]), rel=2e-2)
