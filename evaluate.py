@@ -96,6 +96,22 @@ def evaluate_benchmark(args) -> dict:
         metrics["mAP"] = mAP
         metrics["AP_per_class"] = {
             BENCH_ID_TO_LABEL[c]: round(v, 4) for c, v in aps.items()}
+        from room_slam_tpu.train.metrics import detection_prf
+
+        dp, dr, df1, dtp = detection_prf(
+            np.stack([r[0] for r in pred_rows]),
+            np.asarray([r[1] for r in pred_rows]),
+            np.asarray([r[2] for r in pred_rows]),
+            np.asarray([r[3] for r in pred_rows]),
+            np.stack([r[0] for r in gt_rows]),
+            np.asarray([r[1] for r in gt_rows]),
+            np.asarray([r[2] for r in gt_rows]),
+            iou_thresh=args.iou_thresh,
+        )
+        metrics["det_precision"] = round(dp, 4)
+        metrics["det_recall"] = round(dr, 4)
+        metrics["det_f1"] = round(df1, 4)
+        metrics["det_tp"] = dtp
     return metrics
 
 

@@ -140,11 +140,19 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
                     boxes[img_ids, flat], labels[img_ids, flat],
                     conf[img_ids, flat], img_ids,
                     gt_boxes, gt_labels, gt_imgs, iou_thresh=it)
+                from room_slam_tpu.train.metrics import detection_prf
+
+                _, _, df1, dtp = detection_prf(
+                    boxes[img_ids, flat], labels[img_ids, flat],
+                    conf[img_ids, flat], img_ids,
+                    gt_boxes, gt_labels, gt_imgs, iou_thresh=it)
             else:
-                mAP, aps = 0.0, {}
+                mAP, aps, df1, dtp = 0.0, {}, 0.0, 0
             cell[f"mAP@{it}"] = round(float(mAP), 4)
             cell[f"AP_per_class@{it}"] = {int(k): round(float(v), 3)
                                           for k, v in aps.items()}
+            cell[f"det_f1@{it}"] = round(float(df1), 4)
+            cell[f"tp@{it}"] = int(dtp)
         results.append(cell)
     return results
 

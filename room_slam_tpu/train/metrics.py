@@ -163,6 +163,50 @@ def average_precision_3d(
     return mAP, aps
 
 
+def detection_prf(
+    pred_boxes: np.ndarray,     # [P, 6]
+    pred_labels: np.ndarray,    # [P]
+    pred_scores: np.ndarray,    # [P]
+    pred_image: np.ndarray,     # [P]
+    gt_boxes: np.ndarray,       # [G, 6]
+    gt_labels: np.ndarray,      # [G]
+    gt_image: np.ndarray,       # [G]
+    iou_thresh: float = 0.5,
+) -> Tuple[float, float, float, int]:
+    """Operating-point precision/recall/F1 of the POST-PROCESSED detection
+    set (VOC greedy assignment per class, same rules as
+    average_precision_3d). The matcher-aligned F1 (make_metrics_step)
+    scores RAW query outputs like the reference's evaluate_metrics
+    (train.py:234-328); this scores what inference actually emits after
+    threshold + NMS + refinement. Returns (precision, recall, f1, tp)."""
+    tp_total = 0
+    npos_total = int(len(gt_boxes))
+    npred_total = int(len(pred_boxes))
+    for c in np.unique(gt_labels):
+        p_sel = pred_labels == c
+        g_sel = gt_labels == c
+        if p_sel.sum() == 0:
+            continue
+        pb, ps, pim = (pred_boxes[p_sel], pred_scores[p_sel],
+                       pred_image[p_sel])
+        gb, gim = gt_boxes[g_sel], gt_image[g_sel]
+        order = np.argsort(-ps)
+        pb, pim = pb[order], pim[order]
+        iou = np.asarray(pairwise_iou_3d(jnp.asarray(pb), jnp.asarray(gb)))
+        iou = np.where(pim[:, None] == gim[None, :], iou, 0.0)
+        taken = np.zeros(gb.shape[0], dtype=bool)
+        for i in range(pb.shape[0]):
+            j = int(np.argmax(iou[i]))
+            if iou[i, j] >= iou_thresh and not taken[j]:
+                taken[j] = True
+                tp_total += 1
+    precision = tp_total / max(npred_total, 1)
+    recall = tp_total / max(npos_total, 1)
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return precision, recall, f1, tp_total
+
+
 def average_precision_rotated_2d(
     pred_boxes: np.ndarray,     # [P, 5] (cx, cy, w, h, theta)
     pred_labels: np.ndarray,
