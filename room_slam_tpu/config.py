@@ -84,6 +84,13 @@ class ModelConfig:
     # src/benchmark/inference.py:138-143, which cannot separate matched from
     # hallucinated queries). See models/lstm.py SimpleQueryDecoder.
     objectness: bool = False
+    # translation-invariant mode: center trace XZ at the model boundary and
+    # un-center predicted boxes (models/common.center_traces_xz). The
+    # encoder otherwise consumes absolute coordinates and memorizes that
+    # synthetic rooms are origin-centered — on real ARKit captures (session
+    # origin wherever tracking started) predictions land displaced by the
+    # room's world offset. Off by default = reference behavior.
+    center_xz: bool = False
 
 
 @dataclass

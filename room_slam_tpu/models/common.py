@@ -104,3 +104,34 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
         return dense(out, D, name="out_proj")
+
+
+def center_traces_xz(traces, mask):
+    """Translate the trace so its masked XZ mean sits at the origin.
+
+    Returns (shifted traces, offsets [B, 1, 2]). Feature columns 0 and 2
+    are the absolute x/z positions (data/features.py); velocity /
+    acceleration / speed columns are translation-invariant already.
+
+    Why: the encoder consumes ABSOLUTE coordinates, so models trained on
+    origin-centered synthetic rooms memorize the origin — on a real ARKit
+    capture (session origin wherever tracking started) every prediction
+    lands displaced by the room's offset from (0, 0). Centering at the
+    model boundary (paired with uncenter_boxes_xz on the way out) makes
+    the whole model translation-invariant without touching checkpoints,
+    featurization, or the loss.
+    """
+    if mask is None:
+        mask = jnp.ones(traces.shape[:2], dtype=bool)
+    m = mask[..., None].astype(traces.dtype)
+    denom = jnp.clip(m.sum(axis=1, keepdims=True), 1.0, None)
+    xz = jnp.stack([traces[..., 0], traces[..., 2]], axis=-1)  # [B, N, 2]
+    offs = (xz * m).sum(axis=1, keepdims=True) / denom          # [B, 1, 2]
+    shifted = traces.at[..., 0].add(-offs[..., 0])
+    shifted = shifted.at[..., 2].add(-offs[..., 1])
+    return shifted, offs
+
+
+def uncenter_boxes_xz(boxes, offs):
+    """Undo center_traces_xz on predicted boxes [B, Q, 6] (centers only)."""
+    return boxes.at[..., 0].add(offs[..., 0]).at[..., 2].add(offs[..., 1])

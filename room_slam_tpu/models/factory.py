@@ -28,6 +28,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             dropout=cfg.dropout,
             num_classes=cfg.num_classes,
             objectness=cfg.objectness,
+            center_xz=cfg.center_xz,
         )
     if t == "lstm":
         return TraceToColliderLSTM(
@@ -38,6 +39,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             num_classes=cfg.num_classes,
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
             objectness=cfg.objectness,
+            center_xz=cfg.center_xz,
         )
     if t == "bigru":
         from room_slam_tpu.models.gru import TraceToColliderGRU
@@ -50,6 +52,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             num_classes=cfg.num_classes,
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
             objectness=cfg.objectness,
+            center_xz=cfg.center_xz,
         )
     if t == "gru":
         from room_slam_tpu.models.legacy_gru import RoomSlamGRU

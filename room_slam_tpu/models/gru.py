@@ -12,7 +12,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import dense
+from room_slam_tpu.models.common import (center_traces_xz, dense,
+                                         uncenter_boxes_xz)
 from room_slam_tpu.models.lstm import SimpleQueryDecoder, _torch_lstm_init
 from room_slam_tpu.ops.rnn import gru_recurrence
 
@@ -79,9 +80,13 @@ class TraceToColliderGRU(nn.Module):
     num_classes: int = 4
     use_pallas: bool = False
     objectness: bool = False
+    center_xz: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
+        offs = None
+        if self.center_xz:
+            traces, offs = center_traces_xz(traces, mask)
         memory, coords, mean, scale = GRUTraceEncoder(
             d_model=self.d_model,
             num_layers=self.gru_layers,
@@ -96,7 +101,10 @@ class TraceToColliderGRU(nn.Module):
             objectness=self.objectness,
             name="decoder",
         )(memory, coords, mean, scale, mask)
-        out = {"pred_boxes": outs[0], "pred_classes": outs[1]}
+        boxes = outs[0]
+        if offs is not None:
+            boxes = uncenter_boxes_xz(boxes, offs)
+        out = {"pred_boxes": boxes, "pred_classes": outs[1]}
         if self.objectness:
             out["pred_objectness"] = outs[2]
         return out

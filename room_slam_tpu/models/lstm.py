@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import MLP, dense
+from room_slam_tpu.models.common import (MLP, center_traces_xz, dense,
+                                         uncenter_boxes_xz)
 from room_slam_tpu.ops.rnn import lstm_recurrence
 
 
@@ -173,9 +174,16 @@ class TraceToColliderLSTM(nn.Module):
     num_classes: int = 4
     use_pallas: bool = False
     objectness: bool = False
+    # translation-invariant mode: center trace XZ at the model boundary and
+    # un-center predicted boxes (see models/common.center_traces_xz). Off by
+    # default = reference behavior (absolute coords into the encoder).
+    center_xz: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
+        offs = None
+        if self.center_xz:
+            traces, offs = center_traces_xz(traces, mask)
         memory, coords, mean, scale = LSTMTraceEncoder(
             d_model=self.d_model,
             num_layers=self.lstm_layers,
@@ -190,7 +198,10 @@ class TraceToColliderLSTM(nn.Module):
             objectness=self.objectness,
             name="decoder",
         )(memory, coords, mean, scale, mask)
-        out = {"pred_boxes": outs[0], "pred_classes": outs[1]}
+        boxes = outs[0]
+        if offs is not None:
+            boxes = uncenter_boxes_xz(boxes, offs)
+        out = {"pred_boxes": boxes, "pred_classes": outs[1]}
         if self.objectness:
             out["pred_objectness"] = outs[2]
         return out

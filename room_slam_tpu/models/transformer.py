@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import MLP, MultiHeadAttention, dense, \
-    sinusoidal_positions
+from room_slam_tpu.models.common import MLP, MultiHeadAttention, \
+    center_traces_xz, dense, sinusoidal_positions, uncenter_boxes_xz
 
 
 class EncoderLayer(nn.Module):
@@ -173,9 +173,13 @@ class TraceToColliderTransformer(nn.Module):
     dropout: float = 0.1
     num_classes: int = 4
     objectness: bool = False
+    center_xz: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
+        offs = None
+        if self.center_xz:
+            traces, offs = center_traces_xz(traces, mask)
         memory, coords, mean, scale = TraceEncoder(
             d_model=self.d_model,
             nhead=self.nhead,
@@ -195,7 +199,10 @@ class TraceToColliderTransformer(nn.Module):
             objectness=self.objectness,
             name="decoder",
         )(memory, coords, mean, scale, mask, deterministic)
-        out = {"pred_boxes": outs[0], "pred_classes": outs[1]}
+        boxes = outs[0]
+        if offs is not None:
+            boxes = uncenter_boxes_xz(boxes, offs)
+        out = {"pred_boxes": boxes, "pred_classes": outs[1]}
         if self.objectness:
             out["pred_objectness"] = outs[2]
         return out

@@ -202,3 +202,32 @@ def test_objectness_head(model_type, rng):
     assert "pred_objectness" not in out_off
     flat = jax.tree_util.tree_leaves_with_path(params_off)
     assert not any("objectness" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+@pytest.mark.parametrize("model_type", ["lstm", "transformer"])
+def test_center_xz_translation_equivariance(model_type, rng):
+    """model.center_xz makes predictions translation-equivariant: shifting
+    the trace in XZ shifts predicted box centers by exactly that offset
+    (same params — the flag adds no parameters)."""
+    cfg = ModelConfig(model_type=model_type, d_model=32, num_queries=8,
+                      enc_layers=1, dec_layers=1, dim_feedforward=64,
+                      use_pallas_rnn=False, center_xz=True)
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=32)
+    B, N = 2, 32
+    traces = np.asarray(rng.normal(size=(B, N, 11)), np.float32)
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([[24], [32]]))
+    out0 = model.apply(params, jnp.asarray(traces), mask,
+                       deterministic=True)
+    shifted = traces.copy()
+    shifted[..., 0] += 7.5
+    shifted[..., 2] -= 4.25
+    out1 = model.apply(params, jnp.asarray(shifted), mask,
+                       deterministic=True)
+    d = np.asarray(out1["pred_boxes"]) - np.asarray(out0["pred_boxes"])
+    np.testing.assert_allclose(d[..., 0], 7.5, atol=1e-3)
+    np.testing.assert_allclose(d[..., 2], -4.25, atol=1e-3)
+    np.testing.assert_allclose(d[..., [1, 3, 4, 5]], 0.0, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out1["pred_classes"]),
+        np.asarray(out0["pred_classes"]), atol=1e-4)
