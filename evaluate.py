@@ -57,7 +57,8 @@ def evaluate_benchmark(args) -> dict:
                 pred_b = refine_walls(
                     pred_b, jnp.argmax(out["pred_classes"][b], -1),
                     db["raw"][b], db["length"][b],
-                    clearance=args.refine)
+                    clearance=args.refine,
+                    furniture_aware=args.refine_furniture)
             obj = out.get("pred_objectness")
             keep, labels, conf = post_process(
                 pred_b, out["pred_classes"][b],
@@ -276,6 +277,11 @@ def main():
                    help="trace-informed wall refinement before NMS, with "
                         "this walker-clearance prior in meters (agent: 0.3, "
                         "human: ~0.55); see room_slam_tpu/ops/refine.py")
+    p.add_argument("--refine_furniture", action="store_true",
+                   help="with --refine: where predicted furniture lines a "
+                        "side of the visited envelope, place the wall "
+                        "plane beyond the furniture's outer face instead "
+                        "of the clearance prior")
     p.add_argument("--hidden_size", type=int, default=128)
     p.add_argument("--max_objects", type=int, default=10)
     p.add_argument("--compare_baseline", action="store_true")

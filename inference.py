@@ -24,6 +24,7 @@ __all__ = ["adapt_features", "model_input_dim", "predict"]
 def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             confidence_threshold: float = 0.7, nms_threshold: float = 0.3,
             refine_clearance: float | None = None,
+            refine_furniture: bool = False,
             extent_slack: float | None = None,
             consensus: bool = False):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
@@ -34,6 +35,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         model, params, max_trace_len=max_trace_len,
         confidence_threshold=confidence_threshold,
         nms_threshold=nms_threshold, refine_clearance=refine_clearance,
+        refine_furniture=refine_furniture,
         extent_slack=extent_slack, consensus=consensus)
     return predict_array(formats.load_trace_json(traces_file))
 
@@ -56,6 +58,9 @@ def main():
                         help="trace-informed wall refinement with this "
                              "walker-clearance prior in meters (agent: 0.3, "
                              "human: ~0.55)")
+    parser.add_argument("--refine_furniture", action="store_true",
+                        help="with --refine: wall planes sit beyond "
+                             "predicted furniture lining the envelope")
     parser.add_argument("--consensus", action="store_true",
                         help="rescore detections by NMS cluster-size "
                              "consensus (rank-only)")
@@ -74,8 +79,8 @@ def main():
         model, params, args.input,
         max_trace_len=cfg.data.max_trace_len,
         confidence_threshold=args.threshold, nms_threshold=args.nms,
-        refine_clearance=args.refine, extent_slack=args.extent_slack,
-        consensus=args.consensus)
+        refine_clearance=args.refine, refine_furniture=args.refine_furniture,
+        extent_slack=args.extent_slack, consensus=args.consensus)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -49,6 +49,7 @@ def refine_walls(
     wall_thickness: float = DEFAULT_WALL_THICKNESS,
     trust: float = 0.4,         # max snap distance; beyond it, leave alone
     max_aspect_thin: float = 0.45,  # "thin" if short side < this (m)
+    furniture_aware: bool = False,
 ) -> jnp.ndarray:
     """Snap wall-like BLOCK boxes to the trace-extent-implied wall planes.
 
@@ -61,6 +62,14 @@ def refine_walls(
     size otherwise leave multi-metre overhangs past the room corners. Only
     applied when the predicted center is within ``trust`` of the snapped
     plane.
+
+    ``furniture_aware``: where the model's own furniture predictions
+    (non-BLOCK boxes) line a side of the visited envelope, the walker's
+    standoff from that wall is the FURNITURE's depth, not the personal-
+    space prior — e.g. a desk row keeps the trace 0.7+ m off the real far
+    wall. The snapped plane then sits just beyond the furniture's outer
+    face whenever that lies farther out than the clearance prior. Purely
+    prediction-driven; no ground truth involved.
     """
     x_min, x_max, z_min, z_max = trace_extent(raw, length)
     off = clearance + wall_thickness / 2
@@ -73,11 +82,33 @@ def refine_walls(
     sx, sy, sz = boxes[:, 3], boxes[:, 4], boxes[:, 5]
     is_block = labels == 0
 
+    # per-side plane override from predicted furniture lining that side
+    hi_x_off = lo_x_off = hi_z_off = lo_z_off = off
+    if furniture_aware:
+        furn = labels != 0
+        gap = 0.05 + wall_thickness / 2  # face-to-wall gap when lined
+        near = 1.2                        # how far beyond the extent counts
+
+        def side_off(centers, sizes, lo_edge, hi_edge, hi_side):
+            outer = jnp.where(hi_side, centers + sizes / 2,
+                              -(centers - sizes / 2))
+            edge = jnp.where(hi_side, hi_edge, -lo_edge)
+            lining = furn & (outer > edge - 0.2) & (outer < edge + near)
+            best = jnp.max(jnp.where(lining, outer - edge, -jnp.inf))
+            return jnp.maximum(off, jnp.where(jnp.isfinite(best),
+                                              best + gap, off))
+
+        hi_x_off = side_off(cx, sx, x_min, x_max, True)
+        lo_x_off = side_off(cx, sx, x_min, x_max, False)
+        hi_z_off = side_off(cz, sz, z_min, z_max, True)
+        lo_z_off = side_off(cz, sz, z_min, z_max, False)
+
     # --- x-thin walls (planes x = const): snap to left/right extent
     thin_x = is_block & (sx < max_aspect_thin) & (sz > 2 * sx)
     right = cx > mid_x
-    snap_x = jnp.where(right, x_max + off, x_min - off)
-    do_x = thin_x & (jnp.abs(cx - snap_x) < trust)
+    snap_x = jnp.where(right, x_max + hi_x_off, x_min - lo_x_off)
+    do_x = thin_x & (jnp.abs(cx - snap_x) < trust + jnp.where(
+        right, hi_x_off - off, lo_x_off - off))
     cx = jnp.where(do_x, snap_x, cx)
     sx = jnp.where(do_x, wall_thickness, sx)
     sz = jnp.where(do_x, span_z, sz)
@@ -87,8 +118,9 @@ def refine_walls(
     thin_z = is_block & (boxes[:, 5] < max_aspect_thin) & (
         boxes[:, 3] > 2 * boxes[:, 5]) & ~do_x
     front = boxes[:, 2] > mid_z
-    snap_z = jnp.where(front, z_max + off, z_min - off)
-    do_z = thin_z & (jnp.abs(boxes[:, 2] - snap_z) < trust)
+    snap_z = jnp.where(front, z_max + hi_z_off, z_min - lo_z_off)
+    do_z = thin_z & (jnp.abs(boxes[:, 2] - snap_z) < trust + jnp.where(
+        front, hi_z_off - off, lo_z_off - off))
     cz = jnp.where(do_z, snap_z, cz)
     sz = jnp.where(do_z, wall_thickness, sz)
     sx = jnp.where(do_z, span_x, sx)

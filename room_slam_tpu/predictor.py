@@ -49,6 +49,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     confidence_threshold: float = 0.7,
                     nms_threshold: float = 0.3,
                     refine_clearance: float | None = None,
+                    refine_furniture: bool = False,
                     extent_slack: float | None = None,
                     consensus: bool = False,
                     verbose: bool = True):
@@ -76,7 +77,8 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             boxes0 = refine_walls(
                 boxes0, jnp.argmax(out["pred_classes"][0], -1),
                 traces[0, :, :4], jnp.sum(mask[0].astype(jnp.int32)),
-                clearance=refine_clearance)
+                clearance=refine_clearance,
+                furniture_aware=refine_furniture)
         obj = out.get("pred_objectness")
         keep, labels, conf = post_process(
             boxes0, out["pred_classes"][0],

@@ -62,7 +62,7 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
 
 def sweep(cached: dict, thresholds, nms_vals, refine_vals,
           extent_vals=(None,), consensus_vals=(False,),
-          iou_thresholds=(0.5, 0.25)) -> list:
+          iou_thresholds=(0.5, 0.25), refine_furniture: bool = False) -> list:
     """Score every (threshold, nms, refine, extent, consensus) cell from
     cached forwards."""
     import jax
@@ -77,7 +77,9 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     @jax.jit
     def _refine_all(boxes, labels, raw, length, clearance):
         return jax.vmap(
-            lambda b, l, r, n: refine_walls(b, l, r, n, clearance=clearance)
+            lambda b, l, r, n: refine_walls(
+                b, l, r, n, clearance=clearance,
+                furniture_aware=refine_furniture)
         )(boxes, labels, raw, length)
 
     obj_all = cached.get("pred_objectness")  # [B, Q] or None
@@ -170,8 +172,11 @@ def main():
                    help="comma list of extent-suppression slacks (m); "
                         "'none' = off")
     p.add_argument("--consensus", default="off",
-                   help="'off', 'on', or 'off,on' to sweep cluster-size "
-                        "consensus rescoring")
+                   help="'off', 'on', 'off,on' (alias 'both') to sweep "
+                        "cluster-size consensus rescoring")
+    p.add_argument("--refine_furniture", action="store_true",
+                   help="refine cells place wall planes beyond predicted "
+                        "furniture lining the envelope (ops/refine.py)")
     p.add_argument("--device", choices=["cpu", "default"], default="cpu")
     p.add_argument("--output", default=None)
     args = p.parse_args()
@@ -186,12 +191,15 @@ def main():
                    for x in args.refine.split(",")]
     extent_vals = [None if x == "none" else float(x)
                    for x in args.extent.split(",")]
-    consensus_vals = [x == "on" for x in args.consensus.split(",")]
+    if args.consensus == "both":
+        consensus_vals = [False, True]
+    else:
+        consensus_vals = [x == "on" for x in args.consensus.split(",")]
 
     cached = _forward_val_set(args.checkpoint, args.data_dir,
                               args.batch_size)
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
-                    consensus_vals)
+                    consensus_vals, refine_furniture=args.refine_furniture)
     results.sort(key=lambda c: (-c["mAP@0.5"], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "

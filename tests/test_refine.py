@@ -93,3 +93,57 @@ def test_outside_extent_mask_uses_valid_length_only():
     out = outside_extent_mask(boxes, jnp.asarray(raw), jnp.asarray(32),
                               slack=1.0)
     assert bool(out[0])
+
+
+def test_furniture_aware_wall_plane():
+    """When predicted furniture lines a side of the envelope, the snapped
+    wall plane sits beyond the furniture's outer face instead of at the
+    clearance prior (the walker's standoff from that wall IS the
+    furniture's depth)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from room_slam_tpu.ops.refine import refine_walls
+
+    # square walk envelope x,z in [-2, 2]
+    t = np.linspace(0.0, 60.0, 400).astype(np.float32)
+    ang = t * 0.3
+    raw = np.stack([2 * np.signbit(np.cos(ang)) * 2 - 2 + 4 * (np.cos(ang) > 0),
+                    np.full_like(t, 0.5),
+                    np.clip(2 * np.sin(ang) * 2, -2, 2), t], -1)
+    # simpler: corners walk
+    xs = np.concatenate([np.linspace(-2, 2, 100), np.full(100, 2),
+                         np.linspace(2, -2, 100), np.full(100, -2)])
+    zs = np.concatenate([np.full(100, -2), np.linspace(-2, 2, 100),
+                         np.full(100, 2), np.linspace(2, -2, 100)])
+    raw = np.stack([xs, np.full_like(xs, 0.5), zs,
+                    np.linspace(0, 60, 400)], -1).astype(np.float32)
+    length = jnp.asarray(400)
+
+    # predictions: a desk (MID) lining the +z side, outer face at z=2.7,
+    # plus a thin wall predicted near z=+2.6
+    boxes = np.zeros((3, 6), np.float32)
+    labels = np.zeros((3,), np.int32)
+    boxes[0] = [0.0, 0.0, 2.45, 1.2, 0.7, 0.5]   # furniture: z faces 2.2-2.7
+    labels[0] = 2
+    boxes[1] = [0.0, 1.0, 2.4, 3.0, 3.0, 0.2]     # thin z-wall candidate
+    labels[1] = 0
+    boxes[2] = [0.0, 1.0, -2.3, 3.0, 3.0, 0.2]    # thin z-wall, bare side
+    labels[2] = 0
+
+    out_prior = np.asarray(refine_walls(
+        jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(raw), length,
+        clearance=0.1))
+    out_furn = np.asarray(refine_walls(
+        jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(raw), length,
+        clearance=0.1, furniture_aware=True))
+
+    # prior-only: +z wall at extent + 0.1 + t/2
+    assert abs(out_prior[1, 2] - (2 + 0.1 + 0.0625)) < 1e-3, out_prior[1, 2]
+    # furniture-aware: beyond the desk's outer face (2.7 + gap)
+    assert out_furn[1, 2] > 2.7
+    assert abs(out_furn[1, 2] - (2.7 + 0.05 + 0.0625)) < 1e-3
+    # bare -z side unchanged between modes
+    assert abs(out_furn[2, 2] - out_prior[2, 2]) < 1e-6
+    # furniture box itself untouched
+    np.testing.assert_allclose(out_furn[0], boxes[0])
