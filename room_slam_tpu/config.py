@@ -115,6 +115,10 @@ class TrainConfig:
     # BCE weight for the no-object head; only active when model.objectness
     # adds the head (the loss keys off the model's pred_objectness output)
     objectness_weight: float = 1.0
+    # IoU-aware objectness: matched slots' BCE target is the pair's 3D IoU
+    # (soft) instead of 1.0, so the learned score ranks by localization
+    # quality — what AP actually orders by
+    objectness_iou: bool = False
     # scale-relative |log(pred_size/gt_size)| weight (0.0 = reference loss
     # exactly); absolute L1 under-penalizes small-furniture size errors
     size_log_weight: float = 0.0

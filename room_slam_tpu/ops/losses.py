@@ -159,12 +159,23 @@ def set_criterion(
     # when the model emits pred_objectness (model.objectness=True); the
     # reference has no analog — its softmax confidence saturates and cannot
     # rank detections (see models/lstm.py SimpleQueryDecoder).
+    # With loss_weights['objectness_iou'] truthy, the matched slots' target
+    # is the pair's 3D IoU instead of 1.0 (IoU-aware soft BCE): ranking then
+    # reflects predicted LOCALIZATION quality, which is what average
+    # precision orders by — a binary match bit ranks a barely-overlapping
+    # box equal to a perfect one.
     if "pred_objectness" in outputs:
         obj_logits = outputs["pred_objectness"]  # [B, Q]
+        if loss_weights.get("objectness_iou", 0.0):
+            pair_iou, _ = iou_ops.iou_giou_3d(mp_boxes, gt_boxes)
+            pair_val = jax.lax.stop_gradient(
+                jnp.clip(pair_iou, 0.0, 1.0)) * matched
+        else:
+            pair_val = matched.astype(pred_boxes.dtype)
         slot_target = jnp.zeros((B, Q), dtype=pred_boxes.dtype)
         slot_target = jax.vmap(
-            lambda st, r, m: st.at[r].max(m.astype(st.dtype)))(
-            slot_target, rows, matched)
+            lambda st, r, v: st.at[r].max(v))(
+            slot_target, rows, pair_val.astype(pred_boxes.dtype))
         bce = optax_sigmoid_bce(obj_logits, slot_target)
         objectness_loss = _weighted_mean(
             bce, jnp.broadcast_to(sample_weight[:, None], bce.shape))

@@ -236,3 +236,43 @@ def test_size_log_loss_scale_relative(rng):
     scaled = set_criterion(big_out, big_tgt, loss_weights=lw)
     assert float(scaled["size_log_loss"]) == pytest.approx(
         float(with_term["size_log_loss"]), rel=2e-2)
+
+
+def test_objectness_iou_soft_target(rng):
+    """IoU-aware objectness: a perfectly-predicted matched box drives its
+    slot target to ~1 while a barely-overlapping matched box gets a low
+    soft target — logits matching the match INDICATOR now incur loss."""
+    from room_slam_tpu.ops.losses import match, set_criterion
+
+    B, Q, M, C = 1, 4, 2, 4
+    gt_b = np.array([[[0, 0, 0, 1, 1, 1],
+                      [5, 0, 0, 1, 1, 1]]], np.float32)
+    pb = np.full((B, Q, 6), 20.0, np.float32)
+    pb[0, 0] = gt_b[0, 0]                       # exact match -> IoU 1
+    pb[0, 1] = [5.45, 0, 0, 1, 1, 1]            # shifted -> IoU ~0.35
+    pl = rng.normal(size=(B, Q, C)).astype(np.float32)
+    gt_l = np.zeros((B, M), np.int32)
+    valid = np.ones((B, M), bool)
+    outputs = {"pred_boxes": jnp.asarray(pb), "pred_classes": jnp.asarray(pl)}
+    targets = {"boxes": jnp.asarray(gt_b), "labels": jnp.asarray(gt_l),
+               "valid_mask": jnp.asarray(valid)}
+    lw = {"class_loss": 2.0, "l1_loss": 5.0, "giou_loss": 2.0,
+          "objectness_loss": 1.0, "objectness_iou": 1.0}
+
+    rows, matched = match(outputs["pred_boxes"], outputs["pred_classes"],
+                          targets["boxes"], targets["labels"],
+                          targets["valid_mask"])
+    rows = np.asarray(rows)[0]
+    # logits saturated at the MATCH indicator
+    hard = np.full((B, Q), -20.0, np.float32)
+    hard[0, rows[np.asarray(matched)[0]]] = 20.0
+    out_hard_t = set_criterion(
+        {**outputs, "pred_objectness": jnp.asarray(hard)}, targets,
+        loss_weights={**lw, "objectness_iou": 0.0})
+    out_soft_t = set_criterion(
+        {**outputs, "pred_objectness": jnp.asarray(hard)}, targets,
+        loss_weights=lw)
+    # binary target: saturated indicator logits are near-perfect
+    assert float(out_hard_t["objectness_loss"]) < 1e-6
+    # IoU target: the ~0.35-IoU slot's saturated logit now costs real loss
+    assert float(out_soft_t["objectness_loss"]) > 1.0
