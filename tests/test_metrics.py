@@ -258,3 +258,38 @@ def test_legacy_model_and_criterion(rng):
         assert np.isfinite(float(v)), k
     assert set(losses) == {"class_loss", "position_loss", "size_loss",
                            "orientation_loss", "validity_loss", "total_loss"}
+
+
+def test_detection_prf_operating_point():
+    """detection_prf scores the post-processed set with VOC greedy
+    assignment: duplicates of one GT count once, cross-image matches are
+    forbidden, and P/R/F1 come from the raw counts."""
+    import numpy as np
+
+    from room_slam_tpu.train.metrics import detection_prf
+
+    gt = np.array([[0, 0, 0, 2, 2, 2],
+                   [10, 0, 0, 2, 2, 2]], np.float32)
+    gt_labels = np.array([0, 1])
+    gt_image = np.array([0, 0])
+    # three predictions: exact hit on GT0, duplicate of GT0, far miss
+    pred = np.array([[0, 0, 0, 2, 2, 2],
+                     [0.1, 0, 0, 2, 2, 2],
+                     [50, 0, 0, 2, 2, 2]], np.float32)
+    labels = np.array([0, 0, 1])
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    image = np.array([0, 0, 0])
+
+    p, r, f1, tp = detection_prf(pred, labels, scores, image,
+                                 gt, gt_labels, gt_image, iou_thresh=0.5)
+    assert tp == 1                     # duplicate is FP, miss is FP
+    assert p == pytest.approx(1 / 3)
+    assert r == pytest.approx(1 / 2)
+    assert f1 == pytest.approx(2 * (1 / 3) * (1 / 2) / (1 / 3 + 1 / 2))
+
+    # same boxes in a DIFFERENT image than the GT: nothing matches
+    p2, r2, f12, tp2 = detection_prf(pred, labels, scores,
+                                     np.array([1, 1, 1]),
+                                     gt, gt_labels, gt_image,
+                                     iou_thresh=0.5)
+    assert tp2 == 0 and f12 == 0.0
