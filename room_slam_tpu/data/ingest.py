@@ -80,6 +80,7 @@ def record(
           f"(duration={duration}, max_points={max_points}) ...")
     rows: List[dict] = []
     t_start = None
+    t_send0 = None
     t_wall = time.monotonic()
     try:
         while True:
@@ -96,11 +97,21 @@ def record(
             except json.JSONDecodeError:
                 continue
             now = time.monotonic()
-            if t_start is None:
-                t_start = now
+            # prefer the sender-side clock when the packet carries one
+            # (our replay extension) — receive time is distorted whenever
+            # packets queue in the kernel buffer
+            ts = pose.get("timestamp")
+            if ts is not None:
+                if t_send0 is None:
+                    t_send0 = float(ts)
+                t_rel = float(ts) - t_send0
+            else:
+                if t_start is None:
+                    t_start = now
+                t_rel = now - t_start
             z = float(pose.get("z", 0.0))
             rows.append({
-                "timestamp": now - t_start,
+                "timestamp": t_rel,
                 "x": float(pose.get("x", 0.0)),
                 "y": float(pose.get("y", 0.0)),
                 "z": -z if flip_handedness else z,
@@ -140,6 +151,10 @@ def replay(
             # undo the receiver-side flip so record() round-trips
             "z": float(-z) if flip_handedness else float(z),
             "qx": 0.0, "qy": 0.0, "qz": 0.0, "qw": 1.0,
+            # sender-side clock (extension over the reference wire format):
+            # receivers prefer it over receive time, so queued bursts keep
+            # their true inter-point dt
+            "timestamp": float(t),
         }
         sock.sendto(json.dumps(pose).encode(), (host, port))
         n += 1
@@ -181,6 +196,7 @@ def live(
     # kernel receive buffer instead of being dropped
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     sock.bind((host, port))
+    t_bind = time.monotonic()
     sock.settimeout(0.2)
 
     print(f"Loading model from {checkpoint}")
@@ -195,6 +211,52 @@ def live(
     rows: List[List[float]] = []  # [x, y, z, t]
     preds: list = []
     t_start = None
+    t_send0 = None
+
+    def add_pose(pose: dict, recv_t: float) -> None:
+        nonlocal t_start, t_send0
+        # sender-side clock (when present) keeps true inter-point dt even
+        # when packets queued in the kernel buffer; receive times of a
+        # drained burst are near-identical and would blow up the
+        # diff(pos)/clip(dt) velocity features downstream
+        ts = pose.get("timestamp")
+        if ts is not None:
+            if t_send0 is None:
+                t_send0 = float(ts)
+            t_rel = float(ts) - t_send0
+        else:
+            if t_start is None:
+                t_start = recv_t
+            t_rel = recv_t - t_start
+        z = float(pose.get("z", 0.0))
+        rows.append([
+            float(pose.get("x", 0.0)),
+            float(pose.get("y", 0.0)),
+            -z if flip_handedness else z,
+            t_rel,
+        ])
+
+    # Drain the backlog that queued during the model load: those packets
+    # all *arrive* now in one burst, so back-date their receive times
+    # uniformly over the load window (timestamp-carrying packets are exact
+    # regardless).
+    t_loaded = time.monotonic()
+    burst: List[dict] = []
+    sock.setblocking(False)
+    while True:
+        try:
+            data, _ = sock.recvfrom(4096)
+        except (BlockingIOError, OSError):
+            break
+        try:
+            burst.append(json.loads(data))
+        except json.JSONDecodeError:
+            continue
+    sock.settimeout(0.2)
+    for i, pose in enumerate(burst):
+        frac = (i + 1) / len(burst)
+        add_pose(pose, t_bind + frac * (t_loaded - t_bind))
+
     t_wall = time.monotonic()
     last_run = t_wall
 
@@ -226,15 +288,7 @@ def live(
                 except json.JSONDecodeError:
                     pose = None
                 if pose is not None:
-                    if t_start is None:
-                        t_start = now
-                    z = float(pose.get("z", 0.0))
-                    rows.append([
-                        float(pose.get("x", 0.0)),
-                        float(pose.get("y", 0.0)),
-                        -z if flip_handedness else z,
-                        now - t_start,
-                    ])
+                    add_pose(pose, now)
             if len(rows) >= min_points and now - last_run >= interval:
                 preds = refresh(now)
                 last_run = time.monotonic()

@@ -129,6 +129,11 @@ def center_traces_xz(traces, mask):
     offs = (xz * m).sum(axis=1, keepdims=True) / denom          # [B, 1, 2]
     shifted = traces.at[..., 0].add(-offs[..., 0])
     shifted = shifted.at[..., 2].add(-offs[..., 1])
+    # Padding rows are all-zero on input; the shift above would turn them
+    # into (-offs_x, -offs_z), and the unmasked BiLSTM/GRU recurrences DO
+    # consume padding steps — re-zero so short traces stay truly
+    # translation-invariant.
+    shifted = jnp.where(mask[..., None], shifted, 0.0)
     return shifted, offs
 
 

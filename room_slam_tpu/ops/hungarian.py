@@ -104,9 +104,9 @@ def solve_square(cost: jnp.ndarray) -> jnp.ndarray:
     return p[1:] - 1  # 0-indexed row per column
 
 
-@partial(jax.jit, static_argnames=("num_queries",))
+@jax.jit
 def hungarian_match(
-    cost: jnp.ndarray, valid_cols: jnp.ndarray, num_queries: int | None = None
+    cost: jnp.ndarray, valid_cols: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Match predictions (rows) to valid ground-truth objects (columns).
 
@@ -122,7 +122,6 @@ def hungarian_match(
     Args:
         cost: ``[Q, M]`` float32.
         valid_cols: ``[M]`` bool.
-        num_queries: unused; Q is taken from the shape.
 
     Returns:
         row_for_col: ``[M]`` int32 — matched prediction index per column

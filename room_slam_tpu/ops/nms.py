@@ -31,13 +31,7 @@ def nms_3d_mask(
         keep: [Q] bool. Matches the reference's greedy semantics
         (inference.py:103-127): highest score kept, suppress IoU >= threshold.
     """
-    Q = boxes.shape[0]
-    iou = pairwise_iou_3d(boxes, boxes)
-    neg_inf = jnp.finfo(scores.dtype).min
-    order = jnp.argsort(jnp.where(mask, scores, neg_inf))[::-1]
-
-    keep, _ = nms_3d_with_counts(boxes, scores, mask, iou_threshold)
-    return keep
+    return nms_3d_with_counts(boxes, scores, mask, iou_threshold)[0]
 
 
 def nms_3d_with_counts(

@@ -455,6 +455,9 @@ def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
         # keep val_loss comparable to the reference's validate():
         # auxiliary heads are monitored but excluded from the val total
         "objectness_loss": 0.0,
+        # ...but the monitored objectness_loss must track the TRAINING
+        # target (IoU-aware when train.objectness_iou), not the binary one
+        "objectness_iou": 1.0 if cfg.train.objectness_iou else 0.0,
     }
 
     @jax.jit
