@@ -42,6 +42,7 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
 
     rows = {k: [] for k in ("pred_boxes", "pred_logits", "raw", "length",
                             "gt_boxes", "gt_labels", "gt_valid")}
+    names: list = []
     for batch in ds.epoch_batches(batch_size, shuffle=False):
         db = {k: jnp.asarray(v) for k, v in batch.items()}
         feats, mask = featurize(db["raw"], db["length"])
@@ -57,7 +58,11 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
         rows["gt_boxes"].append(batch["boxes"][keepers])
         rows["gt_labels"].append(batch["labels"][keepers])
         rows["gt_valid"].append(batch["valid"][keepers])
-    return {k: np.concatenate(v) for k, v in rows.items()}
+    # shuffle=False + augment=False: expanded order == base order
+    names.extend(ds.names)
+    out = {k: np.concatenate(v) for k, v in rows.items()}
+    out["names"] = names[: out["pred_boxes"].shape[0]]
+    return out
 
 
 def sweep(cached: dict, thresholds, nms_vals, refine_vals,
@@ -179,6 +184,13 @@ def main():
                         "furniture lining the envelope (ops/refine.py)")
     p.add_argument("--device", choices=["cpu", "default"], default="cpu")
     p.add_argument("--output", default=None)
+    p.add_argument("--eval_dir", default=None,
+                   help="honest protocol: choose the best cell on "
+                        "--data_dir, then re-score THAT cell on this "
+                        "untouched directory (reported numbers are from "
+                        "eval_dir only)")
+    p.add_argument("--select", default="mAP@0.5",
+                   help="metric the sweep ranks cells by")
     args = p.parse_args()
 
     if args.device == "cpu":
@@ -200,7 +212,7 @@ def main():
                               args.batch_size)
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
                     consensus_vals, refine_furniture=args.refine_furniture)
-    results.sort(key=lambda c: (-c["mAP@0.5"], -c["mAP@0.25"]))
+    results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
               f"refine={c['refine']} extent={c['extent']} "
@@ -209,9 +221,24 @@ def main():
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
     best = results[0]
     print("\nbest:", json.dumps(best, default=float))
+    if args.eval_dir:
+        # honest protocol: the chosen cell's numbers come from a directory
+        # the sweep never saw (max-over-cells on the reported set is
+        # selection bias)
+        eval_cached = _forward_val_set(args.checkpoint, args.eval_dir,
+                                       args.batch_size)
+        held_out = sweep(eval_cached, [best["threshold"]], [best["nms"]],
+                         [best["refine"]], [best["extent"]],
+                         [best["consensus"]],
+                         refine_furniture=args.refine_furniture)[0]
+        held_out["calibrated_on"] = args.data_dir
+        held_out["scored_on"] = args.eval_dir
+        print("held-out:", json.dumps(held_out, default=float))
+        best = held_out
     if args.output:
         with open(args.output, "w") as f:
-            json.dump(results, f, indent=2, default=float)
+            json.dump({"best": best, "sweep": results} if args.eval_dir
+                      else results, f, indent=2, default=float)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,341 @@
+"""Aggregate real-room benchmark: score a checkpoint on ALL real captures.
+
+The reference ships 8 real captures across 2 rooms
+(``dataset/train/``: 4 Unity-agent + 3 human walks of an 11-box room;
+``dataset/val/``: 1 human walk of a 10-box room — the room whose layout the
+whole system exists to recover). Scoring a single ~100-point capture makes
+mAP rank noise (one TP's rank moves mAP@0.25 by ~0.07); this tool pools all
+captures into one detection benchmark with per-capture rows and a bootstrap
+confidence interval, so sim2real progress is measurable.
+
+Honest calibration: the operating point (threshold / NMS / refine / extent /
+consensus) is either given explicitly or chosen by sweeping on a SEPARATE
+calibration directory (``--calib_dir``, e.g. held-out synthetic rooms) —
+never on the captures being scored.
+
+    python -m room_slam_tpu.tools.realbench --checkpoint ck/best_model \
+        --calib_dir /tmp/synth_calib --output realbench.json
+
+Statistics: each capture is one "image"; VOC greedy assignment makes every
+prediction's TP/FP flag depend only on its own capture (per-image taken
+flags, global ordering restricted to one image = per-image descending-score
+ordering), so pooled AP for any bootstrap resample is a cheap merge of
+precomputed per-capture (score, tp) lists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+REF_DIRS = ("/root/reference/dataset/train", "/root/reference/dataset/val")
+IOU_THRESHOLDS = (0.25, 0.5)
+
+
+def forward_captures(checkpoint: str, dirs, batch_size: int = 8) -> dict:
+    """Cached forwards over every capture of every directory, concatenated.
+    Requires all dirs to exist; capture names are prefixed by room."""
+    from room_slam_tpu.tools.calibrate import _forward_val_set
+
+    parts = [_forward_val_set(checkpoint, d, batch_size) for d in dirs]
+    out = {}
+    for k in parts[0]:
+        if k == "names":
+            out[k] = [f"{Path(d).name}/{n}"
+                      for d, p in zip(dirs, parts) for n in p["names"]]
+        elif all(k in p for p in parts):
+            out[k] = np.concatenate([p[k] for p in parts])
+    return out
+
+
+def apply_operating_point(cached: dict, cell: dict,
+                          refine_furniture: bool = False) -> dict:
+    """Post-process cached forwards at ONE operating point.
+
+    Returns {boxes [P,6], labels [P], conf [P], img [P]} of kept detections.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from room_slam_tpu.ops.nms import post_process
+    from room_slam_tpu.ops.refine import outside_extent_mask, refine_walls
+
+    boxes = cached["pred_boxes"]
+    logits = cached["pred_logits"]
+    obj = cached.get("pred_objectness")
+    rf = cell.get("refine")
+    if rf is not None:
+        pred_labels = np.argmax(logits, -1)
+        boxes = np.asarray(jax.jit(jax.vmap(
+            lambda b, l, r, n: refine_walls(
+                b, l, r, n, clearance=jnp.float32(rf),
+                furniture_aware=refine_furniture)
+        ))(jnp.asarray(boxes), jnp.asarray(pred_labels),
+           jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
+
+    def _post(b, lg, o):
+        return post_process(
+            b, lg, confidence_threshold=cell["threshold"],
+            nms_threshold=cell["nms"], consensus=cell.get("consensus", False),
+            objectness=o)
+
+    if obj is None:
+        keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
+            lambda b, lg: _post(b, lg, None)))(
+                jnp.asarray(boxes), jnp.asarray(logits)))
+    else:
+        keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
+            _post))(jnp.asarray(boxes), jnp.asarray(logits),
+                    jnp.asarray(obj)))
+
+    ext = cell.get("extent")
+    if ext is not None:
+        outside = np.asarray(jax.jit(jax.vmap(
+            lambda b, r, n: outside_extent_mask(
+                b, r, n, slack=jnp.float32(ext))
+        ))(jnp.asarray(boxes), jnp.asarray(cached["raw"]),
+           jnp.asarray(cached["length"])))
+        keep = keep & ~outside
+    img, flat = np.nonzero(keep)
+    return {"boxes": boxes[img, flat], "labels": labels[img, flat],
+            "conf": conf[img, flat], "img": img}
+
+
+def _capture_flags(dets: dict, gts: dict, n_img: int) -> list:
+    """Per-capture VOC TP/FP flags.
+
+    Returns, per capture, ``{(iou_t, cls): (scores_desc, tp_flags)}`` plus
+    ``npos`` per class and ``npred``. Greedy assignment inside one capture
+    with descending-score order reproduces the pooled evaluator exactly
+    (see module docstring).
+    """
+    import jax.numpy as jnp
+
+    from room_slam_tpu.ops.iou import pairwise_iou_3d
+
+    per_cap = []
+    for i in range(n_img):
+        p_sel = dets["img"] == i
+        g_sel = gts["img"] == i
+        pb, pl = dets["boxes"][p_sel], dets["labels"][p_sel]
+        ps = dets["conf"][p_sel]
+        gb, gl = gts["boxes"][g_sel], gts["labels"][g_sel]
+        entry = {"npred": int(p_sel.sum()),
+                 "npos": {int(c): int((gl == c).sum()) for c in np.unique(gl)},
+                 "flags": {}}
+        # classes with predictions but no same-class GT in this capture
+        # still contribute FPs to the class's pooled precision curve
+        for c in np.union1d(np.unique(gl), np.unique(pl)):
+            pc = pl == c
+            if pc.sum() == 0:
+                continue
+            order = np.argsort(-ps[pc], kind="stable")
+            pbox = pb[pc][order]
+            score = ps[pc][order]
+            n_gt = int((gl == c).sum())
+            if n_gt == 0:
+                for t in IOU_THRESHOLDS:
+                    entry["flags"][(t, int(c))] = (
+                        score, np.zeros(len(pbox)))
+                continue
+            iou = np.asarray(pairwise_iou_3d(
+                jnp.asarray(pbox), jnp.asarray(gb[gl == c])))
+            for t in IOU_THRESHOLDS:
+                taken = np.zeros(iou.shape[1], dtype=bool)
+                tp = np.zeros(len(pbox))
+                for r in range(len(pbox)):
+                    j = int(np.argmax(iou[r])) if iou.shape[1] else 0
+                    if iou.shape[1] and iou[r, j] >= t and not taken[j]:
+                        taken[j] = True
+                        tp[r] = 1.0
+                entry["flags"][(t, int(c))] = (score, tp)
+        per_cap.append(entry)
+    return per_cap
+
+
+def _pool_metrics(per_cap: list, caps: np.ndarray) -> dict:
+    """Pooled mAP / det-P/R/F1 over a multiset of capture indices (pure
+    numpy merge of the precomputed per-capture flags)."""
+    out = {}
+    for t in IOU_THRESHOLDS:
+        npos = {}
+        merged = {}
+        npred = 0
+        tp_total = 0.0
+        for i in caps:
+            e = per_cap[i]
+            npred += e["npred"]
+            for c, n in e["npos"].items():
+                npos[c] = npos.get(c, 0) + n
+            for (tt, c), (score, tp) in e["flags"].items():
+                if tt != t:
+                    continue
+                merged.setdefault(c, []).append((score, tp))
+                tp_total += tp.sum()
+        aps = {}
+        for c, n in npos.items():
+            if n == 0:
+                continue
+            if c not in merged:
+                aps[c] = 0.0
+                continue
+            score = np.concatenate([s for s, _ in merged[c]])
+            tp = np.concatenate([f for _, f in merged[c]])
+            order = np.argsort(-score, kind="stable")
+            tp_c = np.cumsum(tp[order])
+            fp_c = np.cumsum(1.0 - tp[order])
+            recall = tp_c / n
+            precision = tp_c / np.maximum(tp_c + fp_c, 1e-9)
+            ap = 0.0
+            for r in np.linspace(0, 1, 101):
+                m = recall >= r
+                ap += precision[m].max() if m.any() else 0.0
+            aps[c] = ap / 101
+        npos_total = sum(npos.values())
+        prec = tp_total / max(npred, 1)
+        rec = tp_total / max(npos_total, 1)
+        out[f"mAP@{t}"] = float(np.mean(list(aps.values()))) if aps else 0.0
+        out[f"AP_per_class@{t}"] = {c: round(float(v), 4)
+                                    for c, v in aps.items()}
+        out[f"det_precision@{t}"] = prec
+        out[f"det_recall@{t}"] = rec
+        out[f"det_f1@{t}"] = (2 * prec * rec / (prec + rec)
+                              if prec + rec > 0 else 0.0)
+        out[f"tp@{t}"] = int(tp_total)
+    out["num_predictions"] = int(sum(per_cap[i]["npred"] for i in caps))
+    out["num_gt"] = int(sum(sum(per_cap[i]["npos"].values()) for i in caps))
+    return out
+
+
+def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
+        refine_furniture: bool = False, batch_size: int = 8,
+        seed: int = 0) -> dict:
+    cached = forward_captures(checkpoint, dirs, batch_size)
+    dets = apply_operating_point(cached, cell, refine_furniture)
+    n_img = cached["pred_boxes"].shape[0]
+    g_img, g_flat = np.nonzero(cached["gt_valid"])
+    gts = {"boxes": cached["gt_boxes"][g_img, g_flat],
+           "labels": cached["gt_labels"][g_img, g_flat], "img": g_img}
+    per_cap = _capture_flags(dets, gts, n_img)
+
+    all_caps = np.arange(n_img)
+    report = {
+        "operating_point": cell,
+        "captures": [],
+        "aggregate": _pool_metrics(per_cap, all_caps),
+    }
+    for i in range(n_img):
+        row = {"name": cached["names"][i]}
+        row.update({k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in _pool_metrics(per_cap, np.array([i])).items()
+                    if not k.startswith("AP_per_class")})
+        report["captures"].append(row)
+    if bootstrap:
+        rng = np.random.default_rng(seed)
+        stats = {f"mAP@{t}": [] for t in IOU_THRESHOLDS}
+        stats.update({f"det_f1@{t}": [] for t in IOU_THRESHOLDS})
+        for _ in range(bootstrap):
+            caps = rng.integers(0, n_img, size=n_img)
+            m = _pool_metrics(per_cap, caps)
+            for k in stats:
+                stats[k].append(m[k])
+        report["bootstrap"] = {
+            k: {"lo": round(float(np.percentile(v, 2.5)), 4),
+                "hi": round(float(np.percentile(v, 97.5)), 4),
+                "median": round(float(np.percentile(v, 50)), 4)}
+            for k, v in stats.items()}
+        report["bootstrap"]["resamples"] = bootstrap
+    return report
+
+
+def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
+                batch_size: int = 8, refine_furniture: bool = False) -> dict:
+    """Sweep the calibration grid on a held-out directory; return the best
+    cell by ``select`` (calibrate-on-A, score-on-B)."""
+    from room_slam_tpu.tools.calibrate import _forward_val_set, sweep
+
+    cached = _forward_val_set(checkpoint, calib_dir, batch_size)
+    cells = sweep(cached, thresholds=(0.3, 0.5, 0.7), nms_vals=(0.1, 0.3),
+                  refine_vals=(None, 0.55), extent_vals=(None, 0.75),
+                  consensus_vals=(False, True),
+                  refine_furniture=refine_furniture)
+    cells.sort(key=lambda c: (-c[select], -c["mAP@0.5"]))
+    best = cells[0]
+    return {k: best[k] for k in
+            ("threshold", "nms", "refine", "extent", "consensus")}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--dirs", default=",".join(REF_DIRS),
+                   help="comma list of capture directories to score")
+    p.add_argument("--calib_dir", default=None,
+                   help="held-out directory to choose the operating point on"
+                        " (otherwise --threshold/--nms/... are used as-is)")
+    p.add_argument("--select", default="mAP@0.25",
+                   help="metric the calibration sweep optimizes")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--nms", type=float, default=0.3)
+    p.add_argument("--refine", default="none")
+    p.add_argument("--extent", default="none")
+    p.add_argument("--consensus", action="store_true")
+    p.add_argument("--refine_furniture", action="store_true")
+    p.add_argument("--bootstrap", type=int, default=2000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--device", choices=["cpu", "default"], default="cpu")
+    p.add_argument("--output", default=None)
+    args = p.parse_args()
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    dirs = [d for d in args.dirs.split(",") if d]
+    missing = [d for d in dirs if not Path(d).is_dir()]
+    if missing:
+        raise SystemExit(f"capture directories not found: {missing}")
+
+    if args.calib_dir:
+        cell = choose_cell(args.checkpoint, args.calib_dir, args.select,
+                           args.batch_size, args.refine_furniture)
+        cell["calibrated_on"] = args.calib_dir
+        print(f"operating point from {args.calib_dir}: {cell}")
+    else:
+        cell = {"threshold": args.threshold, "nms": args.nms,
+                "refine": None if args.refine == "none"
+                else float(args.refine),
+                "extent": None if args.extent == "none"
+                else float(args.extent),
+                "consensus": args.consensus}
+
+    report = run(args.checkpoint, dirs, cell, args.bootstrap,
+                 args.refine_furniture, args.batch_size)
+    agg = report["aggregate"]
+    print(f"\n=== {len(report['captures'])} captures, "
+          f"{agg['num_gt']} GT boxes, {agg['num_predictions']} predictions")
+    for row in report["captures"]:
+        print(f"  {row['name']:48s} tp@0.25={row['tp@0.25']:2d}"
+              f"/{row['num_gt']:2d}  det_f1@0.25={row['det_f1@0.25']:.3f}"
+              f"  mAP@0.25={row['mAP@0.25']:.3f}")
+    for t in IOU_THRESHOLDS:
+        print(f"aggregate @IoU{t}: mAP={agg[f'mAP@{t}']:.4f} "
+              f"det_f1={agg[f'det_f1@{t}']:.4f} "
+              f"P={agg[f'det_precision@{t}']:.3f} "
+              f"R={agg[f'det_recall@{t}']:.3f} tp={agg[f'tp@{t}']}")
+    if "bootstrap" in report:
+        for k in ("mAP@0.25", "det_f1@0.25"):
+            b = report["bootstrap"][k]
+            print(f"bootstrap {k}: median={b['median']:.4f} "
+                  f"95% CI [{b['lo']:.4f}, {b['hi']:.4f}]")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+        print(f"\nwrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,50 @@ def test_visualize_cli(tmp_path):
                 "--output", str(tmp_path / "viz.png"), "--side_view")
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "viz.png").stat().st_size > 10_000
+
+
+def test_realbench_and_honest_calibration_cli(tmp_path):
+    """realbench: pooled multi-capture benchmark with bootstrap CI, operating
+    point chosen on a SEPARATE calibration dir; calibrate --eval_dir: sweep
+    on A, score the chosen cell on untouched B."""
+    for name, seed in (("a", 11), ("b", 12), ("calib", 13)):
+        r = run_cli("-c",
+                    "from room_slam_tpu.data.synthetic import "
+                    "write_synthetic_dataset; "
+                    f"write_synthetic_dataset(r'{tmp_path}/{name}', 2, 200, "
+                    f"seed={seed})")
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    ckpt_dir = tmp_path / "ck"
+    r = run_cli("train.py", "--surface", "bench",
+                "--data_dir", str(tmp_path / "a"),
+                "--val_dir", str(tmp_path / "b"),
+                "--epochs", "2", "--batch_size", "4",
+                "--max_trace_len", "200", "--d_model", "32",
+                "--num_queries", "8", "--no_fused",
+                "--save_dir", str(ckpt_dir))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    out = tmp_path / "rb.json"
+    r = run_cli("-m", "room_slam_tpu.tools.realbench",
+                "--checkpoint", str(ckpt_dir / "best_model"),
+                "--dirs", f"{tmp_path}/a,{tmp_path}/b",
+                "--calib_dir", str(tmp_path / "calib"),
+                "--bootstrap", "50", "--output", str(out))
+    assert r.returncode == 0, r.stderr[-2000:]
+    rb = json.loads(out.read_text())
+    assert len(rb["captures"]) == 4
+    assert rb["operating_point"]["calibrated_on"] == str(tmp_path / "calib")
+    assert "mAP@0.25" in rb["aggregate"]
+    assert rb["bootstrap"]["mAP@0.25"]["lo"] <= rb["bootstrap"]["mAP@0.25"]["hi"]
+
+    r = run_cli("-m", "room_slam_tpu.tools.calibrate",
+                "--checkpoint", str(ckpt_dir / "best_model"),
+                "--data_dir", str(tmp_path / "calib"),
+                "--eval_dir", str(tmp_path / "b"),
+                "--thresholds", "0.3,0.5", "--nms", "0.3",
+                "--refine", "none", "--output", str(tmp_path / "cal.json"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    cal = json.loads((tmp_path / "cal.json").read_text())
+    assert cal["best"]["scored_on"] == str(tmp_path / "b")
+    assert cal["best"]["calibrated_on"] == str(tmp_path / "calib")

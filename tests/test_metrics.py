@@ -293,3 +293,55 @@ def test_detection_prf_operating_point():
                                      gt, gt_labels, gt_image,
                                      iou_thresh=0.5)
     assert tp2 == 0 and f12 == 0.0
+
+
+def test_realbench_pooling_matches_pooled_evaluator():
+    """realbench precomputes per-capture VOC TP/FP flags and merges them per
+    bootstrap resample; the merge must reproduce the pooled evaluator
+    (average_precision_3d / detection_prf) exactly on the identity resample."""
+    import numpy as np
+
+    from room_slam_tpu.tools.realbench import (_capture_flags, _pool_metrics,
+                                               IOU_THRESHOLDS)
+    from room_slam_tpu.train.metrics import (average_precision_3d,
+                                             detection_prf)
+
+    rng = np.random.default_rng(7)
+    n_img, P, G = 5, 40, 18
+    centers = rng.uniform(-4, 4, size=(G, 3)).astype(np.float32)
+    sizes = rng.uniform(0.5, 2.0, size=(G, 3)).astype(np.float32)
+    gt_boxes = np.concatenate([centers, sizes], -1)
+    gt_labels = rng.integers(0, 4, size=G)
+    gt_image = np.sort(rng.integers(0, n_img, size=G))
+    # predictions: jittered copies of random GTs plus pure noise
+    src = rng.integers(0, G, size=P)
+    pred_boxes = gt_boxes[src].copy()
+    pred_boxes[:, :3] += rng.normal(0, 0.4, size=(P, 3)).astype(np.float32)
+    pred_labels = np.where(rng.random(P) < 0.8, gt_labels[src],
+                           rng.integers(0, 4, size=P))
+    pred_image = gt_image[src].copy()
+    pred_image[rng.random(P) < 0.2] = rng.integers(0, n_img)
+    pred_scores = rng.random(P).astype(np.float32)
+
+    dets = {"boxes": pred_boxes, "labels": pred_labels,
+            "conf": pred_scores, "img": pred_image}
+    gts = {"boxes": gt_boxes, "labels": gt_labels, "img": gt_image}
+    per_cap = _capture_flags(dets, gts, n_img)
+    pooled = _pool_metrics(per_cap, np.arange(n_img))
+
+    for t in IOU_THRESHOLDS:
+        mAP, aps = average_precision_3d(
+            pred_boxes, pred_labels, pred_scores, pred_image,
+            gt_boxes, gt_labels, gt_image, iou_thresh=t)
+        prec, rec, f1, tp = detection_prf(
+            pred_boxes, pred_labels, pred_scores, pred_image,
+            gt_boxes, gt_labels, gt_image, iou_thresh=t)
+        assert pooled[f"mAP@{t}"] == pytest.approx(mAP, abs=1e-9)
+        assert pooled[f"det_f1@{t}"] == pytest.approx(f1, abs=1e-9)
+        assert pooled[f"tp@{t}"] == tp
+    # a duplicated capture contributes twice (bootstrap semantics)
+    twice = _pool_metrics(per_cap, np.array([0, 0]))
+    once = _pool_metrics(per_cap, np.array([0]))
+    assert twice["num_gt"] == 2 * once["num_gt"]
+    assert twice["tp@0.25"] == 2 * once["tp@0.25"]
+    assert twice["mAP@0.25"] == pytest.approx(once["mAP@0.25"], abs=1e-9)
