@@ -91,6 +91,13 @@ class ModelConfig:
     # origin wherever tracking started) predictions land displaced by the
     # room's world offset. Off by default = reference behavior.
     center_xz: bool = False
+    # iterative contact-evidence box refinement stages (0 = reference
+    # decoder exactly). Each stage pools trace points around the current
+    # box estimate (dwell density, mean approach offset, local memory) and
+    # emits bounded center/size corrections — the localization evidence a
+    # single global-attention readout blurs away for small furniture. See
+    # models/common.ContactRefineStage.
+    refine_stages: int = 0
 
 
 @dataclass
@@ -122,6 +129,11 @@ class TrainConfig:
     # scale-relative |log(pred_size/gt_size)| weight (0.0 = reference loss
     # exactly); absolute L1 under-penalizes small-furniture size errors
     size_log_weight: float = 0.0
+    # weight of the auxiliary per-stage box losses when model.refine_stages
+    # > 0: each intermediate box gets the same L1+GIoU supervision as the
+    # final one (shared Hungarian assignment), scaled by this factor —
+    # DETR-style deep supervision keeps early stages honest
+    aux_weight: float = 0.5
     # LR schedule: 'plateau' (the reference's active ReduceLROnPlateau) or
     # 'cosine' (the warmup+cosine lr_lambda the reference defines but never
     # plugs in, train.py:447-458)

@@ -29,6 +29,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             num_classes=cfg.num_classes,
             objectness=cfg.objectness,
             center_xz=cfg.center_xz,
+            refine_stages=cfg.refine_stages,
         )
     if t == "lstm":
         return TraceToColliderLSTM(
@@ -40,6 +41,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
             objectness=cfg.objectness,
             center_xz=cfg.center_xz,
+            refine_stages=cfg.refine_stages,
         )
     if t == "bigru":
         from room_slam_tpu.models.gru import TraceToColliderGRU
@@ -53,6 +55,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
             objectness=cfg.objectness,
             center_xz=cfg.center_xz,
+            refine_stages=cfg.refine_stages,
         )
     if t == "gru":
         from room_slam_tpu.models.legacy_gru import RoomSlamGRU

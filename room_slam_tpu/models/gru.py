@@ -12,8 +12,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import (center_traces_xz, dense,
-                                         uncenter_boxes_xz)
+from room_slam_tpu.models.common import (assemble_output, center_traces_xz,
+                                         dense)
 from room_slam_tpu.models.lstm import SimpleQueryDecoder, _torch_lstm_init
 from room_slam_tpu.ops.rnn import gru_recurrence
 
@@ -81,6 +81,7 @@ class TraceToColliderGRU(nn.Module):
     use_pallas: bool = False
     objectness: bool = False
     center_xz: bool = False
+    refine_stages: int = 0
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -99,12 +100,8 @@ class TraceToColliderGRU(nn.Module):
             num_queries=self.num_queries,
             num_classes=self.num_classes,
             objectness=self.objectness,
+            refine_stages=self.refine_stages,
             name="decoder",
         )(memory, coords, mean, scale, mask)
-        boxes = outs[0]
-        if offs is not None:
-            boxes = uncenter_boxes_xz(boxes, offs)
-        out = {"pred_boxes": boxes, "pred_classes": outs[1]}
-        if self.objectness:
-            out["pred_objectness"] = outs[2]
-        return out
+        return assemble_output(outs, offs, self.objectness,
+                               self.refine_stages)

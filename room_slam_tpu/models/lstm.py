@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import (MLP, center_traces_xz, dense,
-                                         uncenter_boxes_xz)
+from room_slam_tpu.models.common import (MLP, ContactRefineStage,
+                                         assemble_output, center_traces_xz,
+                                         dense)
 from room_slam_tpu.ops.rnn import lstm_recurrence
 
 
@@ -107,6 +108,13 @@ class SimpleQueryDecoder(nn.Module):
     # ranking (DETR's background-class trick, adapted as a separate head so
     # the class-head layout stays checkpoint-compatible with the reference).
     objectness: bool = False
+    # Iterative contact-evidence refinement stages (0 = reference decoder
+    # exactly). Each stage pools trace evidence around the current box and
+    # emits bounded center/size corrections (models/common.py
+    # ContactRefineStage) — LOW/MID furniture localization from
+    # single-contact evidence is where the reference's one-shot global
+    # attention tops out.
+    refine_stages: int = 0
 
     @nn.compact
     def __call__(
@@ -154,14 +162,29 @@ class SimpleQueryDecoder(nn.Module):
         size_raw = MLP(D, 3, 2, name="size_head")(decoded)
         size_norm = jax.nn.softplus(size_raw) + 1e-4
 
-        center = (anchor + delta) * scale + mean
-        size = size_norm * scale
-        boxes = jnp.concatenate([center, size], axis=-1)
+        def to_world(c_n, s_n):
+            return jnp.concatenate(
+                [c_n * scale + mean, s_n * scale], axis=-1)
+
+        center_n = anchor + delta
+        aux_boxes = []
+        if self.refine_stages:
+            pool_mask = (mask if mask is not None
+                         else jnp.ones(memory.shape[:2], dtype=bool))
+            for i in range(self.refine_stages):
+                aux_boxes.append(to_world(center_n, size_norm))
+                decoded, center_n, size_norm = ContactRefineStage(
+                    D, name=f"refine_{i}")(
+                    decoded, center_n, size_norm, norm_coords, v, pool_mask)
+
+        boxes = to_world(center_n, size_norm)
         classes = dense(decoded, self.num_classes, name="class_head")
+        outs = [boxes, classes]
         if self.objectness:
-            obj = dense(decoded, 1, name="objectness_head")[..., 0]
-            return boxes, classes, obj
-        return boxes, classes
+            outs.append(dense(decoded, 1, name="objectness_head")[..., 0])
+        if aux_boxes:
+            outs.append(jnp.stack(aux_boxes))  # [S, B, Q, 6]
+        return tuple(outs)
 
 
 class TraceToColliderLSTM(nn.Module):
@@ -178,6 +201,7 @@ class TraceToColliderLSTM(nn.Module):
     # un-center predicted boxes (see models/common.center_traces_xz). Off by
     # default = reference behavior (absolute coords into the encoder).
     center_xz: bool = False
+    refine_stages: int = 0
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -196,12 +220,8 @@ class TraceToColliderLSTM(nn.Module):
             num_queries=self.num_queries,
             num_classes=self.num_classes,
             objectness=self.objectness,
+            refine_stages=self.refine_stages,
             name="decoder",
         )(memory, coords, mean, scale, mask)
-        boxes = outs[0]
-        if offs is not None:
-            boxes = uncenter_boxes_xz(boxes, offs)
-        out = {"pred_boxes": boxes, "pred_classes": outs[1]}
-        if self.objectness:
-            out["pred_objectness"] = outs[2]
-        return out
+        return assemble_output(outs, offs, self.objectness,
+                               self.refine_stages)

@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import MLP, MultiHeadAttention, \
-    center_traces_xz, dense, sinusoidal_positions, uncenter_boxes_xz
+from room_slam_tpu.models.common import MLP, ContactRefineStage, \
+    MultiHeadAttention, assemble_output, center_traces_xz, dense, \
+    sinusoidal_positions
 
 
 class EncoderLayer(nn.Module):
@@ -119,6 +120,8 @@ class ColliderDecoder(nn.Module):
     num_classes: int = 4
     # optional no-object head (see models/lstm.py SimpleQueryDecoder)
     objectness: bool = False
+    # contact-evidence refinement stages (models/common.ContactRefineStage)
+    refine_stages: int = 0
 
     @nn.compact
     def __call__(
@@ -151,14 +154,29 @@ class ColliderDecoder(nn.Module):
         size_raw = MLP(D, 3, 2, name="size_head")(tgt)
         size_norm = jax.nn.softplus(size_raw) + 1e-4
 
-        center = (anchor + delta) * scale + mean
-        size = size_norm * scale
-        boxes = jnp.concatenate([center, size], axis=-1)
+        def to_world(c_n, s_n):
+            return jnp.concatenate(
+                [c_n * scale + mean, s_n * scale], axis=-1)
+
+        center_n = anchor + delta
+        aux_boxes = []
+        if self.refine_stages:
+            pool_mask = (mask if mask is not None
+                         else jnp.ones(memory.shape[:2], dtype=bool))
+            for i in range(self.refine_stages):
+                aux_boxes.append(to_world(center_n, size_norm))
+                tgt, center_n, size_norm = ContactRefineStage(
+                    D, name=f"refine_{i}")(
+                    tgt, center_n, size_norm, norm_coords, memory, pool_mask)
+
+        boxes = to_world(center_n, size_norm)
         classes = dense(tgt, self.num_classes, name="class_head")
+        outs = [boxes, classes]
         if self.objectness:
-            obj = dense(tgt, 1, name="objectness_head")[..., 0]
-            return boxes, classes, obj
-        return boxes, classes
+            outs.append(dense(tgt, 1, name="objectness_head")[..., 0])
+        if aux_boxes:
+            outs.append(jnp.stack(aux_boxes))  # [S, B, Q, 6]
+        return tuple(outs)
 
 
 class TraceToColliderTransformer(nn.Module):
@@ -174,6 +192,7 @@ class TraceToColliderTransformer(nn.Module):
     num_classes: int = 4
     objectness: bool = False
     center_xz: bool = False
+    refine_stages: int = 0
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -197,12 +216,8 @@ class TraceToColliderTransformer(nn.Module):
             dropout=self.dropout,
             num_classes=self.num_classes,
             objectness=self.objectness,
+            refine_stages=self.refine_stages,
             name="decoder",
         )(memory, coords, mean, scale, mask, deterministic)
-        boxes = outs[0]
-        if offs is not None:
-            boxes = uncenter_boxes_xz(boxes, offs)
-        out = {"pred_boxes": boxes, "pred_classes": outs[1]}
-        if self.objectness:
-            out["pred_objectness"] = outs[2]
-        return out
+        return assemble_output(outs, offs, self.objectness,
+                               self.refine_stages)

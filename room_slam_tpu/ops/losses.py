@@ -164,6 +164,24 @@ def set_criterion(
     # reflects predicted LOCALIZATION quality, which is what average
     # precision orders by — a binary match bit ranks a barely-overlapping
     # box equal to a perfect one.
+    # auxiliary deep supervision for contact-refinement stages: each
+    # intermediate box gets the same L1+GIoU as the final one, under the
+    # FINAL assignment (cheaper and more stable than re-matching per stage;
+    # stage deltas are bounded so the assignment barely moves). Scaled by
+    # loss_weights['aux_loss']; inactive when the model emits no aux boxes.
+    aw = loss_weights.get("aux_loss", 0.0)
+    if aw and "pred_aux_boxes" in outputs:
+        aux = outputs["pred_aux_boxes"]  # [S, B, Q, 6]
+        ma_boxes = jax.vmap(
+            lambda ab: jnp.take_along_axis(ab, rows[..., None], axis=1))(aux)
+        aux_l1 = jnp.abs(ma_boxes - gt_boxes[None]).mean(axis=-1)  # [S,B,M]
+        _, aux_giou = iou_ops.iou_giou_3d(ma_boxes, gt_boxes[None])
+        pw = jnp.broadcast_to(pair_w[None], aux_l1.shape)
+        aux_loss = (_weighted_mean(aux_l1, pw) * loss_weights["l1_loss"]
+                    + _weighted_mean(1.0 - aux_giou, pw)
+                    * loss_weights["giou_loss"])
+        out["aux_loss"] = aux_loss
+        total = total + aw * aux_loss
     if "pred_objectness" in outputs:
         obj_logits = outputs["pred_objectness"]  # [B, Q]
         if loss_weights.get("objectness_iou", 0.0):

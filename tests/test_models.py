@@ -231,3 +231,80 @@ def test_center_xz_translation_equivariance(model_type, rng):
     np.testing.assert_allclose(
         np.asarray(out1["pred_classes"]),
         np.asarray(out0["pred_classes"]), atol=1e-4)
+
+
+@pytest.mark.parametrize("model_type", ["lstm", "transformer", "bigru"])
+def test_contact_refine_stages(model_type, rng):
+    """model.refine_stages: zero-initialized delta heads make an untrained
+    stage exactly the identity (same boxes/classes as refine_stages=0 under
+    flax's path-keyed param init); aux boxes are emitted per stage; the
+    stage preserves center_xz translation equivariance."""
+    common = dict(model_type=model_type, d_model=32, num_queries=8,
+                  enc_layers=1, dec_layers=1, dim_feedforward=64,
+                  lstm_layers=1, use_pallas_rnn=False, objectness=True)
+    cfg0 = ModelConfig(**common)
+    cfg2 = ModelConfig(**common, refine_stages=2)
+    m0, m2 = build_model(cfg0), build_model(cfg2)
+    p0 = init_params(m0, cfg0, seq_len=32)
+    p2 = init_params(m2, cfg2, seq_len=32)
+
+    B, N = 2, 32
+    traces = np.asarray(rng.normal(size=(B, N, 11)), np.float32)
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([[24], [32]]))
+    out0 = m0.apply(p0, jnp.asarray(traces), mask, deterministic=True)
+    out2 = m2.apply(p2, jnp.asarray(traces), mask, deterministic=True)
+
+    assert out2["pred_aux_boxes"].shape == (2, B, 8, 6)
+    # identity at init: refined == unrefined == every aux stage
+    np.testing.assert_allclose(np.asarray(out2["pred_boxes"]),
+                               np.asarray(out0["pred_boxes"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2["pred_classes"]),
+                               np.asarray(out0["pred_classes"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2["pred_aux_boxes"][1]),
+                               np.asarray(out2["pred_boxes"]), atol=1e-5)
+
+    # aux supervision reaches the loss and the refine params get gradients
+    from room_slam_tpu.ops.losses import set_criterion
+
+    gt = {"boxes": jnp.asarray(rng.normal(size=(B, 5, 6)).astype(np.float32)),
+          "labels": jnp.asarray(rng.integers(0, 4, size=(B, 5))),
+          "valid_mask": jnp.ones((B, 5), bool)}
+    lw = {"class_loss": 2.0, "l1_loss": 5.0, "giou_loss": 2.0,
+          "aux_loss": 0.5}
+
+    def loss(p):
+        out = m2.apply(p, jnp.asarray(traces), mask, deterministic=True)
+        return set_criterion(out, gt, loss_weights=lw)["total_loss"]
+
+    grads = jax.grad(loss)(p2)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    refine_gs = [g for path, g in flat
+                 if "refine_" in jax.tree_util.keystr(path)]
+    assert refine_gs, "no refine params found"
+    assert any(float(jnp.abs(g).max()) > 0 for g in refine_gs)
+
+
+def test_contact_refine_translation_equivariance(rng):
+    """Stage math uses only offsets relative to the current center, so
+    center_xz + refinement stays exactly translation-equivariant."""
+    cfg = ModelConfig(model_type="lstm", d_model=32, num_queries=8,
+                      lstm_layers=1, use_pallas_rnn=False, center_xz=True,
+                      refine_stages=2)
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=32)
+    B, N = 2, 32
+    traces = np.asarray(rng.normal(size=(B, N, 11)), np.float32)
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([[24], [32]]))
+    out0 = model.apply(params, jnp.asarray(traces), mask, deterministic=True)
+    shifted = traces.copy()
+    shifted[..., 0] += 7.5
+    shifted[..., 2] -= 4.25
+    out1 = model.apply(params, jnp.asarray(shifted), mask, deterministic=True)
+    d = np.asarray(out1["pred_boxes"]) - np.asarray(out0["pred_boxes"])
+    np.testing.assert_allclose(d[..., 0], 7.5, atol=1e-3)
+    np.testing.assert_allclose(d[..., 2], -4.25, atol=1e-3)
+    np.testing.assert_allclose(d[..., [1, 3, 4, 5]], 0.0, atol=1e-3)
+    da = np.asarray(out1["pred_aux_boxes"]) - np.asarray(
+        out0["pred_aux_boxes"])
+    np.testing.assert_allclose(da[..., 0], 7.5, atol=1e-3)
+    np.testing.assert_allclose(da[..., 2], -4.25, atol=1e-3)
