@@ -226,3 +226,37 @@ def test_multidevice_tensor_parallel_step():
     n_after = sum(sharded_over_model(leaf)
                   for leaf in jax.tree_util.tree_leaves(state.params))
     assert n_after == n_sharded
+
+
+def test_multidevice_flagship_pallas_step():
+    """The PRODUCTION path under a sharded batch: BiLSTM with the Pallas
+    recurrence (interpret mode on CPU), objectness + center_xz + contact
+    refinement, data-parallel over the virtual 8-CPU mesh. Guards the
+    Pallas x NamedSharding interaction the toy dryrun could not see."""
+    from room_slam_tpu.models.lstm import TraceToColliderLSTM
+    from room_slam_tpu.parallel import mesh as mesh_lib
+
+    assert jax.device_count() >= 8
+    cfg = _tiny_config()
+    cfg.model = ModelConfig(model_type="lstm", d_model=32, num_queries=10,
+                            lstm_layers=2, dropout=0.0, objectness=True,
+                            center_xz=True, refine_stages=1)
+    cfg.train.batch_size = 8
+    cfg.train.objectness_iou = True
+    mesh = mesh_lib.make_mesh((8, 1))
+    model = TraceToColliderLSTM(
+        d_model=32, num_queries=10, lstm_layers=2, dropout=0.0,
+        use_pallas=True,  # interpret mode off-TPU
+        objectness=True, center_xz=True, refine_stages=1)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    params = mesh_lib.shard_params(params, mesh)
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    step = make_train_step(model, tx, cfg, augment=True)
+
+    batch = jax.device_get(_synthetic_batch(cfg, batch=8))
+    batch = mesh_lib.shard_batch(batch, mesh)
+    state, losses = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(losses["total_loss"]))
+    assert np.isfinite(float(losses["aux_loss"]))
+    assert np.isfinite(float(losses["objectness_loss"]))
