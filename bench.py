@@ -171,7 +171,14 @@ def bench_headline(profile=None):
     }
 
 
-def bench_scaleup():
+# Scale-up batch: a [B, 512]-row recurrence matmul uses B of the MXU's 128
+# rows, so batch=8 (BASELINE config 4's literal shape) leaves the MXU ~94%
+# empty no matter how good the kernel is. The sweep (--scaleup_sweep) picks
+# the largest batch that fits HBM; see BENCH notes.
+SCALEUP_BATCH = 64
+
+
+def bench_scaleup(batch: int | None = None):
     """Scale-up config (BASELINE.json config 4): seq=5000, hidden=512,
     max_objects=32 BiGRU with the fused loss — train-step traces/sec.
     This is the config where MFU is a meaningful target (d=512 matmuls)."""
@@ -184,7 +191,7 @@ def bench_scaleup():
 
     jax.config.update("jax_default_matmul_precision", "bfloat16")
 
-    B, L, M = 8, 5000, 32
+    B, L, M = batch or SCALEUP_BATCH, 5000, 32
     cfg = ExperimentConfig(
         data=DataConfig(max_trace_len=L, max_colliders=M),
         model=ModelConfig(model_type="bigru", d_model=512, num_queries=M),
@@ -224,8 +231,9 @@ def bench_scaleup():
     dt = time.perf_counter() - t0
     return {
         "metric": "scale-up train traces/sec/chip (seq=5000, d=512, "
-                  "BiGRU, max_objects=32, batch=8)",
+                  f"BiGRU, max_objects=32, batch={B})",
         "value": round(n * B / dt, 2),
+        "batch": B,
         "unit": "traces/sec",
         "vs_baseline": None,
         "ms_per_step": round(dt / n * 1000, 1),
@@ -273,14 +281,49 @@ def main():
                          "not representative)")
     ap.add_argument("--scaleup", action="store_true",
                     help="run ONLY the scale-up sub-benchmark")
+    ap.add_argument("--scaleup_batch", type=int, default=None,
+                    help="batch size for --scaleup (default SCALEUP_BATCH)")
+    ap.add_argument("--scaleup_sweep", type=str, default=None,
+                    metavar="B1,B2,...",
+                    help="run the scale-up bench at each batch size in its "
+                         "own subprocess (fresh HBM), print one line per "
+                         "point + a summary")
     ap.add_argument("--datagen", action="store_true",
                     help="run ONLY the datagen sub-benchmark")
     ap.add_argument("--headline-only", action="store_true",
                     help="skip the scaleup/datagen sub-benchmarks")
     args = ap.parse_args()
 
+    if args.scaleup_sweep:
+        import subprocess
+        import sys
+
+        rows = []
+        for b in (int(x) for x in args.scaleup_sweep.split(",")):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--scaleup",
+                 "--scaleup_batch", str(b)],
+                capture_output=True, text=True, timeout=1800)
+            row = {"batch": b, "error": f"rc={proc.returncode}"}
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    row = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if "error" in row and "RESOURCE_EXHAUSTED" in proc.stderr:
+                row["error"] = "OOM"
+            rows.append(row)
+            print(json.dumps(row))
+        ok = [r for r in rows if "error" not in r]
+        if ok:
+            best = max(ok, key=lambda r: r["value"])
+            print(json.dumps({"best_batch": best["batch"],
+                              "best_traces_per_sec": best["value"],
+                              "best_mfu": best.get("mfu")}))
+        return
     if args.scaleup:
-        print(json.dumps(bench_scaleup()))
+        print(json.dumps(bench_scaleup(args.scaleup_batch)))
         return
     if args.datagen:
         print(json.dumps(bench_datagen()))
