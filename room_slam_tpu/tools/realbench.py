@@ -227,6 +227,14 @@ def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
         "captures": [],
         "aggregate": _pool_metrics(per_cap, all_caps),
     }
+    # per-room (per-directory) aggregates: with --mix_real training the
+    # train-room captures are SEEN data and only the val room is zero-shot;
+    # pooling them silently would promote memorization to a transfer claim
+    dirs_of = [n.split("/")[0] for n in cached["names"]]
+    report["per_dir"] = {}
+    for d in dict.fromkeys(dirs_of):
+        caps = np.array([i for i, dd in enumerate(dirs_of) if dd == d])
+        report["per_dir"][d] = _pool_metrics(per_cap, caps)
     for i in range(n_img):
         row = {"name": cached["names"][i]}
         row.update({k: (round(v, 4) if isinstance(v, float) else v)
@@ -326,6 +334,10 @@ def main():
               f"det_f1={agg[f'det_f1@{t}']:.4f} "
               f"P={agg[f'det_precision@{t}']:.3f} "
               f"R={agg[f'det_recall@{t}']:.3f} tp={agg[f'tp@{t}']}")
+    for d, m in report["per_dir"].items():
+        print(f"room[{d}] @IoU0.25: mAP={m['mAP@0.25']:.4f} "
+              f"det_f1={m['det_f1@0.25']:.4f} tp={m['tp@0.25']}"
+              f"/{m['num_gt']}")
     if "bootstrap" in report:
         for k in ("mAP@0.25", "det_f1@0.25"):
             b = report["bootstrap"][k]

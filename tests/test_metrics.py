@@ -345,3 +345,28 @@ def test_realbench_pooling_matches_pooled_evaluator():
     assert twice["num_gt"] == 2 * once["num_gt"]
     assert twice["tp@0.25"] == 2 * once["tp@0.25"]
     assert twice["mAP@0.25"] == pytest.approx(once["mAP@0.25"], abs=1e-9)
+
+
+def test_structural_ceiling_analysis():
+    """ceiling.analyze_capture classifies GT boxes by trace-geometric
+    recoverability: a walked-through box is 'contacted', a wall just beyond
+    the envelope is 'plane_inferable', a far never-approached box is
+    'unrecoverable'."""
+    import numpy as np
+
+    from room_slam_tpu.tools.ceiling import analyze_capture
+
+    # square walk inside [-2, 2]^2 at y=1
+    t = np.linspace(0, 2 * np.pi, 200)
+    trace = np.stack([2 * np.cos(t), np.ones_like(t), 2 * np.sin(t), t],
+                     axis=1).astype(np.float32)
+    boxes = np.array([
+        [2.0, 1.0, 0.0, 0.3, 1.0, 0.3],    # on the path -> contacted
+        [2.9, 1.0, 0.0, 0.2, 2.0, 4.0],    # thin wall 0.8m beyond -> plane
+        [6.0, 1.0, 6.0, 0.4, 0.4, 0.4],    # far item -> unrecoverable
+    ], np.float32)
+    labels = np.array([1, 0, 1])
+    rows = analyze_capture(trace, boxes, labels)
+    assert rows[0]["status"] == "contacted"
+    assert rows[1]["status"] == "plane_inferable"
+    assert rows[2]["status"] == "unrecoverable"
