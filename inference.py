@@ -26,7 +26,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             refine_clearance: float | None = None,
             refine_furniture: bool = False,
             extent_slack: float | None = None,
-            consensus: bool = False):
+            consensus: bool = False,
+            top_k: int | None = None):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
     room_slam_tpu.predictor.build_predictor (shared with the live UDP
@@ -36,7 +37,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         confidence_threshold=confidence_threshold,
         nms_threshold=nms_threshold, refine_clearance=refine_clearance,
         refine_furniture=refine_furniture,
-        extent_slack=extent_slack, consensus=consensus)
+        extent_slack=extent_slack, consensus=consensus, top_k=top_k)
     return predict_array(formats.load_trace_json(traces_file))
 
 
@@ -69,6 +70,11 @@ def main():
                         help="suppress predictions entirely outside the "
                              "trace extent + this margin (single-room "
                              "captures)")
+    parser.add_argument("--top_k", type=int, default=None,
+                        help="keep only the K best detections after NMS "
+                             "(rank-based operating point; transfers "
+                             "across domains where absolute thresholds "
+                             "do not)")
     args = parser.parse_args()
 
     print(f"Loading model from {args.checkpoint}")
@@ -80,7 +86,8 @@ def main():
         max_trace_len=cfg.data.max_trace_len,
         confidence_threshold=args.threshold, nms_threshold=args.nms,
         refine_clearance=args.refine, refine_furniture=args.refine_furniture,
-        extent_slack=args.extent_slack, consensus=args.consensus)
+        extent_slack=args.extent_slack, consensus=args.consensus,
+        top_k=args.top_k)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

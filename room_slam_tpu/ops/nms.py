@@ -78,6 +78,7 @@ def post_process(
     num_classes: int = 4,
     consensus: bool = False,
     objectness: jnp.ndarray | None = None,
+    top_k: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Confidence filter + per-class NMS (ref: inference.py:130-170).
 
@@ -93,6 +94,14 @@ def post_process(
             model.objectness=True). Confidence becomes
             ``softmax maxprob * sigmoid(objectness)`` — the trained ranking
             signal, applied before thresholding and NMS ordering.
+        top_k: keep only the K highest-confidence detections that survive
+            NMS (applied after consensus rescoring so the emitted ranking
+            is the one that gates). Rank-based operating points transfer
+            across domains where absolute confidence calibration does not
+            (on an unseen room the objectness score deflates uniformly, so
+            a threshold tuned on synthetic data keeps ~nothing while the
+            top-K boxes are unchanged). A room has ~10-15 colliders; the
+            reference has no analog (absolute 0.7 threshold only).
 
     Returns:
         (keep [Q] bool, labels [Q] int32, confidences [Q] float32).
@@ -114,4 +123,11 @@ def post_process(
     if consensus:
         counts = counts_per_class.sum(axis=0)  # one class kept each box
         conf = conf * counts / pred_boxes.shape[0]
+    if top_k is not None:
+        kept_conf = jnp.where(keep, conf, -jnp.inf)
+        # rank of each kept det among kept (0 = best); keep rank < K
+        order = jnp.argsort(-kept_conf)
+        rank = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0]))
+        keep = keep & (rank < top_k)
     return keep, labels, conf

@@ -70,6 +70,14 @@ def refine_walls(
     wall. The snapped plane then sits just beyond the furniture's outer
     face whenever that lies farther out than the clearance prior. Purely
     prediction-driven; no ground truth involved.
+
+    NOTE a rejected design, so nobody retries it: per-side clearance from
+    EDGE-DWELL (walker lingering near an envelope edge => wall touched
+    there => clearance ~0) is measurably ANTI-correlated on the real val
+    capture — the walker dwells where furniture blocks the path (true
+    clearance 0.6-0.8 m) and only brushes bare walls briefly (true
+    clearance ~0). Per-side clearance must come from detected furniture
+    (``furniture_aware``), not from dwell statistics.
     """
     x_min, x_max, z_min, z_max = trace_extent(raw, length)
     off = clearance + wall_thickness / 2
@@ -103,12 +111,13 @@ def refine_walls(
         hi_z_off = side_off(cz, sz, z_min, z_max, True)
         lo_z_off = side_off(cz, sz, z_min, z_max, False)
 
+
     # --- x-thin walls (planes x = const): snap to left/right extent
     thin_x = is_block & (sx < max_aspect_thin) & (sz > 2 * sx)
     right = cx > mid_x
     snap_x = jnp.where(right, x_max + hi_x_off, x_min - lo_x_off)
     do_x = thin_x & (jnp.abs(cx - snap_x) < trust + jnp.where(
-        right, hi_x_off - off, lo_x_off - off))
+        right, jnp.abs(hi_x_off - off), jnp.abs(lo_x_off - off)))
     cx = jnp.where(do_x, snap_x, cx)
     sx = jnp.where(do_x, wall_thickness, sx)
     sz = jnp.where(do_x, span_z, sz)
@@ -120,7 +129,7 @@ def refine_walls(
     front = boxes[:, 2] > mid_z
     snap_z = jnp.where(front, z_max + hi_z_off, z_min - lo_z_off)
     do_z = thin_z & (jnp.abs(boxes[:, 2] - snap_z) < trust + jnp.where(
-        front, hi_z_off - off, lo_z_off - off))
+        front, jnp.abs(hi_z_off - off), jnp.abs(lo_z_off - off)))
     cz = jnp.where(do_z, snap_z, cz)
     sz = jnp.where(do_z, wall_thickness, sz)
     sx = jnp.where(do_z, span_x, sx)

@@ -52,6 +52,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     refine_furniture: bool = False,
                     extent_slack: float | None = None,
                     consensus: bool = False,
+                    top_k: int | None = None,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
 
@@ -83,7 +84,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
         keep, labels, conf = post_process(
             boxes0, out["pred_classes"][0],
             confidence_threshold=confidence_threshold,
-            nms_threshold=nms_threshold, consensus=consensus,
+            nms_threshold=nms_threshold, consensus=consensus, top_k=top_k,
             objectness=None if obj is None else obj[0])
         if extent_slack is not None and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import outside_extent_mask

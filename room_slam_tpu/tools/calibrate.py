@@ -66,7 +66,7 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
 
 
 def sweep(cached: dict, thresholds, nms_vals, refine_vals,
-          extent_vals=(None,), consensus_vals=(False,),
+          extent_vals=(None,), consensus_vals=(False,), top_k_vals=(None,),
           iou_thresholds=(0.5, 0.25), refine_furniture: bool = False) -> list:
     """Score every (threshold, nms, refine, extent, consensus) cell from
     cached forwards."""
@@ -89,16 +89,16 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
 
     obj_all = cached.get("pred_objectness")  # [B, Q] or None
 
-    @functools.partial(jax.jit, static_argnames=("consensus",))
-    def _post_all(boxes, logits, thr, nms_thr, consensus=False):
+    @functools.partial(jax.jit, static_argnames=("consensus", "top_k"))
+    def _post_all(boxes, logits, thr, nms_thr, consensus=False, top_k=None):
         if obj_all is None:
             return jax.vmap(lambda b, lg: post_process(
                 b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
-                consensus=consensus)
+                consensus=consensus, top_k=top_k)
             )(boxes, logits)
         return jax.vmap(lambda b, lg, o: post_process(
             b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
-            consensus=consensus, objectness=o)
+            consensus=consensus, top_k=top_k, objectness=o)
         )(boxes, logits, jnp.asarray(obj_all))
 
     boxes_by_refine = {}
@@ -127,12 +127,13 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         )(boxes, raw, length)
 
     results = []
-    for rf, thr, nm, ext, cns in itertools.product(
-            refine_vals, thresholds, nms_vals, extent_vals, consensus_vals):
+    for rf, thr, nm, ext, cns, tk in itertools.product(
+            refine_vals, thresholds, nms_vals, extent_vals, consensus_vals,
+            top_k_vals):
         boxes = boxes_by_refine[rf]
         keep, labels, conf = (np.asarray(a) for a in _post_all(
             jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
-            jnp.float32(thr), jnp.float32(nm), consensus=cns))
+            jnp.float32(thr), jnp.float32(nm), consensus=cns, top_k=tk))
         if ext is not None:
             # np.asarray over a jax array is read-only: no in-place &=
             keep = keep & ~np.asarray(_outside_all(
@@ -140,7 +141,8 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
                 jnp.asarray(cached["length"]), jnp.float32(ext)))
         img_ids, flat = np.nonzero(keep)
         cell = {"threshold": thr, "nms": nm, "refine": rf, "extent": ext,
-                "consensus": cns, "num_predictions": int(keep.sum())}
+                "consensus": cns, "top_k": tk,
+                "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
                 mAP, aps = average_precision_3d(
@@ -179,6 +181,9 @@ def main():
     p.add_argument("--consensus", default="off",
                    help="'off', 'on', 'off,on' (alias 'both') to sweep "
                         "cluster-size consensus rescoring")
+    p.add_argument("--top_k", default="none",
+                   help="comma list of rank cutoffs (keep K best after "
+                        "NMS); 'none' = absolute threshold only")
     p.add_argument("--refine_furniture", action="store_true",
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
@@ -207,16 +212,19 @@ def main():
         consensus_vals = [False, True]
     else:
         consensus_vals = [x == "on" for x in args.consensus.split(",")]
+    top_k_vals = [None if x == "none" else int(x)
+                  for x in args.top_k.split(",")]
 
     cached = _forward_val_set(args.checkpoint, args.data_dir,
                               args.batch_size)
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
-                    consensus_vals, refine_furniture=args.refine_furniture)
+                    consensus_vals, top_k_vals,
+                    refine_furniture=args.refine_furniture)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
               f"refine={c['refine']} extent={c['extent']} "
-              f"cns={int(c['consensus'])} "
+              f"cns={int(c['consensus'])} k={c['top_k']} "
               f"preds={c['num_predictions']:4d} "
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
     best = results[0]
@@ -229,7 +237,7 @@ def main():
                                        args.batch_size)
         held_out = sweep(eval_cached, [best["threshold"]], [best["nms"]],
                          [best["refine"]], [best["extent"]],
-                         [best["consensus"]],
+                         [best["consensus"]], [best.get("top_k")],
                          refine_furniture=args.refine_furniture)[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir

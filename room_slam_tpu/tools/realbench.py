@@ -80,7 +80,7 @@ def apply_operating_point(cached: dict, cell: dict,
         return post_process(
             b, lg, confidence_threshold=cell["threshold"],
             nms_threshold=cell["nms"], consensus=cell.get("consensus", False),
-            objectness=o)
+            top_k=cell.get("top_k"), objectness=o)
 
     if obj is None:
         keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
@@ -266,14 +266,16 @@ def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
     from room_slam_tpu.tools.calibrate import _forward_val_set, sweep
 
     cached = _forward_val_set(checkpoint, calib_dir, batch_size)
-    cells = sweep(cached, thresholds=(0.3, 0.5, 0.7), nms_vals=(0.1, 0.3),
+    cells = sweep(cached, thresholds=(0.0, 0.3, 0.5, 0.7),
+                  nms_vals=(0.1, 0.3),
                   refine_vals=(None, 0.55), extent_vals=(None, 0.75),
                   consensus_vals=(False, True),
+                  top_k_vals=(None, 10, 15),
                   refine_furniture=refine_furniture)
     cells.sort(key=lambda c: (-c[select], -c["mAP@0.5"]))
     best = cells[0]
     return {k: best[k] for k in
-            ("threshold", "nms", "refine", "extent", "consensus")}
+            ("threshold", "nms", "refine", "extent", "consensus", "top_k")}
 
 
 def main():
@@ -291,6 +293,8 @@ def main():
     p.add_argument("--refine", default="none")
     p.add_argument("--extent", default="none")
     p.add_argument("--consensus", action="store_true")
+    p.add_argument("--top_k", type=int, default=None,
+                   help="keep only the K best detections after NMS")
     p.add_argument("--refine_furniture", action="store_true")
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
@@ -318,7 +322,8 @@ def main():
                 else float(args.refine),
                 "extent": None if args.extent == "none"
                 else float(args.extent),
-                "consensus": args.consensus}
+                "consensus": args.consensus,
+                "top_k": args.top_k}
 
     report = run(args.checkpoint, dirs, cell, args.bootstrap,
                  args.refine_furniture, args.batch_size)

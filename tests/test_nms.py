@@ -145,3 +145,39 @@ def test_post_process_objectness_rescores(rng):
     keep, conf = np.asarray(keep), np.asarray(conf)
     assert keep.tolist() == [True, False, True, False, True, False]
     assert (conf[obj > 0] > 0.99).all() and (conf[obj < 0] < 0.01).all()
+
+
+def test_post_process_top_k():
+    """top_k keeps exactly the K highest-confidence NMS survivors —
+    rank-based operating points transfer across domains where absolute
+    thresholds do not (unseen-room objectness deflates uniformly)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from room_slam_tpu.ops.nms import post_process
+
+    rng = np.random.default_rng(0)
+    Q = 20
+    boxes = np.zeros((Q, 6), np.float32)
+    boxes[:, :3] = rng.uniform(-10, 10, (Q, 3))  # far apart: NMS keeps all
+    boxes[:, 3:] = 0.5
+    logits = rng.normal(size=(Q, 4)).astype(np.float32)
+    obj = rng.normal(size=(Q,)).astype(np.float32)
+
+    keep_all, _, conf = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits), confidence_threshold=0.0,
+        nms_threshold=0.3, objectness=jnp.asarray(obj))
+    keep_k, _, conf_k = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits), confidence_threshold=0.0,
+        nms_threshold=0.3, objectness=jnp.asarray(obj), top_k=5)
+    keep_all, keep_k = np.asarray(keep_all), np.asarray(keep_k)
+    assert keep_all.sum() == Q and keep_k.sum() == 5
+    # the kept 5 are precisely the highest-confidence kept detections
+    conf = np.asarray(conf)
+    top5 = set(np.argsort(-conf)[:5].tolist())
+    assert set(np.nonzero(keep_k)[0].tolist()) == top5
+    # top_k larger than survivors is a no-op
+    keep_big, _, _ = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits), confidence_threshold=0.0,
+        nms_threshold=0.3, objectness=jnp.asarray(obj), top_k=50)
+    assert np.asarray(keep_big).sum() == Q
