@@ -79,6 +79,7 @@ def post_process(
     consensus: bool = False,
     objectness: jnp.ndarray | None = None,
     top_k: int | None = None,
+    candidate_mask: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Confidence filter + per-class NMS (ref: inference.py:130-170).
 
@@ -102,6 +103,9 @@ def post_process(
             a threshold tuned on synthetic data keeps ~nothing while the
             top-K boxes are unchanged). A room has ~10-15 colliders; the
             reference has no analog (absolute 0.7 threshold only).
+        candidate_mask: optional [Q] bool pre-filter (e.g. extent
+            suppression). Applied BEFORE NMS and top_k so an implausible
+            box neither suppresses a real one nor consumes a top-K slot.
 
     Returns:
         (keep [Q] bool, labels [Q] int32, confidences [Q] float32).
@@ -112,6 +116,8 @@ def post_process(
         conf = conf * jax.nn.sigmoid(objectness)
     labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     passed = conf > confidence_threshold
+    if candidate_mask is not None:
+        passed = passed & candidate_mask
 
     def per_class(c):
         return nms_3d_with_counts(

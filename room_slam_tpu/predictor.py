@@ -81,17 +81,20 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                 clearance=refine_clearance,
                 furniture_aware=refine_furniture)
         obj = out.get("pred_objectness")
+        cand = None
+        if extent_slack is not None and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.refine import outside_extent_mask
+
+            # BEFORE NMS/top_k (see ops/nms.post_process candidate_mask)
+            cand = ~outside_extent_mask(
+                boxes0, traces[0, :, :4],
+                jnp.sum(mask[0].astype(jnp.int32)), slack=extent_slack)
         keep, labels, conf = post_process(
             boxes0, out["pred_classes"][0],
             confidence_threshold=confidence_threshold,
             nms_threshold=nms_threshold, consensus=consensus, top_k=top_k,
-            objectness=None if obj is None else obj[0])
-        if extent_slack is not None and traces.shape[-1] >= 4:
-            from room_slam_tpu.ops.refine import outside_extent_mask
-
-            keep = keep & ~outside_extent_mask(
-                boxes0, traces[0, :, :4],
-                jnp.sum(mask[0].astype(jnp.int32)), slack=extent_slack)
+            objectness=None if obj is None else obj[0],
+            candidate_mask=cand)
         return boxes0, keep, labels, conf
 
     adapted_once = [False]

@@ -90,16 +90,18 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     obj_all = cached.get("pred_objectness")  # [B, Q] or None
 
     @functools.partial(jax.jit, static_argnames=("consensus", "top_k"))
-    def _post_all(boxes, logits, thr, nms_thr, consensus=False, top_k=None):
+    def _post_all(boxes, logits, thr, nms_thr, consensus=False, top_k=None,
+                  cand=None):
         if obj_all is None:
-            return jax.vmap(lambda b, lg: post_process(
+            return jax.vmap(lambda b, lg, cm: post_process(
                 b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
-                consensus=consensus, top_k=top_k)
-            )(boxes, logits)
-        return jax.vmap(lambda b, lg, o: post_process(
+                consensus=consensus, top_k=top_k, candidate_mask=cm)
+            )(boxes, logits, cand)
+        return jax.vmap(lambda b, lg, o, cm: post_process(
             b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
-            consensus=consensus, top_k=top_k, objectness=o)
-        )(boxes, logits, jnp.asarray(obj_all))
+            consensus=consensus, top_k=top_k, objectness=o,
+            candidate_mask=cm)
+        )(boxes, logits, jnp.asarray(obj_all), cand)
 
     boxes_by_refine = {}
     for rf in refine_vals:
@@ -131,14 +133,18 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             refine_vals, thresholds, nms_vals, extent_vals, consensus_vals,
             top_k_vals):
         boxes = boxes_by_refine[rf]
+        if ext is None:
+            cand = jnp.ones(boxes.shape[:2], dtype=bool)
+        else:
+            # extent suppression runs BEFORE NMS/top_k: an implausible box
+            # must not suppress a real one or consume a top-K slot
+            cand = ~_outside_all(
+                jnp.asarray(boxes), jnp.asarray(cached["raw"]),
+                jnp.asarray(cached["length"]), jnp.float32(ext))
         keep, labels, conf = (np.asarray(a) for a in _post_all(
             jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
-            jnp.float32(thr), jnp.float32(nm), consensus=cns, top_k=tk))
-        if ext is not None:
-            # np.asarray over a jax array is read-only: no in-place &=
-            keep = keep & ~np.asarray(_outside_all(
-                jnp.asarray(boxes), jnp.asarray(cached["raw"]),
-                jnp.asarray(cached["length"]), jnp.float32(ext)))
+            jnp.float32(thr), jnp.float32(nm), consensus=cns, top_k=tk,
+            cand=cand))
         img_ids, flat = np.nonzero(keep)
         cell = {"threshold": thr, "nms": nm, "refine": rf, "extent": ext,
                 "consensus": cns, "top_k": tk,

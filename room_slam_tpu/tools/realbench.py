@@ -76,29 +76,31 @@ def apply_operating_point(cached: dict, cell: dict,
         ))(jnp.asarray(boxes), jnp.asarray(pred_labels),
            jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
 
-    def _post(b, lg, o):
-        return post_process(
-            b, lg, confidence_threshold=cell["threshold"],
-            nms_threshold=cell["nms"], consensus=cell.get("consensus", False),
-            top_k=cell.get("top_k"), objectness=o)
-
-    if obj is None:
-        keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
-            lambda b, lg: _post(b, lg, None)))(
-                jnp.asarray(boxes), jnp.asarray(logits)))
-    else:
-        keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
-            _post))(jnp.asarray(boxes), jnp.asarray(logits),
-                    jnp.asarray(obj)))
-
     ext = cell.get("extent")
-    if ext is not None:
-        outside = np.asarray(jax.jit(jax.vmap(
+    if ext is None:
+        cand = jnp.ones(boxes.shape[:2], dtype=bool)
+    else:
+        # BEFORE NMS/top_k (see ops/nms.post_process candidate_mask)
+        cand = ~jax.jit(jax.vmap(
             lambda b, r, n: outside_extent_mask(
                 b, r, n, slack=jnp.float32(ext))
         ))(jnp.asarray(boxes), jnp.asarray(cached["raw"]),
-           jnp.asarray(cached["length"])))
-        keep = keep & ~outside
+           jnp.asarray(cached["length"]))
+
+    def _post(b, lg, o, cm):
+        return post_process(
+            b, lg, confidence_threshold=cell["threshold"],
+            nms_threshold=cell["nms"], consensus=cell.get("consensus", False),
+            top_k=cell.get("top_k"), objectness=o, candidate_mask=cm)
+
+    if obj is None:
+        keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
+            lambda b, lg, cm: _post(b, lg, None, cm)))(
+                jnp.asarray(boxes), jnp.asarray(logits), cand))
+    else:
+        keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
+            _post))(jnp.asarray(boxes), jnp.asarray(logits),
+                    jnp.asarray(obj), cand))
     img, flat = np.nonzero(keep)
     return {"boxes": boxes[img, flat], "labels": labels[img, flat],
             "conf": conf[img, flat], "img": img}
