@@ -178,10 +178,15 @@ def bench_headline(profile=None):
 SCALEUP_BATCH = 64
 
 
-def bench_scaleup(batch: int | None = None):
+def bench_scaleup(batch: int | None = None, bf16_stream: bool = True):
     """Scale-up config (BASELINE.json config 4): seq=5000, hidden=512,
     max_objects=32 BiGRU with the fused loss — train-step traces/sec.
-    This is the config where MFU is a meaningful target (d=512 matmuls)."""
+    This is the config where MFU is a meaningful target (d=512 matmuls).
+
+    ``bf16_stream`` feeds the Pallas recurrence bfloat16 activations
+    (ModelConfig.compute_dtype): carry/math stay f32, but streamed
+    activations/residuals halve, which doubles the feasible batch tile
+    (= MXU rows of the recurrence matmul, rnn_pallas._tile_plan)."""
     from room_slam_tpu.config import (DataConfig, ExperimentConfig,
                                       ModelConfig, TrainConfig)
     from room_slam_tpu.models.factory import build_model, count_parameters, \
@@ -194,7 +199,9 @@ def bench_scaleup(batch: int | None = None):
     B, L, M = batch or SCALEUP_BATCH, 5000, 32
     cfg = ExperimentConfig(
         data=DataConfig(max_trace_len=L, max_colliders=M),
-        model=ModelConfig(model_type="bigru", d_model=512, num_queries=M),
+        model=ModelConfig(
+            model_type="bigru", d_model=512, num_queries=M,
+            compute_dtype="bfloat16" if bf16_stream else "float32"),
         train=TrainConfig(batch_size=B),
     )
     model = build_model(cfg.model)
@@ -234,6 +241,7 @@ def bench_scaleup(batch: int | None = None):
                   f"BiGRU, max_objects=32, batch={B})",
         "value": round(n * B / dt, 2),
         "batch": B,
+        "stream_dtype": cfg.model.compute_dtype,
         "unit": "traces/sec",
         "vs_baseline": None,
         "ms_per_step": round(dt / n * 1000, 1),
@@ -283,6 +291,9 @@ def main():
                     help="run ONLY the scale-up sub-benchmark")
     ap.add_argument("--scaleup_batch", type=int, default=None,
                     help="batch size for --scaleup (default SCALEUP_BATCH)")
+    ap.add_argument("--scaleup_fp32", action="store_true",
+                    help="stream the recurrence in f32 instead of bf16 "
+                         "(halves the feasible Pallas batch tile)")
     ap.add_argument("--scaleup_sweep", type=str, default=None,
                     metavar="B1,B2,...",
                     help="run the scale-up bench at each batch size in its "
@@ -300,10 +311,12 @@ def main():
 
         rows = []
         for b in (int(x) for x in args.scaleup_sweep.split(",")):
+            cmd = [sys.executable, __file__, "--scaleup",
+                   "--scaleup_batch", str(b)]
+            if args.scaleup_fp32:
+                cmd.append("--scaleup_fp32")
             proc = subprocess.run(
-                [sys.executable, __file__, "--scaleup",
-                 "--scaleup_batch", str(b)],
-                capture_output=True, text=True, timeout=1800)
+                cmd, capture_output=True, text=True, timeout=1800)
             row = {"batch": b, "error": f"rc={proc.returncode}"}
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
@@ -311,8 +324,10 @@ def main():
                     break
                 except json.JSONDecodeError:
                     continue
-            if "error" in row and "RESOURCE_EXHAUSTED" in proc.stderr:
-                row["error"] = "OOM"
+            if "error" in row:
+                if "RESOURCE_EXHAUSTED" in proc.stderr:
+                    row["error"] = "OOM"
+                row["stderr_tail"] = proc.stderr.strip().splitlines()[-3:]
             rows.append(row)
             print(json.dumps(row))
         ok = [r for r in rows if "error" not in r]
@@ -323,7 +338,8 @@ def main():
                               "best_mfu": best.get("mfu")}))
         return
     if args.scaleup:
-        print(json.dumps(bench_scaleup(args.scaleup_batch)))
+        print(json.dumps(bench_scaleup(args.scaleup_batch,
+                                       bf16_stream=not args.scaleup_fp32)))
         return
     if args.datagen:
         print(json.dumps(bench_datagen()))

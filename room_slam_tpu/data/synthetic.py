@@ -57,8 +57,19 @@ def sample_room(
     max_colliders: int = 50,
     max_furniture: int = 8,
     multi_room_prob: float = 0.0,
+    wall_adjacent_prob: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sample one room layout + furniture.
+
+    ``wall_adjacent_prob``: probability that a furniture candidate snaps its
+    outer face against a wall (small 0.02-0.2 m gap) instead of free-standing
+    with a full walker corridor. In the REAL rooms ~60% of furniture touches
+    a wall (9 of 13 pieces across dataset/{train,val}/colliders.json) — a
+    generator that keeps a corridor to every wall teaches the model that
+    walls always sit one body-clearance beyond the visited envelope, which
+    over-extends wall predictions by the furniture depth on lined sides
+    (the dominant zero-shot wall error on the val capture). Wall-adjacent
+    pieces truncate the walkable envelope exactly like real furniture does.
 
     Layout: a rectangle (4 BLOCK walls), or — with ``multi_room_prob`` — an
     L-shaped two-room layout: a main room plus an annex on the +x side
@@ -227,6 +238,35 @@ def sample_room(
                        v * jnp.maximum(a_mz, 0.0))
         fits = jnp.where(in_b, (b_mx > 0.0) & (b_mz > 0.0),
                          (a_mx > 0.0) & (a_mz > 0.0))
+        # wall-adjacent snap: outer face lands gap metres off a wall's
+        # inner plane; the along-wall coordinate may reach the corners
+        # (real rooms shelve corners). Only in the main room; the shared
+        # +x wall (doorway) stays clear under multi-room layouts. The
+        # walkability requirement shifts from "corridor on all sides" to
+        # "corridor on the opposite side of the room".
+        ksnap = jax.random.fold_in(kc, 2)
+        snap = (jax.random.uniform(ksnap, ()) < wall_adjacent_prob) & ~in_b
+        side = jax.random.randint(jax.random.fold_in(ksnap, 1), (), 0, 4)
+        side = jnp.where(multi & (side == 0), 1, side)
+        gap = jax.random.uniform(jax.random.fold_in(ksnap, 2), (),
+                                 minval=0.02, maxval=0.2)
+        sx_c = half_w - wt / 2 - gap - fx / 2   # |x| of a +/-x-snapped box
+        sz_c = half_d - wt / 2 - gap - fz / 2
+        cax = half_w - fx / 2 - wt - 0.05       # along-wall reach (corners ok)
+        caz = half_d - fz / 2 - wt - 0.05
+        px_s = jnp.where(side == 0, sx_c,
+                         jnp.where(side == 1, -sx_c,
+                                   u * jnp.maximum(cax, 0.0)))
+        pz_s = jnp.where(side == 2, sz_c,
+                         jnp.where(side == 3, -sz_c,
+                                   v * jnp.maximum(caz, 0.0)))
+        fits_s = jnp.where(
+            side < 2,
+            (width - 2 * wt - fx - gap > CORRIDOR + 0.2) & (caz > 0.0),
+            (depth - 2 * wt - fz - gap > CORRIDOR + 0.2) & (cax > 0.0))
+        px = jnp.where(snap, px_s, px)
+        pz = jnp.where(snap, pz_s, pz)
+        fits = jnp.where(snap, fits_s, fits)
         # the spawn point only needs to sit OUTSIDE the agent-expanded
         # footprint (the inter-box corridor keeps space connected)
         covers_spawn = (jnp.abs(px) < fx / 2 + AGENT_RADIUS + 0.1) & (
@@ -461,7 +501,7 @@ def simulate_trace(
 @functools.partial(
     jax.jit,
     static_argnames=("n_rooms", "num_steps", "max_colliders", "hz", "human",
-                     "multi_room_prob", "sim_steps"))
+                     "multi_room_prob", "sim_steps", "wall_adjacent_prob"))
 def generate_rooms_and_traces(
     key: jax.Array,
     n_rooms: int,
@@ -471,6 +511,7 @@ def generate_rooms_and_traces(
     human: bool = False,
     multi_room_prob: float = 0.0,
     sim_steps: int | None = None,
+    wall_adjacent_prob: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Batched datagen: n_rooms layouts, one trace each, in ONE jitted
     dispatch (eager per-primitive dispatch through a remote TPU tunnel costs
@@ -493,7 +534,8 @@ def generate_rooms_and_traces(
     def one(k):
         k1, k2 = jax.random.split(k)
         boxes, labels, valid = sample_room(
-            k1, max_colliders, multi_room_prob=multi_room_prob)
+            k1, max_colliders, multi_room_prob=multi_room_prob,
+            wall_adjacent_prob=wall_adjacent_prob)
         raw = simulate_trace(k2, boxes, valid, S, hz, human)
         if S != num_steps:
             idx = np.linspace(0, S - 1, num_steps).astype(np.int32)
@@ -523,6 +565,7 @@ def write_synthetic_dataset(
     hz: float = 30.0,
     stem_prefix: str = "synthetic",
     sim_steps: int | None = None,
+    wall_adjacent_prob: float = 0.0,
 ) -> None:
     """Generate rooms on device and write *_trace.json / *_collider.json pairs
     (pairing pattern 1 of the reference loader, dataloader.py:111-125).
@@ -535,7 +578,8 @@ def write_synthetic_dataset(
         generate_rooms_and_traces(
             jax.random.key(seed), n_rooms, num_steps,
             max_colliders=max_colliders, hz=hz, human=human,
-            multi_room_prob=multi_room_prob, sim_steps=sim_steps)
+            multi_room_prob=multi_room_prob, sim_steps=sim_steps,
+            wall_adjacent_prob=wall_adjacent_prob)
     )
     for i in range(n_rooms):
         stem = f"{stem_prefix}_{i:04d}"

@@ -39,6 +39,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             dropout=cfg.dropout,
             num_classes=cfg.num_classes,
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
+            compute_dtype=cfg.compute_dtype,
             objectness=cfg.objectness,
             center_xz=cfg.center_xz,
             refine_stages=cfg.refine_stages,
@@ -53,6 +54,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             dropout=cfg.dropout,
             num_classes=cfg.num_classes,
             use_pallas=cfg.use_pallas_rnn and _on_tpu(),
+            compute_dtype=cfg.compute_dtype,
             objectness=cfg.objectness,
             center_xz=cfg.center_xz,
             refine_stages=cfg.refine_stages,

@@ -23,6 +23,7 @@ class BiGRULayer(nn.Module):
 
     hidden: int
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -37,6 +38,11 @@ class BiGRULayer(nn.Module):
                               (self.hidden, 3 * self.hidden))
             b_hh = self.param(f"b_hh_{direction}", init, (3 * self.hidden,))
             xg = x @ w_ih + b_ih  # one MXU matmul for the full sequence
+            if self.compute_dtype != "float32":
+                # bf16 streams halve the recurrence's VMEM/HBM traffic and
+                # double the feasible Pallas batch tile (rnn_pallas.py);
+                # carry/math stay f32, params stay f32.
+                xg = xg.astype(self.compute_dtype)
             outs.append(gru_recurrence(xg, w_hh, b_hh, reverse=reverse,
                                        use_pallas=self.use_pallas))
         return jnp.concatenate(outs, axis=-1)
@@ -49,6 +55,7 @@ class GRUTraceEncoder(nn.Module):
     num_layers: int = 2
     dropout: float = 0.1
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -62,6 +69,7 @@ class GRUTraceEncoder(nn.Module):
         hidden = self.d_model // 2
         for layer in range(self.num_layers):
             x = BiGRULayer(hidden, use_pallas=self.use_pallas,
+                           compute_dtype=self.compute_dtype,
                            name=f"gru_{layer}")(x)
             if layer < self.num_layers - 1:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -79,6 +87,7 @@ class TraceToColliderGRU(nn.Module):
     dropout: float = 0.1
     num_classes: int = 4
     use_pallas: bool = False
+    compute_dtype: str = "float32"
     objectness: bool = False
     center_xz: bool = False
     refine_stages: int = 0
@@ -93,6 +102,7 @@ class TraceToColliderGRU(nn.Module):
             num_layers=self.gru_layers,
             dropout=self.dropout,
             use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
             name="encoder",
         )(traces, mask, deterministic)
         outs = SimpleQueryDecoder(

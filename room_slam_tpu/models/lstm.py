@@ -40,6 +40,7 @@ class BiLSTMLayer(nn.Module):
 
     hidden: int
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -53,6 +54,12 @@ class BiLSTMLayer(nn.Module):
                               (self.hidden, 4 * self.hidden))
             b = self.param(f"b_{direction}", init, (4 * self.hidden,))
             xg = x @ w_ih + b  # one MXU matmul for the full sequence
+            if self.compute_dtype != "float32":
+                # bf16 streams halve the recurrence's VMEM/HBM traffic and
+                # double the feasible Pallas batch tile; carry/math stay f32
+                # (rnn_pallas.py). Params stay f32; downstream type
+                # promotion restores f32 at the next dense layer.
+                xg = xg.astype(self.compute_dtype)
             outs.append(
                 lstm_recurrence(xg, w_hh, reverse=reverse,
                                 use_pallas=self.use_pallas))
@@ -67,6 +74,7 @@ class LSTMTraceEncoder(nn.Module):
     num_layers: int = 2
     dropout: float = 0.1
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -85,6 +93,7 @@ class LSTMTraceEncoder(nn.Module):
         hidden = self.d_model // 2
         for layer in range(self.num_layers):
             x = BiLSTMLayer(hidden, use_pallas=self.use_pallas,
+                            compute_dtype=self.compute_dtype,
                             name=f"lstm_{layer}")(x)
             if layer < self.num_layers - 1:
                 # torch applies inter-layer dropout (model.py:20)
@@ -196,6 +205,7 @@ class TraceToColliderLSTM(nn.Module):
     dropout: float = 0.1
     num_classes: int = 4
     use_pallas: bool = False
+    compute_dtype: str = "float32"
     objectness: bool = False
     # translation-invariant mode: center trace XZ at the model boundary and
     # un-center predicted boxes (see models/common.center_traces_xz). Off by
@@ -213,6 +223,7 @@ class TraceToColliderLSTM(nn.Module):
             num_layers=self.lstm_layers,
             dropout=self.dropout,
             use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
             name="encoder",
         )(traces, mask, deterministic)
         outs = SimpleQueryDecoder(

@@ -2,8 +2,12 @@
 
 Same design as the LSTM kernels (rnn_pallas.py): the input-side matmul for
 the whole sequence stays outside as one MXU matmul; the kernel keeps the
-hidden carry in VMEM scratch and streams per-chunk inputs, and a custom VJP
-runs reverse-time BPTT as a second kernel over saved activations.
+hidden carry in VMEM scratch and streams per-chunk inputs; the batch tiles
+over the outer grid dimension (``_tile_plan`` sizes the tile to VMEM, and
+the tile is the number of MXU rows the recurrence matmul fills); a custom
+VJP runs reverse-time BPTT as a second kernel over saved activations.
+Streamed tensors inherit ``xg``'s dtype (bfloat16 halves VMEM/HBM traffic;
+carry and math stay float32).
 
 torch ``nn.GRU`` numerics (gate order r, z, n; the reset gate multiplies
 ``W_hn h + b_hn`` only — see ops/rnn.py:gru_recurrence_scan).
@@ -12,20 +16,23 @@ torch ``nn.GRU`` numerics (gate order r, z, n; the reset gate multiplies
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from room_slam_tpu.ops.rnn_pallas import CHUNK, _pad_time
+from room_slam_tpu.ops.rnn_pallas import (_pad_batch, _pad_time,
+                                          _tile_plan)
 
 
 def _gru_fwd_kernel(w_ref, b_ref, xg_ref, ys_ref, gates_ref, hn_ref,
                     h_s, *, chunk: int, hidden: int,
                     save_residuals: bool = True):
-    step = pl.program_id(0)
+    t_step = pl.program_id(1)
 
-    @pl.when(step == 0)
+    @pl.when(t_step == 0)
     def _():
         h_s[:] = jnp.zeros_like(h_s)
 
@@ -34,71 +41,77 @@ def _gru_fwd_kernel(w_ref, b_ref, xg_ref, ys_ref, gates_ref, hn_ref,
     H = hidden
     for t in range(chunk):
         hg = jnp.dot(h_s[:], w, preferred_element_type=jnp.float32) + b
-        g = xg_ref[:, t, :]
+        g = xg_ref[:, t, :].astype(jnp.float32)
         r = jax.nn.sigmoid(g[:, :H] + hg[:, :H])
         z = jax.nn.sigmoid(g[:, H:2 * H] + hg[:, H:2 * H])
         hn = hg[:, 2 * H:]
         n = jnp.tanh(g[:, 2 * H:] + r * hn)
         h = (1.0 - z) * n + z * h_s[:]
         h_s[:] = h
-        ys_ref[:, t, :] = h
+        ys_ref[:, t, :] = h.astype(ys_ref.dtype)
         if save_residuals:
-            gates_ref[:, t, :] = jnp.concatenate([r, z, n], axis=-1)
-            hn_ref[:, t, :] = hn
+            gates_ref[:, t, :] = jnp.concatenate(
+                [r, z, n], axis=-1).astype(gates_ref.dtype)
+            hn_ref[:, t, :] = hn.astype(hn_ref.dtype)
 
 
 def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
                     dxg_ref, dhn_ref, dh_s, *, chunk: int, hidden: int):
-    step = pl.program_id(0)
+    t_step = pl.program_id(1)
 
-    @pl.when(step == 0)
+    @pl.when(t_step == 0)
     def _():
         dh_s[:] = jnp.zeros_like(dh_s)
 
     wt = wt_ref[:]
     H = hidden
     for t in range(chunk - 1, -1, -1):
-        g = gates_ref[:, t, :]
+        g = gates_ref[:, t, :].astype(jnp.float32)
         r = g[:, :H]
         z = g[:, H:2 * H]
         n = g[:, 2 * H:]
-        hn = hn_ref[:, t, :]
-        hp = hprev_ref[:, t, :]
-        dh_t = dys_ref[:, t, :] + dh_s[:]
+        hn = hn_ref[:, t, :].astype(jnp.float32)
+        hp = hprev_ref[:, t, :].astype(jnp.float32)
+        dh_t = dys_ref[:, t, :].astype(jnp.float32) + dh_s[:]
         dz = dh_t * (hp - n)
         dn_pre = dh_t * (1.0 - z) * (1.0 - n * n)
         dr = dn_pre * hn
         dhn = dn_pre * r
         dz_pre = dz * z * (1.0 - z)
         dr_pre = dr * r * (1.0 - r)
-        dxg_ref[:, t, :] = jnp.concatenate([dr_pre, dz_pre, dn_pre],
-                                           axis=-1)
-        dhn_ref[:, t, :] = dhn
+        dxg_ref[:, t, :] = jnp.concatenate(
+            [dr_pre, dz_pre, dn_pre], axis=-1).astype(dxg_ref.dtype)
+        dhn_ref[:, t, :] = dhn.astype(dhn_ref.dtype)
         dgates_hh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
         dh_s[:] = dh_t * z + jnp.dot(
             dgates_hh, wt, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "save_residuals"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "save_residuals", "tile"))
 def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
-                    save_residuals: bool = True):
+                    save_residuals: bool = True,
+                    tile: Optional[Tuple[int, int]] = None):
     B, N0, H3 = xg.shape
     H = H3 // 3
-    xg_p, N0 = _pad_time(xg, CHUNK)
-    N = xg_p.shape[1]
-    grid = (N // CHUNK,)
-    kernel = functools.partial(_gru_fwd_kernel, chunk=CHUNK, hidden=H,
+    cols = (2 * H3 + 2 * H) if save_residuals else (H3 + H)
+    bb, chunk = tile or _tile_plan(
+        B, cols, xg.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
+    xg_p, N0 = _pad_time(xg, chunk)
+    xg_p, B0 = _pad_batch(xg_p, bb)
+    Bp, N = xg_p.shape[0], xg_p.shape[1]
+    grid = (Bp // bb, N // chunk)
+    kernel = functools.partial(_gru_fwd_kernel, chunk=chunk, hidden=H,
                                save_residuals=save_residuals)
     in_specs = [
-        pl.BlockSpec((H, H3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, CHUNK, H3), lambda i: (0, i, 0),
+        pl.BlockSpec((H, H3), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H3), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, chunk, H3), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    ys_spec = pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
+    ys_spec = pl.BlockSpec((bb, chunk, H), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((B, H), jnp.float32)]
+    scratch = [pltpu.VMEM((bb, H), jnp.float32)]
     b2d = b_hh.reshape(1, H3)
     if save_residuals:
         ys, gates, hn = pl.pallas_call(
@@ -107,20 +120,20 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
             in_specs=in_specs,
             out_specs=[
                 ys_spec,
-                pl.BlockSpec((B, CHUNK, H3), lambda i: (0, i, 0),
+                pl.BlockSpec((bb, chunk, H3), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
+                pl.BlockSpec((bb, chunk, H), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, N, H), xg.dtype),
-                jax.ShapeDtypeStruct((B, N, H3), xg.dtype),
-                jax.ShapeDtypeStruct((B, N, H), xg.dtype),
+                jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
+                jax.ShapeDtypeStruct((Bp, N, H3), xg.dtype),
+                jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
             ],
             scratch_shapes=scratch,
             interpret=interpret,
         )(w_hh, b2d, xg_p)
-        return ys[:, :N0], gates[:, :N0], hn[:, :N0]
+        return ys[:B0, :N0], gates[:B0, :N0], hn[:B0, :N0]
 
     def kernel_light(w_ref, b_ref, xg_ref, ys_ref, h_s):
         kernel(w_ref, b_ref, xg_ref, ys_ref, None, None, h_s)
@@ -130,49 +143,57 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
         grid=grid,
         in_specs=in_specs,
         out_specs=ys_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, H), xg.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(w_hh, b2d, xg_p)
-    return ys[:, :N0], None, None
+    return ys[:B0, :N0], None, None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys, interpret: bool = False,
+                    tile: Optional[Tuple[int, int]] = None):
     B, N0, H = hn.shape
     H3 = 3 * H
-    gates, _ = _pad_time(gates, CHUNK)
-    hn, _ = _pad_time(hn, CHUNK)
-    h_prev, _ = _pad_time(h_prev, CHUNK)
-    dys, _ = _pad_time(dys, CHUNK)
-    N = hn.shape[1]
-    nc = N // CHUNK
-    rev = lambda i: (0, nc - 1 - i, 0)  # noqa: E731
+    cols = 2 * H3 + 4 * H  # gates + dxg (3H each) + hn + h_prev + dys + dhn
+    bb, chunk = tile or _tile_plan(
+        B, cols, hn.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
+    gates, _ = _pad_time(gates, chunk)
+    hn, _ = _pad_time(hn, chunk)
+    h_prev, _ = _pad_time(h_prev, chunk)
+    dys, _ = _pad_time(dys, chunk)
+    gates, B0 = _pad_batch(gates, bb)
+    hn, _ = _pad_batch(hn, bb)
+    h_prev, _ = _pad_batch(h_prev, bb)
+    dys, _ = _pad_batch(dys, bb)
+    Bp, N = hn.shape[0], hn.shape[1]
+    nc = N // chunk
+    rev = lambda b, i: (b, nc - 1 - i, 0)  # noqa: E731
 
-    kernel = functools.partial(_gru_bwd_kernel, chunk=CHUNK, hidden=H)
+    kernel = functools.partial(_gru_bwd_kernel, chunk=chunk, hidden=H)
     dxg, dhn = pl.pallas_call(
         kernel,
-        grid=(nc,),
+        grid=(Bp // bb, nc),
         in_specs=[
-            pl.BlockSpec((H3, H), lambda i: (0, 0),
+            pl.BlockSpec((H3, H), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, CHUNK, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, H3), hn.dtype),
-            jax.ShapeDtypeStruct((B, N, H), hn.dtype),
+            jax.ShapeDtypeStruct((Bp, N, H3), hn.dtype),
+            jax.ShapeDtypeStruct((Bp, N, H), hn.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
         interpret=interpret,
     )(jnp.asarray(w_hh.T), gates, hn, h_prev, dys)
-    return dxg[:, :N0], dhn[:, :N0]
+    return dxg[:B0, :N0], dhn[:B0, :N0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -195,10 +216,13 @@ def _gru_core_bwd(interpret, res, dys):
         [jnp.zeros((B, 1, H), ys.dtype), ys[:, :-1]], axis=1)
     dxg, dhn = _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys,
                                interpret=interpret)
-    # hidden-side gate grads: [dr_pre, dz_pre, d(hn_part)]
+    # hidden-side gate grads: [dr_pre, dz_pre, d(hn_part)]; f32 accumulation
+    # even when activations stream in bf16
     dgates_hh = jnp.concatenate([dxg[..., : 2 * H], dhn], axis=-1)
-    dw = jnp.einsum("bnh,bng->hg", h_prev, dgates_hh)
-    db = jnp.sum(dgates_hh, axis=(0, 1))
+    dw = jnp.einsum("bnh,bng->hg", h_prev, dgates_hh,
+                    preferred_element_type=jnp.float32).astype(w_hh.dtype)
+    db = jnp.sum(dgates_hh.astype(jnp.float32),
+                 axis=(0, 1)).astype(w_hh.dtype)
     return dxg, dw, db
 
 

@@ -1,15 +1,28 @@
 """Pallas TPU kernel for the LSTM recurrence.
 
 The sequential part of an LSTM is tiny per step (h @ W_hh for a [B, H] state)
-but runs N=500..3000 times. A generic ``lax.scan`` round-trips the carry and
+but runs N=500..5000 times. A generic ``lax.scan`` round-trips the carry and
 per-step outputs through layout shuffles each iteration; this kernel instead:
 
 - keeps the (h, c) carry resident in VMEM scratch across the whole sequence
   (scratch persists across sequential TPU grid steps),
 - streams precomputed input gates ``xg = x @ W_ih + b`` from HBM in chunks of
-  CHUNK timesteps, double-buffered automatically by the Pallas pipeline,
-- unrolls CHUNK steps per grid invocation so the per-step MXU matmul
-  [B, H] x [H, 4H] issues back-to-back.
+  ``chunk`` timesteps, double-buffered automatically by the Pallas pipeline,
+- unrolls ``chunk`` steps per grid invocation so the per-step MXU matmul
+  [BB, H] x [H, 4H] issues back-to-back,
+- tiles the BATCH over the outer grid dimension: each grid row walks one
+  batch tile of BB rows through the whole sequence, re-initializing the
+  carry at t=0. BB doubles as the number of MXU rows the recurrence matmul
+  fills, so ``_tile_plan`` picks the largest BB whose double-buffered
+  streams fit the ~16 MB VMEM (this is what lets batch 32/64/128 run at
+  all — a single (B, chunk, 4H) block overflows VMEM past B=8 at H=256 —
+  and what lifts the scale-up MFU: a [8, H] matmul uses 8 of the MXU's
+  128 rows).
+
+Streamed tensors inherit ``xg``'s dtype: feed bfloat16 ``xg`` (see
+``ModelConfig.compute_dtype``) and the activations/residuals stream at half
+the HBM traffic and VMEM footprint, doubling the feasible batch tile. The
+carry and all in-kernel math stay float32.
 
 Training support: the differentiated path's kernel also emits the activated
 gates and cell states; a custom VJP consumes them in a second Pallas kernel
@@ -25,46 +38,43 @@ speed-of-light.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 32  # timesteps per grid step
+CHUNK = 32  # default timesteps per grid step (small tensors / interpret)
+
+# VMEM working budget for the streamed blocks + resident weights. v5e has
+# ~16 MB/core; leave headroom for Mosaic temporaries of the unrolled loop.
+_VMEM_BUDGET = 10 << 20
 
 
-def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
-                       h_s, c_s, *, chunk: int, hidden: int,
-                       save_residuals: bool = True):
-    """One grid step: advance the recurrence over ``chunk`` timesteps.
-    ``save_residuals=False`` (inference) skips the cell-state and gate
-    outputs — 3x less HBM write traffic."""
-    step = pl.program_id(0)
+def _tile_plan(batch: int, stream_cols: int, elt_bytes: int,
+               w_bytes: int) -> Tuple[int, int]:
+    """Pick (batch_tile, chunk) so resident weights + double-buffered
+    streams fit VMEM, maximizing batch_tile (= MXU rows of the recurrence
+    matmul), then chunk (pipeline granularity).
 
-    @pl.when(step == 0)
-    def _():
-        h_s[:] = jnp.zeros_like(h_s)
-        c_s[:] = jnp.zeros_like(c_s)
-
-    w = w_ref[:]
-    H = hidden
-    for t in range(chunk):
-        g = xg_ref[:, t, :] + jnp.dot(
-            h_s[:], w, preferred_element_type=jnp.float32)
-        i = jax.nn.sigmoid(g[:, :H])
-        f = jax.nn.sigmoid(g[:, H:2 * H])
-        gg = jnp.tanh(g[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(g[:, 3 * H:])
-        c = f * c_s[:] + i * gg
-        h = o * jnp.tanh(c)
-        h_s[:] = h
-        c_s[:] = c
-        ys_ref[:, t, :] = h
-        if save_residuals:
-            cs_ref[:, t, :] = c
-            gates_ref[:, t, :] = jnp.concatenate([i, f, gg, o], axis=-1)
+    ``stream_cols`` is the total per-timestep element count across every
+    streamed input/output block (e.g. LSTM fwd with residuals: xg 4H +
+    ys H + cs H + gates 4H = 10H).
+    """
+    bp = batch if batch < 8 else -(-batch // 8) * 8
+    cands = [d for d in (128, 96, 64, 48, 32, 24, 16, 8)
+             if d <= bp and bp % d == 0] or [bp]
+    avail = max(_VMEM_BUDGET - w_bytes, 1 << 20)
+    best = None
+    for chunk in (32, 16, 8):
+        per_row = 2 * chunk * stream_cols * elt_bytes  # double-buffered
+        for bb in cands:  # descending: first fit is the largest tile
+            if bb * per_row <= avail:
+                if best is None or (bb, chunk) > best:
+                    best = (bb, chunk)
+                break
+    return best if best is not None else (cands[-1], 8)
 
 
 def _pad_time(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
@@ -75,30 +85,76 @@ def _pad_time(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
     return x, n
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "save_residuals"))
+def _pad_batch(x: jnp.ndarray, bb: int) -> Tuple[jnp.ndarray, int]:
+    b = x.shape[0]
+    pad = (-b) % bb
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    return x, b
+
+
+def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
+                       h_s, c_s, *, chunk: int, hidden: int,
+                       save_residuals: bool = True):
+    """One grid step: advance one batch tile over ``chunk`` timesteps.
+    ``save_residuals=False`` (inference) skips the cell-state and gate
+    outputs — 3x less HBM write traffic."""
+    t_step = pl.program_id(1)  # time chunk within this batch tile
+
+    @pl.when(t_step == 0)
+    def _():
+        h_s[:] = jnp.zeros_like(h_s)
+        c_s[:] = jnp.zeros_like(c_s)
+
+    w = w_ref[:]
+    H = hidden
+    for t in range(chunk):
+        g = xg_ref[:, t, :].astype(jnp.float32) + jnp.dot(
+            h_s[:], w, preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(g[:, :H])
+        f = jax.nn.sigmoid(g[:, H:2 * H])
+        gg = jnp.tanh(g[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(g[:, 3 * H:])
+        c = f * c_s[:] + i * gg
+        h = o * jnp.tanh(c)
+        h_s[:] = h
+        c_s[:] = c
+        ys_ref[:, t, :] = h.astype(ys_ref.dtype)
+        if save_residuals:
+            cs_ref[:, t, :] = c.astype(cs_ref.dtype)
+            gates_ref[:, t, :] = jnp.concatenate(
+                [i, f, gg, o], axis=-1).astype(gates_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "save_residuals", "tile"))
 def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
-                     interpret: bool = False, save_residuals: bool = True):
+                     interpret: bool = False, save_residuals: bool = True,
+                     tile: Optional[Tuple[int, int]] = None):
     """Forward-time recurrence. xg [B, N, 4H] -> (ys, cs, gates); cs/gates
     are None when save_residuals=False (inference)."""
     B, N0, H4 = xg.shape
     H = H4 // 4
-    xg_p, N0 = _pad_time(xg, CHUNK)
-    N = xg_p.shape[1]
-    grid = (N // CHUNK,)
+    cols = (H4 + 6 * H) if save_residuals else (H4 + H)
+    bb, chunk = tile or _tile_plan(
+        B, cols, xg.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
+    xg_p, N0 = _pad_time(xg, chunk)
+    xg_p, B0 = _pad_batch(xg_p, bb)
+    Bp, N = xg_p.shape[0], xg_p.shape[1]
+    grid = (Bp // bb, N // chunk)
 
-    kernel = functools.partial(_lstm_chunk_kernel, chunk=CHUNK, hidden=H,
+    kernel = functools.partial(_lstm_chunk_kernel, chunk=chunk, hidden=H,
                                save_residuals=save_residuals)
     block_in = [
-        pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, CHUNK, H4), lambda i: (0, i, 0),
+        pl.BlockSpec((H, H4), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, chunk, H4), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    ys_spec = pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
+    ys_spec = pl.BlockSpec((bb, chunk, H), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
     scratch = [
-        pltpu.VMEM((B, H), jnp.float32),
-        pltpu.VMEM((B, H), jnp.float32),
+        pltpu.VMEM((bb, H), jnp.float32),
+        pltpu.VMEM((bb, H), jnp.float32),
     ]
     if save_residuals:
         ys, cs, gates = pl.pallas_call(
@@ -107,20 +163,20 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
             in_specs=block_in,
             out_specs=[
                 ys_spec,
-                pl.BlockSpec((B, CHUNK, H), lambda i: (0, i, 0),
+                pl.BlockSpec((bb, chunk, H), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, CHUNK, H4), lambda i: (0, i, 0),
+                pl.BlockSpec((bb, chunk, H4), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, N, H), xg.dtype),
-                jax.ShapeDtypeStruct((B, N, H), xg.dtype),
-                jax.ShapeDtypeStruct((B, N, H4), xg.dtype),
+                jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
+                jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
+                jax.ShapeDtypeStruct((Bp, N, H4), xg.dtype),
             ],
             scratch_shapes=scratch,
             interpret=interpret,
         )(w_hh, xg_p)
-        return ys[:, :N0], cs[:, :N0], gates[:, :N0]
+        return ys[:B0, :N0], cs[:B0, :N0], gates[:B0, :N0]
 
     def kernel_light(w_ref, xg_ref, ys_ref, h_s, c_s):
         kernel(w_ref, xg_ref, ys_ref, None, None, h_s, c_s)
@@ -130,11 +186,11 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
         grid=grid,
         in_specs=block_in,
         out_specs=ys_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, H), xg.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(w_hh, xg_p)
-    return ys[:, :N0], None, None
+    return ys[:B0, :N0], None, None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -156,9 +212,9 @@ def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
                            dg_ref, dh_s, dc_s, *, chunk: int, hidden: int):
     """Reverse-time BPTT chunk: carry (dh, dc) lives in VMEM scratch; the
     grid walks chunks back-to-front and steps walk timesteps in reverse."""
-    step = pl.program_id(0)
+    t_step = pl.program_id(1)
 
-    @pl.when(step == 0)
+    @pl.when(t_step == 0)
     def _():
         dh_s[:] = jnp.zeros_like(dh_s)
         dc_s[:] = jnp.zeros_like(dc_s)
@@ -166,67 +222,74 @@ def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
     wt = wt_ref[:]
     H = hidden
     for t in range(chunk - 1, -1, -1):
-        g = gates_ref[:, t, :]
+        g = gates_ref[:, t, :].astype(jnp.float32)
         i = g[:, :H]
         f = g[:, H:2 * H]
         gg = g[:, 2 * H:3 * H]
         o = g[:, 3 * H:]
-        tanh_c = jnp.tanh(cs_ref[:, t, :])
-        dh_t = dys_ref[:, t, :] + dh_s[:]
+        tanh_c = jnp.tanh(cs_ref[:, t, :].astype(jnp.float32))
+        dh_t = dys_ref[:, t, :].astype(jnp.float32) + dh_s[:]
         do = dh_t * tanh_c
         dc_t = dc_s[:] + dh_t * o * (1.0 - tanh_c * tanh_c)
         dgates = jnp.concatenate([
             dc_t * gg * i * (1.0 - i),
-            dc_t * cprev_ref[:, t, :] * f * (1.0 - f),
+            dc_t * cprev_ref[:, t, :].astype(jnp.float32) * f * (1.0 - f),
             dc_t * i * (1.0 - gg * gg),
             do * o * (1.0 - o),
         ], axis=-1)
-        dg_ref[:, t, :] = dgates
+        dg_ref[:, t, :] = dgates.astype(dg_ref.dtype)
         dh_s[:] = jnp.dot(dgates, wt, preferred_element_type=jnp.float32)
         dc_s[:] = dc_t * f
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys, interpret: bool = False,
+                     tile: Optional[Tuple[int, int]] = None):
     """Fused reverse-time BPTT -> dgates [B, N, 4H]."""
     B, N0, H = cs.shape
     H4 = 4 * H
-    gates, _ = _pad_time(gates, CHUNK)
-    cs, _ = _pad_time(cs, CHUNK)
-    c_prev, _ = _pad_time(c_prev, CHUNK)
-    dys, _ = _pad_time(dys, CHUNK)
-    N = cs.shape[1]
-    nc = N // CHUNK
-    rev = lambda i: (0, nc - 1 - i, 0)  # noqa: E731
+    cols = 2 * H4 + 3 * H  # gates + dgates (4H each) + cs + c_prev + dys
+    bb, chunk = tile or _tile_plan(
+        B, cols, cs.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
+    gates, _ = _pad_time(gates, chunk)
+    cs, _ = _pad_time(cs, chunk)
+    c_prev, _ = _pad_time(c_prev, chunk)
+    dys, _ = _pad_time(dys, chunk)
+    gates, B0 = _pad_batch(gates, bb)
+    cs, _ = _pad_batch(cs, bb)
+    c_prev, _ = _pad_batch(c_prev, bb)
+    dys, _ = _pad_batch(dys, bb)
+    Bp, N = cs.shape[0], cs.shape[1]
+    nc = N // chunk
+    rev = lambda b, i: (b, nc - 1 - i, 0)  # noqa: E731
 
-    kernel = functools.partial(_lstm_bwd_chunk_kernel, chunk=CHUNK,
+    kernel = functools.partial(_lstm_bwd_chunk_kernel, chunk=chunk,
                                hidden=H)
     dgates = pl.pallas_call(
         kernel,
-        grid=(nc,),
+        grid=(Bp // bb, nc),
         in_specs=[
-            pl.BlockSpec((H4, H), lambda i: (0, 0),
+            pl.BlockSpec((H4, H), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, CHUNK, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, CHUNK, H4), rev,
+        out_specs=pl.BlockSpec((bb, chunk, H4), rev,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, H4), cs.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, N, H4), cs.dtype),
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(w_hh.T), gates, cs, c_prev, dys)
-    return dgates[:, :N0]
+    return dgates[:B0, :N0]
 
 
 def _lstm_core_bwd(interpret, res, dys):
-    """Reverse-time BPTT over the saved activations — fused Pallas kernel
-    with a lax.scan fallback in interpret mode."""
+    """Reverse-time BPTT over the saved activations — fused Pallas kernel."""
     w_hh, ys, cs, gates = res
     B, N, H = ys.shape
 
@@ -236,8 +299,10 @@ def _lstm_core_bwd(interpret, res, dys):
         [jnp.zeros((B, 1, H), cs.dtype), cs[:, :-1]], axis=1)
     dxg = _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys,
                            interpret=interpret)
-    # dW_hh = sum_t h_{t-1}^T dgates_t — one large MXU matmul
-    dw = jnp.einsum("bnh,bng->hg", h_prev, dxg)
+    # dW_hh = sum_t h_{t-1}^T dgates_t — one large MXU matmul (f32 accum
+    # even when activations stream in bf16)
+    dw = jnp.einsum("bnh,bng->hg", h_prev, dxg,
+                    preferred_element_type=jnp.float32).astype(w_hh.dtype)
     return dxg, dw
 
 

@@ -57,7 +57,8 @@ def _check_query_capacity(cfg: ExperimentConfig, *datasets) -> None:
 def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
                             seed: int = 0, mode: str = "agent",
                             multi_room_prob: float = 0.0,
-                            sim_factor: float | None = None):
+                            sim_factor: float | None = None,
+                            wall_adjacent_prob: float = 0.0):
     """On-device synthetic train/val datasets (val = n_rooms // 8 + 1 extra
     rooms from an independent seed).
 
@@ -92,12 +93,14 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
                 k1, n // 2, L,
                 max_colliders=cfg.data.max_colliders, hz=AGENT_HZ,
                 human=False, multi_room_prob=multi_room_prob,
-                sim_steps=steps(False))
+                sim_steps=steps(False),
+                wall_adjacent_prob=wall_adjacent_prob)
             b = synthetic.generate_rooms_and_traces(
                 k2, n - n // 2, L,
                 max_colliders=cfg.data.max_colliders, hz=HUMAN_HZ,
                 human=True, multi_room_prob=multi_room_prob,
-                sim_steps=steps(True))
+                sim_steps=steps(True),
+                wall_adjacent_prob=wall_adjacent_prob)
             return {k: np.concatenate(
                 [np.asarray(a[k]), np.asarray(b[k])]) for k in a}
         human = mode == "human"
@@ -105,7 +108,8 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
             key, n, L,
             max_colliders=cfg.data.max_colliders,
             hz=HUMAN_HZ if human else AGENT_HZ, human=human,
-            multi_room_prob=multi_room_prob, sim_steps=steps(human)))
+            multi_room_prob=multi_room_prob, sim_steps=steps(human),
+            wall_adjacent_prob=wall_adjacent_prob))
 
     n_val = max(n_rooms // 8, 4)
     train = gen(jax.random.key(seed), n_rooms)

@@ -72,6 +72,81 @@ def test_gru_forward_and_grad_parity(reverse, rng):
         assert rel < 1e-4, rel
 
 
+def test_batch_tiling_parity(rng, monkeypatch):
+    """Force a multi-tile batch grid (grid dim 0) and check both kernels
+    and the end-to-end VJP agree with the scan reference, including a
+    batch size that doesn't divide the tile (pad rows must stay inert)."""
+    import room_slam_tpu.ops.rnn_pallas as rp
+
+    monkeypatch.setattr(rp, "_tile_plan", lambda *a, **k: (2, 8))
+    B, N, H = 5, 43, 16  # B=5 pads to 6 -> 3 batch tiles; N pads to 48
+    xg = jnp.asarray(rng.normal(size=(B, N, 4 * H)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32) * 0.1)
+    ref = lstm_recurrence_scan(xg, w, reverse=True)
+    got = lstm_recurrence_pallas(xg, w, reverse=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(lambda a: jnp.sum(lstm_recurrence_scan(a, w) ** 2))(xg)
+    g_pal = jax.grad(lambda a: jnp.sum(
+        lstm_recurrence_pallas(a, w, interpret=True) ** 2))(xg)
+    rel = float(jnp.abs(g_ref - g_pal).max() / (jnp.abs(g_ref).max() + 1e-9))
+    assert rel < 1e-4, rel
+
+    import room_slam_tpu.ops.gru_pallas as gp
+
+    xg3 = jnp.asarray(rng.normal(size=(B, N, 3 * H)).astype(np.float32) * 0.5)
+    w3 = jnp.asarray(rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.1)
+    b3 = jnp.asarray(rng.normal(size=(3 * H,)).astype(np.float32) * 0.1)
+    ref = gru_recurrence_scan(xg3, w3, b3)
+    got = gp.gru_recurrence_pallas(xg3, w3, b3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(
+        lambda a: jnp.sum(gru_recurrence_scan(a, w3, b3) ** 2))(xg3)
+    g_pal = jax.grad(lambda a: jnp.sum(
+        gp.gru_recurrence_pallas(a, w3, b3, interpret=True) ** 2))(xg3)
+    rel = float(jnp.abs(g_ref - g_pal).max() / (jnp.abs(g_ref).max() + 1e-9))
+    assert rel < 1e-4, rel
+
+
+def test_bf16_stream_parity(rng):
+    """bfloat16 xg streams everything in bf16 (carry/math stay f32): outputs
+    and grads track the f32 scan reference to bf16 resolution."""
+    B, N, H = 3, 70, 16
+    xg32 = jnp.asarray(rng.normal(size=(B, N, 4 * H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32) * 0.1)
+    ref = lstm_recurrence_scan(xg32, w)
+    got = lstm_recurrence_pallas(xg32.astype(jnp.bfloat16), w,
+                                 interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.03)
+    g_ref = jax.grad(lambda a: jnp.sum(lstm_recurrence_scan(a, w) ** 2))(xg32)
+    g_pal = jax.grad(lambda a: jnp.sum(
+        lstm_recurrence_pallas(a.astype(jnp.bfloat16), w,
+                               interpret=True).astype(jnp.float32) ** 2))(
+        xg32)
+    rel = float(jnp.abs(g_ref - g_pal).max() / (jnp.abs(g_ref).max() + 1e-9))
+    assert rel < 0.1, rel
+
+
+def test_tile_plan_vmem_budget():
+    """The plan never exceeds the VMEM budget and fills the MXU when it can."""
+    from room_slam_tpu.ops.rnn_pallas import _VMEM_BUDGET, _tile_plan
+
+    for batch, cols, elt, wb in [(8, 2560, 4, 786432), (32, 2560, 4, 786432),
+                                 (64, 2048, 2, 786432), (128, 2048, 2, 786432),
+                                 (3, 160, 4, 4096), (20, 1024, 4, 65536)]:
+        bb, chunk = _tile_plan(batch, cols, elt, wb)
+        assert bb * 2 * chunk * cols * elt <= _VMEM_BUDGET, (batch, bb, chunk)
+        bp = batch if batch < 8 else -(-batch // 8) * 8
+        assert bp % bb == 0, (batch, bb)
+    # bf16 streams at the scale-up shape (H=256 GRU) should reach a
+    # 64-row-or-better tile — the whole point of the tiling
+    bb, _ = _tile_plan(128, 8 * 256, 2, 786432)
+    assert bb >= 64, bb
+
+
 def test_padding_region_inert(rng):
     """N not divisible by the chunk: padded timesteps must not leak into
     outputs or gradients."""

@@ -241,3 +241,54 @@ def test_human_walker_covers_room_span():
     # a quantile (not min) keeps the seed-dependent tail from flaking.
     assert covs.mean() > 0.45, covs.mean()
     assert np.quantile(covs, 0.1) > 0.18, np.quantile(covs, 0.1)
+
+
+def test_wall_adjacent_furniture_mode():
+    """wall_adjacent_prob=1 puts every furniture piece against a wall (the
+    real rooms' dominant pattern: 9 of 13 pieces touch a wall); the default
+    0 keeps the legacy free-standing invariant; the walker still roams and
+    never enters ground furniture."""
+    WT2 = synthetic.WALL_THICKNESS / 2
+    CORRIDOR = 2 * synthetic.AGENT_RADIUS + 0.15
+
+    def min_wall_gap(b, half_w, half_d):
+        return min(half_w - WT2 - (b[0] + b[3] / 2),
+                   (b[0] - b[3] / 2) - (-half_w + WT2),
+                   half_d - WT2 - (b[2] + b[5] / 2),
+                   (b[2] - b[5] / 2) - (-half_d + WT2))
+
+    for seed in range(6):
+        key = jax.random.key(seed)
+        boxes, labels, valid = jax.jit(
+            lambda k: synthetic.sample_room(k, wall_adjacent_prob=1.0))(key)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        half_w, half_d = boxes[0, 0], boxes[2, 2]
+        furn = np.where(valid)[0]
+        furn = furn[furn >= synthetic.N_WALL_SLOTS]
+        assert len(furn) >= 2
+        for j in furn:
+            assert min_wall_gap(boxes[j], half_w, half_d) < 0.21, (seed, j)
+
+        # legacy default: full walker corridor to every wall
+        boxes0, _, valid0 = jax.jit(
+            lambda k: synthetic.sample_room(k))(key)
+        boxes0, valid0 = np.asarray(boxes0), np.asarray(valid0)
+        furn0 = np.where(valid0)[0]
+        furn0 = furn0[furn0 >= synthetic.N_WALL_SLOTS]
+        for j in furn0:
+            assert min_wall_gap(boxes0[j], half_w, half_d) > CORRIDOR - 0.01
+
+    # the walker stays out of ground furniture and keeps moving
+    boxes, labels, valid = jax.jit(
+        lambda k: synthetic.sample_room(k, wall_adjacent_prob=1.0))(
+            jax.random.key(7))
+    raw = np.asarray(synthetic.simulate_trace(
+        jax.random.key(8), boxes, valid, num_steps=2000))
+    boxes, valid = np.asarray(boxes), np.asarray(valid)
+    for j in np.where(valid)[0][synthetic.N_WALL_SLOTS:]:
+        if boxes[j, 1] - boxes[j, 4] / 2 >= synthetic.FLOOR_Y + 0.4:
+            continue
+        inside = (np.abs(raw[:, 0] - boxes[j, 0]) < boxes[j, 3] / 2) & (
+            np.abs(raw[:, 2] - boxes[j, 2]) < boxes[j, 5] / 2)
+        assert not inside.any(), j
+    assert raw[:, 0].std() > 0.3 and raw[:, 2].std() > 0.3

@@ -55,6 +55,10 @@ def main():
     p.add_argument("--multi_room_prob", type=float, default=0.0,
                    help="share of synthetic layouts that are two rooms "
                         "connected by a doorway (sim2real lever)")
+    p.add_argument("--wall_adjacent_prob", type=float, default=0.0,
+                   help="share of synthetic furniture snapped against a "
+                        "wall (the real rooms: ~60%%); 0 keeps the legacy "
+                        "free-standing-only generator")
     p.add_argument("--synthetic_mode", choices=["agent", "human", "mixed"],
                    default="agent",
                    help="walker height model for --synthetic: constant "
@@ -163,7 +167,8 @@ def main():
         tr, va = make_synthetic_datasets(
             cfg, args.synthetic, cfg.train.seed, mode=args.synthetic_mode,
             multi_room_prob=args.multi_room_prob,
-            sim_factor=args.sim_factor)
+            sim_factor=args.sim_factor,
+            wall_adjacent_prob=args.wall_adjacent_prob)
         if args.mix_real:
             from room_slam_tpu.data.dataset import TraceColliderArrays
 
