@@ -174,8 +174,9 @@ def bench_headline(profile=None):
 # Scale-up batch: a [B, 512]-row recurrence matmul uses B of the MXU's 128
 # rows, so batch=8 (BASELINE config 4's literal shape) leaves the MXU ~94%
 # empty no matter how good the kernel is. The sweep (--scaleup_sweep) picks
-# the largest batch that fits HBM; see BENCH notes.
-SCALEUP_BATCH = 64
+# the largest batch that fits HBM: on the 16G v5e, bf16 streams fit 128
+# (256 OOMs in the backward's saved gate streams); see BENCH notes.
+SCALEUP_BATCH = 128
 
 
 def bench_scaleup(batch: int | None = None, bf16_stream: bool = True):
@@ -183,10 +184,13 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True):
     max_objects=32 BiGRU with the fused loss — train-step traces/sec.
     This is the config where MFU is a meaningful target (d=512 matmuls).
 
-    ``bf16_stream`` feeds the Pallas recurrence bfloat16 activations
-    (ModelConfig.compute_dtype): carry/math stay f32, but streamed
-    activations/residuals halve, which doubles the feasible batch tile
-    (= MXU rows of the recurrence matmul, rnn_pallas._tile_plan)."""
+    ``bf16_stream`` turns on mixed precision (ModelConfig.compute_dtype):
+    every [B, N, D]-sized activation — encoder projections, recurrence
+    gate streams/residuals, decoder k/v — moves in bfloat16 on the MXU's
+    native path, halving the HBM traffic that binds this config; params,
+    carries, softmax, and heads stay f32. The halved streams also double
+    the feasible Pallas batch tile (= MXU rows of the recurrence matmul,
+    rnn_pallas._tile_plan)."""
     from room_slam_tpu.config import (DataConfig, ExperimentConfig,
                                       ModelConfig, TrainConfig)
     from room_slam_tpu.models.factory import build_model, count_parameters, \

@@ -73,7 +73,12 @@ class ModelConfig:
     lstm_layers: int = 2
     input_dim: int = 11
     num_classes: int = NUM_BENCH_CLASSES
-    # precision of the compute path; params stay fp32
+    # Mixed precision: "bfloat16" streams every [B, N, D]-sized activation
+    # (encoder projections, recurrence gate streams, decoder k/v memory)
+    # in bf16 on the MXU's native path — halving the HBM traffic that
+    # bounds the long-sequence configs. Params, recurrence carries, the
+    # attention softmax, reductions, output heads, and the loss all stay
+    # float32 (models/{lstm,gru}.py, ops/rnn_pallas.py).
     compute_dtype: str = "float32"
     # use the Pallas fused recurrence kernel when on TPU
     use_pallas_rnn: bool = True

@@ -15,11 +15,16 @@ import jax
 import jax.numpy as jnp
 
 
-def dense(x: jnp.ndarray, features: int, name: str) -> jnp.ndarray:
+def dense(x: jnp.ndarray, features: int, name: str,
+          dtype=None) -> jnp.ndarray:
     """Dense layer with torch ``nn.Linear`` initialization — kernel AND bias
     ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (kaiming_uniform with a=sqrt(5)
     collapses to exactly this bound). Keeps our training dynamics aligned
-    with the reference's; the parameter tree is identical to nn.Dense."""
+    with the reference's; the parameter tree is identical to nn.Dense.
+
+    ``dtype`` is flax's compute dtype (params stay float32): pass bfloat16
+    to run the matmul on the MXU's native bf16 path and emit bf16
+    activations — halving HBM traffic for the big [B, N, D] streams."""
     bound = 1.0 / math.sqrt(x.shape[-1])
 
     def init(key, shape, dtype=jnp.float32):
@@ -27,7 +32,7 @@ def dense(x: jnp.ndarray, features: int, name: str) -> jnp.ndarray:
                                   maxval=bound)
 
     return nn.Dense(features, kernel_init=init, bias_init=init,
-                    name=name)(x)
+                    dtype=dtype, name=name)(x)
 
 
 class MLP(nn.Module):
@@ -193,7 +198,7 @@ def contact_evidence(center_n, radius, norm_coords, values, mask):
         offset   [B, Q, 3] mean point offset from the center, in radii,
         density  [B, Q]    fraction of trace time spent inside the kernel.
     """
-    m = mask.astype(values.dtype)
+    m = mask.astype(jnp.float32)
     px, pz = norm_coords[..., 0], norm_coords[..., 2]
     cx, cz = center_n[..., 0], center_n[..., 2]
     d2 = (
@@ -206,7 +211,10 @@ def contact_evidence(center_n, radius, norm_coords, values, mask):
     w = w * m[:, None, :]
     wsum = w.sum(-1)                                       # [B, Q]
     wn = w / (wsum[..., None] + 1e-6)
-    pooled_v = jnp.einsum("bqn,bnd->bqd", wn, values)
+    # match values' dtype so a bf16 memory stream is consumed as bf16
+    # instead of being promoted (and re-materialized) to f32
+    pooled_v = jnp.einsum("bqn,bnd->bqd", wn.astype(values.dtype),
+                          values).astype(jnp.float32)
     pooled_p = jnp.einsum("bqn,bnd->bqd", wn, norm_coords)
     offset = (pooled_p - center_n) / radius[..., None]
     density = wsum / jnp.clip(m.sum(-1)[:, None], 1.0, None)

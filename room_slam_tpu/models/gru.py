@@ -37,12 +37,17 @@ class BiGRULayer(nn.Module):
             w_hh = self.param(f"w_hh_{direction}", init,
                               (self.hidden, 3 * self.hidden))
             b_hh = self.param(f"b_hh_{direction}", init, (3 * self.hidden,))
-            xg = x @ w_ih + b_ih  # one MXU matmul for the full sequence
             if self.compute_dtype != "float32":
-                # bf16 streams halve the recurrence's VMEM/HBM traffic and
-                # double the feasible Pallas batch tile (rnn_pallas.py);
-                # carry/math stay f32, params stay f32.
-                xg = xg.astype(self.compute_dtype)
+                # Cast the WEIGHTS so the gate matmul runs on the MXU's
+                # native bf16 path and xg is emitted directly in bf16 —
+                # no f32 [B, N, 3H] ever hits HBM. bf16 streams halve the
+                # recurrence's VMEM/HBM traffic and double the feasible
+                # Pallas batch tile (rnn_pallas.py); carry/in-kernel math
+                # and params stay f32.
+                cd = self.compute_dtype
+                xg = x.astype(cd) @ w_ih.astype(cd) + b_ih.astype(cd)
+            else:
+                xg = x @ w_ih + b_ih  # one MXU matmul for the sequence
             outs.append(gru_recurrence(xg, w_hh, b_hh, reverse=reverse,
                                        use_pallas=self.use_pallas))
         return jnp.concatenate(outs, axis=-1)
@@ -65,7 +70,8 @@ class GRUTraceEncoder(nn.Module):
             mask = jnp.ones((B, N), dtype=bool)
         mean, scale = trace_stats(coords, mask)
 
-        x = dense(traces, self.d_model, name="input_proj")
+        cd = None if self.compute_dtype == "float32" else self.compute_dtype
+        x = dense(traces, self.d_model, name="input_proj", dtype=cd)
         hidden = self.d_model // 2
         for layer in range(self.num_layers):
             x = BiGRULayer(hidden, use_pallas=self.use_pallas,
@@ -73,7 +79,7 @@ class GRUTraceEncoder(nn.Module):
                            name=f"gru_{layer}")(x)
             if layer < self.num_layers - 1:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        memory = dense(x, self.d_model, name="out_proj")
+        memory = dense(x, self.d_model, name="out_proj", dtype=cd)
         return memory, coords, mean, scale
 
 
@@ -111,6 +117,7 @@ class TraceToColliderGRU(nn.Module):
             num_classes=self.num_classes,
             objectness=self.objectness,
             refine_stages=self.refine_stages,
+            compute_dtype=self.compute_dtype,
             name="decoder",
         )(memory, coords, mean, scale, mask)
         return assemble_output(outs, offs, self.objectness,

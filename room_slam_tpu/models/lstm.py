@@ -53,13 +53,18 @@ class BiLSTMLayer(nn.Module):
             w_hh = self.param(f"w_hh_{direction}", init,
                               (self.hidden, 4 * self.hidden))
             b = self.param(f"b_{direction}", init, (4 * self.hidden,))
-            xg = x @ w_ih + b  # one MXU matmul for the full sequence
             if self.compute_dtype != "float32":
-                # bf16 streams halve the recurrence's VMEM/HBM traffic and
-                # double the feasible Pallas batch tile; carry/math stay f32
-                # (rnn_pallas.py). Params stay f32; downstream type
-                # promotion restores f32 at the next dense layer.
-                xg = xg.astype(self.compute_dtype)
+                # Cast the WEIGHTS (not the matmul output) so the gate
+                # matmul runs on the MXU's native bf16 path and xg is
+                # emitted directly in bf16 — no f32 [B, N, 4H] ever hits
+                # HBM. bf16 streams halve the recurrence's VMEM/HBM
+                # traffic and double the feasible Pallas batch tile;
+                # carry/in-kernel math stay f32 (rnn_pallas.py); params
+                # stay f32.
+                cd = self.compute_dtype
+                xg = x.astype(cd) @ w_ih.astype(cd) + b.astype(cd)
+            else:
+                xg = x @ w_ih + b  # one MXU matmul for the full sequence
             outs.append(
                 lstm_recurrence(xg, w_hh, reverse=reverse,
                                 use_pallas=self.use_pallas))
@@ -89,7 +94,8 @@ class LSTMTraceEncoder(nn.Module):
             mask = jnp.ones((B, N), dtype=bool)
         mean, scale = trace_stats(coords, mask)
 
-        x = dense(traces, self.d_model, name="input_proj")
+        cd = None if self.compute_dtype == "float32" else self.compute_dtype
+        x = dense(traces, self.d_model, name="input_proj", dtype=cd)
         hidden = self.d_model // 2
         for layer in range(self.num_layers):
             x = BiLSTMLayer(hidden, use_pallas=self.use_pallas,
@@ -98,7 +104,7 @@ class LSTMTraceEncoder(nn.Module):
             if layer < self.num_layers - 1:
                 # torch applies inter-layer dropout (model.py:20)
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        memory = dense(x, self.d_model, name="out_proj")
+        memory = dense(x, self.d_model, name="out_proj", dtype=cd)
         return memory, coords, mean, scale
 
 
@@ -124,6 +130,10 @@ class SimpleQueryDecoder(nn.Module):
     # single-contact evidence is where the reference's one-shot global
     # attention tops out.
     refine_stages: int = 0
+    # bfloat16 runs the [B, N, D]-sized projections (k/v over the memory
+    # stream) on the MXU bf16 path with bf16 activations; the softmax, the
+    # masked statistics, and every output head stay float32.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -135,33 +145,41 @@ class SimpleQueryDecoder(nn.Module):
         mask: Optional[jnp.ndarray] = None,  # [B, N]
     ) -> Tuple[jnp.ndarray, ...]:
         B, N, D = memory.shape
+        cd = None if self.compute_dtype == "float32" else self.compute_dtype
         queries = self.param(
             "query_embed", nn.initializers.normal(1.0),
             (self.num_queries, D))
         q_batch = jnp.broadcast_to(queries, (B, self.num_queries, D))
 
-        # global summary for FiLM
+        # global summary for FiLM — accumulate the length-N reduction in
+        # f32 even when memory streams as bf16 (the convert fuses into the
+        # reduce; bf16 accumulation over N=5000 would not)
+        mem32 = memory.astype(jnp.float32)
         if mask is not None:
-            m = mask[..., None].astype(memory.dtype)
+            m = mask[..., None].astype(jnp.float32)
             denom = jnp.clip(m.sum(axis=1, keepdims=True), 1.0, None)
-            global_feat = (memory * m).sum(axis=1, keepdims=True) / denom
+            global_feat = (mem32 * m).sum(axis=1, keepdims=True) / denom
         else:
-            global_feat = memory.mean(axis=1, keepdims=True)
+            global_feat = mem32.mean(axis=1, keepdims=True)
         gamma = dense(global_feat, D, name="gamma_1")
         gamma = dense(nn.relu(gamma), D, name="gamma_2")
         beta = dense(global_feat, D, name="beta_1")
         beta = dense(nn.relu(beta), D, name="beta_2")
 
-        q = dense(q_batch, D, name="q_proj")
-        k = dense(memory, D, name="k_proj")
-        v = dense(memory, D, name="v_proj")
+        q = dense(q_batch, D, name="q_proj", dtype=cd)
+        k = dense(memory, D, name="k_proj", dtype=cd)
+        v = dense(memory, D, name="v_proj", dtype=cd)
         inv_temp = self.param("inv_temp", nn.initializers.ones, ())
-        scores = jnp.einsum("bqd,bnd->bqn", q, k) * inv_temp / math.sqrt(D)
+        scores = jnp.einsum("bqd,bnd->bqn", q, k).astype(jnp.float32) \
+            * inv_temp / math.sqrt(D)
         if mask is not None:
             scores = jnp.where(
                 mask[:, None, :], scores, jnp.finfo(scores.dtype).min)
         attn = nn.softmax(scores, axis=-1)           # [B, Q, N]
-        qfeat = jnp.einsum("bqn,bnd->bqd", attn, v)
+        # consume v in its own dtype (a mixed-dtype einsum would promote —
+        # and re-materialize — the [B, N, D] stream to f32)
+        qfeat = jnp.einsum("bqn,bnd->bqd",
+                           attn.astype(v.dtype), v).astype(jnp.float32)
         decoded = qfeat * (1.0 + gamma) + beta
 
         norm_coords = (coords - mean) / scale
@@ -232,6 +250,7 @@ class TraceToColliderLSTM(nn.Module):
             num_classes=self.num_classes,
             objectness=self.objectness,
             refine_stages=self.refine_stages,
+            compute_dtype=self.compute_dtype,
             name="decoder",
         )(memory, coords, mean, scale, mask)
         return assemble_output(outs, offs, self.objectness,

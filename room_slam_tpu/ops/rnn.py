@@ -49,13 +49,15 @@ def lstm_recurrence_scan(
     """
     B = xg.shape[0]
     H = w_hh.shape[0]
-    h0 = jnp.zeros((B, H), dtype=xg.dtype)
-    c0 = jnp.zeros((B, H), dtype=xg.dtype)
+    # Carry stays f32 even for bf16 gate streams (matching the Pallas
+    # kernel: streamed tensors inherit xg's dtype, recurrence math is f32).
+    h0 = jnp.zeros((B, H), dtype=jnp.float32)
+    c0 = jnp.zeros((B, H), dtype=jnp.float32)
 
     def step(carry, g):
         h, c = carry
-        h, c = lstm_cell_step(g, h, c, w_hh)
-        return (h, c), h
+        h, c = lstm_cell_step(g.astype(jnp.float32), h, c, w_hh)
+        return (h, c), h.astype(xg.dtype)
 
     xs = jnp.swapaxes(xg, 0, 1)  # [N, B, 4H]
     _, ys = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
@@ -96,15 +98,17 @@ def gru_recurrence_scan(
     """
     B = xg.shape[0]
     H = w_hh.shape[0]
-    h0 = jnp.zeros((B, H), dtype=xg.dtype)
+    # f32 carry regardless of the gate-stream dtype (see lstm_recurrence_scan)
+    h0 = jnp.zeros((B, H), dtype=jnp.float32)
 
     def step(h, g):
+        g = g.astype(jnp.float32)
         hg = h @ w_hh + b_hh
         r = jax.nn.sigmoid(g[..., :H] + hg[..., :H])
         z = jax.nn.sigmoid(g[..., H:2 * H] + hg[..., H:2 * H])
         n = jnp.tanh(g[..., 2 * H:] + r * hg[..., 2 * H:])
         h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
+        return h_new, h_new.astype(xg.dtype)
 
     xs = jnp.swapaxes(xg, 0, 1)
     _, ys = jax.lax.scan(step, h0, xs, reverse=reverse)

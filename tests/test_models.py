@@ -308,3 +308,46 @@ def test_contact_refine_translation_equivariance(rng):
         out0["pred_aux_boxes"])
     np.testing.assert_allclose(da[..., 0], 7.5, atol=1e-3)
     np.testing.assert_allclose(da[..., 2], -4.25, atol=1e-3)
+
+
+@pytest.mark.parametrize("model_type", ["lstm", "bigru"])
+def test_mixed_precision_matches_f32(model_type, rng):
+    """compute_dtype='bfloat16' streams the [B, N, D] activations in bf16
+    (encoder projections, recurrence gates, decoder k/v) while params,
+    carries, softmax, and heads stay f32 — outputs must be f32 and close
+    to the full-precision model with the SAME parameters."""
+    kw = dict(model_type=model_type, d_model=64, num_queries=8,
+              use_pallas_rnn=False, refine_stages=1, objectness=True)
+    cfg32 = ModelConfig(**kw)
+    cfg16 = ModelConfig(**kw, compute_dtype="bfloat16")
+    m32, m16 = build_model(cfg32), build_model(cfg16)
+    params = init_params(m32, cfg32, seq_len=48)
+    # param trees are identical (dtype is a compute-time property)
+    chex_shapes = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype),
+                                         params)
+    assert chex_shapes == jax.tree_util.tree_map(
+        lambda x: (x.shape, x.dtype), init_params(m16, cfg16, seq_len=48))
+
+    B, N = 2, 48
+    traces = jnp.asarray(rng.normal(size=(B, N, 11)).astype(np.float32))
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([[30], [48]]))
+    out32 = m32.apply(params, traces, mask, deterministic=True)
+    out16 = m16.apply(params, traces, mask, deterministic=True)
+
+    for key in ("pred_boxes", "pred_classes", "pred_objectness"):
+        assert out16[key].dtype == jnp.float32
+        a, b = np.asarray(out32[key]), np.asarray(out16[key])
+        # bf16 has ~3 decimal digits; activations pass through 2 recurrent
+        # layers, so allow a loose but non-trivial agreement bound
+        scale = np.maximum(np.abs(a), 1.0)
+        assert np.max(np.abs(a - b) / scale) < 0.15, key
+
+    # gradients exist and are finite f32 through the mixed path
+    def loss(p):
+        o = m16.apply(p, traces, mask, deterministic=True)
+        return jnp.sum(o["pred_boxes"] ** 2) + jnp.sum(o["pred_classes"] ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(x.dtype == jnp.float32 for x in leaves)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
