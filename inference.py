@@ -24,7 +24,9 @@ __all__ = ["adapt_features", "model_input_dim", "predict"]
 def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             confidence_threshold: float = 0.7, nms_threshold: float = 0.3,
             refine_clearance: float | None = None,
+            refine_trust: float = 0.4,
             refine_furniture: bool = False,
+            synth_walls: bool = False,
             extent_slack: float | None = None,
             consensus: bool = False,
             top_k: int | None = None):
@@ -36,7 +38,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         model, params, max_trace_len=max_trace_len,
         confidence_threshold=confidence_threshold,
         nms_threshold=nms_threshold, refine_clearance=refine_clearance,
-        refine_furniture=refine_furniture,
+        refine_trust=refine_trust, refine_furniture=refine_furniture,
+        synth_walls=synth_walls,
         extent_slack=extent_slack, consensus=consensus, top_k=top_k)
     return predict_array(formats.load_trace_json(traces_file))
 
@@ -59,9 +62,19 @@ def main():
                         help="trace-informed wall refinement with this "
                              "walker-clearance prior in meters (agent: 0.3, "
                              "human: ~0.55)")
+    parser.add_argument("--refine_trust", type=float, default=0.4,
+                        metavar="METERS",
+                        help="with --refine: max distance a wall "
+                             "prediction may be moved onto the "
+                             "extent-implied plane (default 0.4; real "
+                             "captures drift further — see ops/refine.py)")
     parser.add_argument("--refine_furniture", action="store_true",
                         help="with --refine: wall planes sit beyond "
                              "predicted furniture lining the envelope")
+    parser.add_argument("--synth_walls", action="store_true",
+                        help="inject the 4 trace-extent-implied wall "
+                             "candidates alongside the model's "
+                             "predictions (ops/refine.synthesize_walls)")
     parser.add_argument("--consensus", action="store_true",
                         help="rescore detections by NMS cluster-size "
                              "consensus (rank-only)")
@@ -85,7 +98,9 @@ def main():
         model, params, args.input,
         max_trace_len=cfg.data.max_trace_len,
         confidence_threshold=args.threshold, nms_threshold=args.nms,
-        refine_clearance=args.refine, refine_furniture=args.refine_furniture,
+        refine_clearance=args.refine, refine_trust=args.refine_trust,
+        refine_furniture=args.refine_furniture,
+        synth_walls=args.synth_walls,
         extent_slack=args.extent_slack, consensus=args.consensus,
         top_k=args.top_k)
 

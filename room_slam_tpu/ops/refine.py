@@ -20,6 +20,7 @@ src/benchmark/inference.py:130-197); this is a framework addition.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 DEFAULT_WALL_THICKNESS = 0.125  # synthetic walls; real walls are 0.10-0.24
@@ -38,6 +39,41 @@ def trace_extent(raw: jnp.ndarray, length: jnp.ndarray):
     z = raw[:, 2]
     return (jnp.min(jnp.where(m, x, big)), jnp.max(jnp.where(m, x, -big)),
             jnp.min(jnp.where(m, z, big)), jnp.max(jnp.where(m, z, -big)))
+
+
+def _side_offsets(boxes, labels, extent, clearance, wall_thickness,
+                  furniture_aware):
+    """Per-side wall-plane offsets beyond the trace extent.
+
+    Default = clearance + thickness/2 on every side; with
+    ``furniture_aware``, a side lined by predicted furniture pushes its
+    plane just beyond the furniture's outer face (the walker's standoff
+    from that wall is the furniture's depth, not personal space).
+    Returns (lo_x_off, hi_x_off, lo_z_off, hi_z_off) scalars.
+    """
+    x_min, x_max, z_min, z_max = extent
+    off = clearance + wall_thickness / 2
+    if not furniture_aware:
+        return off, off, off, off
+    cx, cz = boxes[:, 0], boxes[:, 2]
+    sx, sz = boxes[:, 3], boxes[:, 5]
+    furn = labels != 0
+    gap = 0.05 + wall_thickness / 2  # face-to-wall gap when lined
+    near = 1.2                        # how far beyond the extent counts
+
+    def side_off(centers, sizes, lo_edge, hi_edge, hi_side):
+        outer = jnp.where(hi_side, centers + sizes / 2,
+                          -(centers - sizes / 2))
+        edge = jnp.where(hi_side, hi_edge, -lo_edge)
+        lining = furn & (outer > edge - 0.2) & (outer < edge + near)
+        best = jnp.max(jnp.where(lining, outer - edge, -jnp.inf))
+        return jnp.maximum(off, jnp.where(jnp.isfinite(best),
+                                          best + gap, off))
+
+    return (side_off(cx, sx, x_min, x_max, False),
+            side_off(cx, sx, x_min, x_max, True),
+            side_off(cz, sz, z_min, z_max, False),
+            side_off(cz, sz, z_min, z_max, True))
 
 
 def refine_walls(
@@ -90,27 +126,9 @@ def refine_walls(
     sx, sy, sz = boxes[:, 3], boxes[:, 4], boxes[:, 5]
     is_block = labels == 0
 
-    # per-side plane override from predicted furniture lining that side
-    hi_x_off = lo_x_off = hi_z_off = lo_z_off = off
-    if furniture_aware:
-        furn = labels != 0
-        gap = 0.05 + wall_thickness / 2  # face-to-wall gap when lined
-        near = 1.2                        # how far beyond the extent counts
-
-        def side_off(centers, sizes, lo_edge, hi_edge, hi_side):
-            outer = jnp.where(hi_side, centers + sizes / 2,
-                              -(centers - sizes / 2))
-            edge = jnp.where(hi_side, hi_edge, -lo_edge)
-            lining = furn & (outer > edge - 0.2) & (outer < edge + near)
-            best = jnp.max(jnp.where(lining, outer - edge, -jnp.inf))
-            return jnp.maximum(off, jnp.where(jnp.isfinite(best),
-                                              best + gap, off))
-
-        hi_x_off = side_off(cx, sx, x_min, x_max, True)
-        lo_x_off = side_off(cx, sx, x_min, x_max, False)
-        hi_z_off = side_off(cz, sz, z_min, z_max, True)
-        lo_z_off = side_off(cz, sz, z_min, z_max, False)
-
+    lo_x_off, hi_x_off, lo_z_off, hi_z_off = _side_offsets(
+        boxes, labels, (x_min, x_max, z_min, z_max), clearance,
+        wall_thickness, furniture_aware)
 
     # --- x-thin walls (planes x = const): snap to left/right extent
     thin_x = is_block & (sx < max_aspect_thin) & (sz > 2 * sx)
@@ -136,6 +154,125 @@ def refine_walls(
     cx = jnp.where(do_z, mid_x, cx)
 
     return jnp.stack([cx, cy, cz, sx, sy, sz], axis=-1)
+
+
+def synthesize_walls(
+    boxes: jnp.ndarray,          # [Q, 6] (post-refine) predictions
+    logits: jnp.ndarray,         # [Q, C] class logits
+    objectness: jnp.ndarray | None,  # [Q] no-object logits, or None
+    raw: jnp.ndarray,            # [L, 4] the input trace
+    length: jnp.ndarray,         # [] valid length
+    clearance: float = 0.3,
+    wall_thickness: float = DEFAULT_WALL_THICKNESS,
+    furniture_aware: bool = False,
+    min_span: float = 1.5,       # skip synthesis on degenerate traces
+    dup_dist: float = 0.4,       # side covered if a wall is this close
+):
+    """Append the 4 extent-implied wall candidates to the prediction set.
+
+    The trace's free-space extent pins every boundary wall plane model-free
+    (tools/ceiling.py exploits exactly this); under domain shift the model's
+    wall REGRESSION can drift past any safe snap window while its wall
+    RANKING stays intact (PARITY.md round 3). Relocating model predictions
+    is lossy — snapping with a wide trust window measurably costs seen-room
+    TPs because a short capture's extent under-spans the room. Injecting
+    the extent planes as EXTRA candidates is not: model predictions are
+    untouched, and a side is only filled in when NO thin-wall prediction
+    lies within ``dup_dist`` of its extent plane (``dup_dist`` should match
+    refine_walls' ``trust``: within it the snap already owns the problem;
+    beyond it the model's wall is lost to IoU anyway). The distance gate —
+    not NMS — does the dedup: thin-slab IoU is so shape-sensitive that an
+    on-plane model wall often fails to suppress its duplicate, and the
+    surviving extra then displaces a furniture TP under a top-K operating
+    point (measured: ungated injection costs 1-4 seen-room TPs per seed).
+
+    Each side's candidate inherits the class logits (+objectness) of the
+    best thin-wall prediction on that side — falling back to the best BLOCK
+    prediction, then the best overall — with the BLOCK logit raised to the
+    row max so the candidate is always classified as a wall. Height/y come
+    from the best thin-wall source on ANY side (walls share a height),
+    defaulting to (cy=1.25, sy=2.5).
+
+    Returns (boxes [Q+4,6], logits [Q+4,C], objectness [Q+4] or None,
+    valid [Q+4] bool) — ``valid`` is True for the original Q rows and for
+    synthesized rows only when the trace spans at least ``min_span`` in
+    both axes; AND it into post_process's candidate_mask.
+    """
+    Q = boxes.shape[0]
+    x_min, x_max, z_min, z_max = trace_extent(raw, length)
+    extent_ok = ((x_max - x_min) > min_span) & ((z_max - z_min) > min_span)
+    lo_x, hi_x, lo_z, hi_z = _side_offsets(
+        boxes, jnp.argmax(logits, -1), (x_min, x_max, z_min, z_max),
+        clearance, wall_thickness, furniture_aware)
+    span_x = (x_max - x_min) + 2 * clearance + wall_thickness
+    span_z = (z_max - z_min) + 2 * clearance + wall_thickness
+    mid_x = (x_min + x_max) / 2
+    mid_z = (z_min + z_max) / 2
+
+    labels = jnp.argmax(logits, -1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    if objectness is not None:
+        conf = conf * jax.nn.sigmoid(objectness)
+    cx, cz = boxes[:, 0], boxes[:, 2]
+    sx, sz = boxes[:, 3], boxes[:, 5]
+    is_block = labels == 0
+    thin_x = is_block & (sx < 0.45) & (sz > 2 * sx)
+    thin_z = is_block & (sz < 0.45) & (sx > 2 * sz)
+
+    def pick(side_mask):
+        """Best-conf source row index under the cascade
+        thin-wall-on-side -> any BLOCK -> any prediction."""
+        def best(m):
+            return jnp.argmax(jnp.where(m, conf, -jnp.inf)), jnp.any(m)
+
+        i_thin, has_thin = best(side_mask)
+        i_block, has_block = best(is_block)
+        i_all = jnp.argmax(conf)
+        return jnp.where(has_thin, i_thin,
+                         jnp.where(has_block, i_block, i_all))
+
+    srcs = jnp.stack([pick(thin_x & (cx <= mid_x)),
+                      pick(thin_x & (cx > mid_x)),
+                      pick(thin_z & (cz <= mid_z)),
+                      pick(thin_z & (cz > mid_z))])
+
+    # shared wall height from the best thin-wall source anywhere
+    any_thin = thin_x | thin_z
+    i_h = jnp.argmax(jnp.where(any_thin, conf, -jnp.inf))
+    has_h = jnp.any(any_thin)
+    wall_cy = jnp.where(has_h, boxes[i_h, 1], 1.25)
+    wall_sy = jnp.where(has_h, boxes[i_h, 4], 2.5)
+
+    wt = wall_thickness
+    planes = (x_min - lo_x, x_max + hi_x, z_min - lo_z, z_max + hi_z)
+    new_boxes = jnp.stack([
+        jnp.stack([planes[0], wall_cy, mid_z, wt, wall_sy, span_z]),
+        jnp.stack([planes[1], wall_cy, mid_z, wt, wall_sy, span_z]),
+        jnp.stack([mid_x, wall_cy, planes[2], span_x, wall_sy, wt]),
+        jnp.stack([mid_x, wall_cy, planes[3], span_x, wall_sy, wt]),
+    ])
+
+    def covered(thin_mask, centers, plane):
+        d = jnp.where(thin_mask, jnp.abs(centers - plane), jnp.inf)
+        return jnp.min(d) < dup_dist
+
+    side_open = ~jnp.stack([covered(thin_x, cx, planes[0]),
+                            covered(thin_x, cx, planes[1]),
+                            covered(thin_z, cz, planes[2]),
+                            covered(thin_z, cz, planes[3])])
+    src_logits = logits[srcs] * 0.99        # decay: model's own row wins ties
+    # force BLOCK argmax while keeping the row's confidence magnitude
+    src_logits = src_logits.at[:, 0].set(
+        jnp.max(src_logits, axis=-1) + 0.01)
+    out_logits = jnp.concatenate([logits, src_logits])
+    out_boxes = jnp.concatenate([boxes, new_boxes])
+    out_obj = (None if objectness is None
+               else jnp.concatenate([objectness, objectness[srcs]]))
+    valid = jnp.concatenate([
+        jnp.ones((Q,), bool),
+        side_open & jnp.broadcast_to(extent_ok, (4,))])
+    return out_boxes, out_logits, out_obj, valid
 
 
 def outside_extent_mask(

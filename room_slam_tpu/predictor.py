@@ -49,7 +49,9 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     confidence_threshold: float = 0.7,
                     nms_threshold: float = 0.3,
                     refine_clearance: float | None = None,
+                    refine_trust: float = 0.4,
                     refine_furniture: bool = False,
+                    synth_walls: bool = False,
                     extent_slack: float | None = None,
                     consensus: bool = False,
                     top_k: int | None = None,
@@ -78,23 +80,39 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             boxes0 = refine_walls(
                 boxes0, jnp.argmax(out["pred_classes"][0], -1),
                 traces[0, :, :4], jnp.sum(mask[0].astype(jnp.int32)),
-                clearance=refine_clearance,
+                clearance=refine_clearance, trust=refine_trust,
                 furniture_aware=refine_furniture)
         obj = out.get("pred_objectness")
+        obj0 = None if obj is None else obj[0]
+        logits0 = out["pred_classes"][0]
         cand = None
+        if synth_walls and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.refine import synthesize_walls
+
+            # extent-implied wall candidates (model predictions untouched;
+            # on-plane duplicates NMS away — ops/refine.synthesize_walls)
+            boxes0, logits0, obj0, cand = synthesize_walls(
+                boxes0, logits0,
+                jnp.zeros(boxes0.shape[0]) if obj0 is None else obj0,
+                traces[0, :, :4], jnp.sum(mask[0].astype(jnp.int32)),
+                clearance=(0.3 if refine_clearance is None
+                           else refine_clearance),
+                furniture_aware=refine_furniture)
+            if obj is None:
+                obj0 = None
         if extent_slack is not None and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import outside_extent_mask
 
             # BEFORE NMS/top_k (see ops/nms.post_process candidate_mask)
-            cand = ~outside_extent_mask(
+            outside = outside_extent_mask(
                 boxes0, traces[0, :, :4],
                 jnp.sum(mask[0].astype(jnp.int32)), slack=extent_slack)
+            cand = ~outside if cand is None else cand & ~outside
         keep, labels, conf = post_process(
-            boxes0, out["pred_classes"][0],
+            boxes0, logits0,
             confidence_threshold=confidence_threshold,
             nms_threshold=nms_threshold, consensus=consensus, top_k=top_k,
-            objectness=None if obj is None else obj[0],
-            candidate_mask=cand)
+            objectness=obj0, candidate_mask=cand)
         return boxes0, keep, labels, conf
 
     adapted_once = [False]

@@ -67,32 +67,49 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
 
 def sweep(cached: dict, thresholds, nms_vals, refine_vals,
           extent_vals=(None,), consensus_vals=(False,), top_k_vals=(None,),
-          iou_thresholds=(0.5, 0.25), refine_furniture: bool = False) -> list:
-    """Score every (threshold, nms, refine, extent, consensus) cell from
-    cached forwards."""
+          iou_thresholds=(0.5, 0.25), refine_furniture: bool = False,
+          trust_vals=(0.4,), synth_vals=(False,)) -> list:
+    """Score every (threshold, nms, refine, trust, synth, extent,
+    consensus, top_k) cell from cached forwards.
+
+    ``trust_vals`` sweeps refine_walls' max snap distance — under domain
+    shift wall predictions drift well past the in-domain 0.4 m default
+    (measured 0.6-0.97 m on the real val capture), so the window itself is
+    an operating-point choice. ``synth_vals`` sweeps extent-implied wall
+    candidate injection (ops/refine.synthesize_walls)."""
     import jax
     import jax.numpy as jnp
 
     from room_slam_tpu.ops.nms import post_process
-    from room_slam_tpu.ops.refine import outside_extent_mask, refine_walls
+    from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
+                                          synthesize_walls)
     from room_slam_tpu.train.metrics import average_precision_3d
 
     pred_labels_all = np.argmax(cached["pred_logits"], -1)
 
     @jax.jit
-    def _refine_all(boxes, labels, raw, length, clearance):
+    def _refine_all(boxes, labels, raw, length, clearance, trust):
         return jax.vmap(
             lambda b, l, r, n: refine_walls(
-                b, l, r, n, clearance=clearance,
+                b, l, r, n, clearance=clearance, trust=trust,
                 furniture_aware=refine_furniture)
         )(boxes, labels, raw, length)
 
     obj_all = cached.get("pred_objectness")  # [B, Q] or None
 
-    @functools.partial(jax.jit, static_argnames=("consensus", "top_k"))
-    def _post_all(boxes, logits, thr, nms_thr, consensus=False, top_k=None,
-                  cand=None):
-        if obj_all is None:
+    @jax.jit
+    def _synth_all(boxes, logits, obj, raw, length, clearance):
+        return jax.vmap(
+            lambda b, lg, o, r, n: synthesize_walls(
+                b, lg, o, r, n, clearance=clearance,
+                furniture_aware=refine_furniture)
+        )(boxes, logits, obj, raw, length)
+
+    @functools.partial(jax.jit, static_argnames=("consensus", "top_k",
+                                                 "has_obj"))
+    def _post_all(boxes, logits, obj, thr, nms_thr, consensus=False,
+                  top_k=None, cand=None, has_obj=True):
+        if not has_obj:
             return jax.vmap(lambda b, lg, cm: post_process(
                 b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
                 consensus=consensus, top_k=top_k, candidate_mask=cm)
@@ -101,18 +118,36 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
             consensus=consensus, top_k=top_k, objectness=o,
             candidate_mask=cm)
-        )(boxes, logits, jnp.asarray(obj_all), cand)
+        )(boxes, logits, obj, cand)
 
-    boxes_by_refine = {}
+    # (refine, trust, synth) -> (boxes, logits, objectness, base_valid)
+    variants = {}
     for rf in refine_vals:
-        if rf is None:
-            boxes_by_refine[rf] = cached["pred_boxes"]
-        else:
-            boxes_by_refine[rf] = np.asarray(_refine_all(
-                jnp.asarray(cached["pred_boxes"]),
-                jnp.asarray(pred_labels_all),
-                jnp.asarray(cached["raw"]), jnp.asarray(cached["length"]),
-                jnp.float32(rf)))
+        for tr in (trust_vals if rf is not None else (trust_vals[0],)):
+            if rf is None:
+                boxes = cached["pred_boxes"]
+            else:
+                boxes = np.asarray(_refine_all(
+                    jnp.asarray(cached["pred_boxes"]),
+                    jnp.asarray(pred_labels_all),
+                    jnp.asarray(cached["raw"]),
+                    jnp.asarray(cached["length"]),
+                    jnp.float32(rf), jnp.float32(tr)))
+            for sy in synth_vals:
+                if not sy:
+                    variants[rf, tr, sy] = (
+                        boxes, cached["pred_logits"], obj_all,
+                        np.ones(boxes.shape[:2], dtype=bool))
+                    continue
+                obj_in = (jnp.zeros(boxes.shape[:2]) if obj_all is None
+                          else jnp.asarray(obj_all))
+                sb, sl, so, sv = (np.asarray(a) for a in _synth_all(
+                    jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
+                    obj_in, jnp.asarray(cached["raw"]),
+                    jnp.asarray(cached["length"]),
+                    jnp.float32(rf if rf is not None else 0.3)))
+                variants[rf, tr, sy] = (
+                    sb, sl, so if obj_all is not None else None, sv)
 
     n_img = cached["pred_boxes"].shape[0]
     gt_rows = [(cached["gt_boxes"][i][cached["gt_valid"][i]],
@@ -129,25 +164,26 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         )(boxes, raw, length)
 
     results = []
-    for rf, thr, nm, ext, cns, tk in itertools.product(
-            refine_vals, thresholds, nms_vals, extent_vals, consensus_vals,
-            top_k_vals):
-        boxes = boxes_by_refine[rf]
+    for (rf, tr, sy), thr, nm, ext, cns, tk in itertools.product(
+            variants, thresholds, nms_vals, extent_vals,
+            consensus_vals, top_k_vals):
+        boxes, logits, obj, base_valid = variants[rf, tr, sy]
         if ext is None:
-            cand = jnp.ones(boxes.shape[:2], dtype=bool)
+            cand = jnp.asarray(base_valid)
         else:
             # extent suppression runs BEFORE NMS/top_k: an implausible box
             # must not suppress a real one or consume a top-K slot
-            cand = ~_outside_all(
+            cand = jnp.asarray(base_valid) & ~_outside_all(
                 jnp.asarray(boxes), jnp.asarray(cached["raw"]),
                 jnp.asarray(cached["length"]), jnp.float32(ext))
         keep, labels, conf = (np.asarray(a) for a in _post_all(
-            jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
+            jnp.asarray(boxes), jnp.asarray(logits),
+            None if obj is None else jnp.asarray(obj),
             jnp.float32(thr), jnp.float32(nm), consensus=cns, top_k=tk,
-            cand=cand))
+            cand=cand, has_obj=obj is not None))
         img_ids, flat = np.nonzero(keep)
-        cell = {"threshold": thr, "nms": nm, "refine": rf, "extent": ext,
-                "consensus": cns, "top_k": tk,
+        cell = {"threshold": thr, "nms": nm, "refine": rf, "trust": tr,
+                "synth": sy, "extent": ext, "consensus": cns, "top_k": tk,
                 "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
@@ -181,6 +217,13 @@ def main():
     p.add_argument("--nms", default="0.1,0.3,0.5")
     p.add_argument("--refine", default="none,0.3,0.55",
                    help="comma list of wall-refine clearances; 'none' = off")
+    p.add_argument("--trust", default="0.4",
+                   help="comma list of wall-refine max snap distances (m); "
+                        "only meaningful with --refine")
+    p.add_argument("--synth", default="off",
+                   help="'off', 'on', or 'off,on' (alias 'both'): sweep "
+                        "extent-implied wall candidate injection "
+                        "(ops/refine.synthesize_walls)")
     p.add_argument("--extent", default="none",
                    help="comma list of extent-suppression slacks (m); "
                         "'none' = off")
@@ -212,6 +255,11 @@ def main():
     nms_vals = [float(x) for x in args.nms.split(",")]
     refine_vals = [None if x == "none" else float(x)
                    for x in args.refine.split(",")]
+    trust_vals = [float(x) for x in args.trust.split(",")]
+    if args.synth == "both":
+        synth_vals = [False, True]
+    else:
+        synth_vals = [x == "on" for x in args.synth.split(",")]
     extent_vals = [None if x == "none" else float(x)
                    for x in args.extent.split(",")]
     if args.consensus == "both":
@@ -225,11 +273,13 @@ def main():
                               args.batch_size)
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
                     consensus_vals, top_k_vals,
-                    refine_furniture=args.refine_furniture)
+                    refine_furniture=args.refine_furniture,
+                    trust_vals=trust_vals, synth_vals=synth_vals)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
-              f"refine={c['refine']} extent={c['extent']} "
+              f"refine={c['refine']} trust={c['trust']} "
+              f"synth={int(c['synth'])} extent={c['extent']} "
               f"cns={int(c['consensus'])} k={c['top_k']} "
               f"preds={c['num_predictions']:4d} "
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
@@ -244,7 +294,9 @@ def main():
         held_out = sweep(eval_cached, [best["threshold"]], [best["nms"]],
                          [best["refine"]], [best["extent"]],
                          [best["consensus"]], [best.get("top_k")],
-                         refine_furniture=args.refine_furniture)[0]
+                         refine_furniture=args.refine_furniture,
+                         trust_vals=[best.get("trust", 0.4)],
+                         synth_vals=[best.get("synth", False)])[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir
         print("held-out:", json.dumps(held_out, default=float))

@@ -61,27 +61,44 @@ def apply_operating_point(cached: dict, cell: dict,
     import jax.numpy as jnp
 
     from room_slam_tpu.ops.nms import post_process
-    from room_slam_tpu.ops.refine import outside_extent_mask, refine_walls
+    from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
+                                          synthesize_walls)
 
     boxes = cached["pred_boxes"]
     logits = cached["pred_logits"]
     obj = cached.get("pred_objectness")
     rf = cell.get("refine")
     if rf is not None:
+        tr = cell.get("trust", 0.4)
         pred_labels = np.argmax(logits, -1)
         boxes = np.asarray(jax.jit(jax.vmap(
             lambda b, l, r, n: refine_walls(
                 b, l, r, n, clearance=jnp.float32(rf),
+                trust=jnp.float32(tr),
                 furniture_aware=refine_furniture)
         ))(jnp.asarray(boxes), jnp.asarray(pred_labels),
            jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
 
+    base_valid = np.ones(boxes.shape[:2], dtype=bool)
+    if cell.get("synth"):
+        obj_in = (jnp.zeros(boxes.shape[:2]) if obj is None
+                  else jnp.asarray(obj))
+        boxes, logits, so, base_valid = (np.asarray(a) for a in jax.jit(
+            jax.vmap(lambda b, lg, o, r, n: synthesize_walls(
+                b, lg, o, r, n,
+                clearance=jnp.float32(rf if rf is not None else 0.3),
+                furniture_aware=refine_furniture))
+        )(jnp.asarray(boxes), jnp.asarray(logits), obj_in,
+          jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
+        if obj is not None:
+            obj = so
+
     ext = cell.get("extent")
     if ext is None:
-        cand = jnp.ones(boxes.shape[:2], dtype=bool)
+        cand = jnp.asarray(base_valid)
     else:
         # BEFORE NMS/top_k (see ops/nms.post_process candidate_mask)
-        cand = ~jax.jit(jax.vmap(
+        cand = jnp.asarray(base_valid) & ~jax.jit(jax.vmap(
             lambda b, r, n: outside_extent_mask(
                 b, r, n, slack=jnp.float32(ext))
         ))(jnp.asarray(boxes), jnp.asarray(cached["raw"]),
@@ -273,11 +290,13 @@ def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
                   refine_vals=(None, 0.55), extent_vals=(None, 0.75),
                   consensus_vals=(False, True),
                   top_k_vals=(None, 10, 15),
-                  refine_furniture=refine_furniture)
+                  refine_furniture=refine_furniture,
+                  trust_vals=(0.4, 0.8), synth_vals=(False, True))
     cells.sort(key=lambda c: (-c[select], -c["mAP@0.5"]))
     best = cells[0]
     return {k: best[k] for k in
-            ("threshold", "nms", "refine", "extent", "consensus", "top_k")}
+            ("threshold", "nms", "refine", "trust", "synth", "extent",
+             "consensus", "top_k")}
 
 
 def main():
@@ -293,6 +312,11 @@ def main():
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--nms", type=float, default=0.3)
     p.add_argument("--refine", default="none")
+    p.add_argument("--trust", type=float, default=0.4,
+                   help="wall-refine max snap distance (m)")
+    p.add_argument("--synth", action="store_true",
+                   help="inject the 4 extent-implied wall candidates "
+                        "(ops/refine.synthesize_walls)")
     p.add_argument("--extent", default="none")
     p.add_argument("--consensus", action="store_true")
     p.add_argument("--top_k", type=int, default=None,
@@ -322,6 +346,8 @@ def main():
         cell = {"threshold": args.threshold, "nms": args.nms,
                 "refine": None if args.refine == "none"
                 else float(args.refine),
+                "trust": args.trust,
+                "synth": args.synth,
                 "extent": None if args.extent == "none"
                 else float(args.extent),
                 "consensus": args.consensus,

@@ -147,3 +147,81 @@ def test_furniture_aware_wall_plane():
     assert abs(out_furn[2, 2] - out_prior[2, 2]) < 1e-6
     # furniture box itself untouched
     np.testing.assert_allclose(out_furn[0], boxes[0])
+
+
+def test_trust_widens_snap_window():
+    """`trust` is an operating-point parameter: a wall 1.2 m off-plane is
+    left alone at the 0.4 default but snapped when trust covers the drift
+    (real-capture wall predictions drift 0.6-1.0 m — PARITY.md round 3)."""
+    raw = _trace()
+    wt, cl = 0.125, 0.3
+    far_wall = jnp.asarray(np.array(
+        [[0.0, 1.0, -4.5, 5.0, 3.0, 0.2]], np.float32))  # -z plane, 1.2m off
+    labels = jnp.asarray(np.zeros(1, np.int32))
+    kw = dict(clearance=cl, wall_thickness=wt)
+    keep = np.asarray(refine_walls(
+        far_wall, labels, jnp.asarray(raw), jnp.asarray(raw.shape[0]),
+        trust=0.4, **kw))
+    np.testing.assert_allclose(keep, np.asarray(far_wall))
+    snap = np.asarray(refine_walls(
+        far_wall, labels, jnp.asarray(raw), jnp.asarray(raw.shape[0]),
+        trust=1.5, **kw))
+    np.testing.assert_allclose(snap[0, 2], -3.0 - cl - wt / 2, atol=1e-5)
+    np.testing.assert_allclose(snap[0, 5], wt, atol=1e-6)
+
+
+def test_synthesize_walls_candidates():
+    """synthesize_walls appends the 4 extent-implied wall planes with
+    inherited (slightly decayed) scores; an on-plane model wall wins its
+    NMS tie, an off-plane model wall leaves the candidate standing."""
+    from room_slam_tpu.ops.nms import post_process
+    from room_slam_tpu.ops.refine import synthesize_walls
+
+    raw = _trace()  # extent [-2,2] x [-3,3]
+    wt, cl = 0.125, 0.3
+    # model: good +x wall, badly-off -z wall (1.2 m inward), one furniture
+    boxes = jnp.asarray(np.array([
+        [2.3625, 1.2, 0.0, wt, 2.4, 6.0],   # on-plane +x wall
+        [0.0, 1.2, -2.2, 6.0, 2.4, wt],      # -z wall, ~1.2 m off-plane
+        [1.0, 0.4, 0.5, 0.8, 0.8, 0.6],      # LOW furniture
+    ], np.float32))
+    logits = jnp.asarray(np.array([
+        [4.0, -1.0, -1.0, -1.0],
+        [3.0, -1.0, -1.0, -1.0],
+        [-1.0, 3.0, -1.0, -1.0],
+    ], np.float32))
+    obj = jnp.asarray(np.array([2.0, 1.5, 1.0], np.float32))
+    ln = jnp.asarray(raw.shape[0])
+    b2, l2, o2, valid = synthesize_walls(
+        boxes, logits, obj, jnp.asarray(raw), ln, clearance=cl,
+        wall_thickness=wt)
+    assert b2.shape == (7, 6) and l2.shape == (7, 4) and o2.shape == (7,)
+    # distance gate: +x covered by the on-plane model wall (invalid);
+    # -x / -z / +z have no wall within dup_dist -> open
+    assert list(np.asarray(valid)) == [True, True, True,
+                                       True, False, True, True]
+    # all four synthesized rows are classified BLOCK
+    assert np.all(np.argmax(np.asarray(l2)[3:], -1) == 0)
+    # synthesized planes sit at extent +/- (clearance + wt/2)
+    syn = np.asarray(b2)[3:]
+    assert np.isclose(sorted(syn[:2, 0]), [-2.3625, 2.3625]).all()
+    assert np.isclose(sorted(syn[2:, 2]), [-3.3625, 3.3625]).all()
+    # decayed copy: each synthesized conf strictly below its source's
+    keep, labels, conf = post_process(
+        b2, l2, confidence_threshold=0.0, nms_threshold=0.1,
+        objectness=o2, candidate_mask=valid)
+    conf = np.asarray(conf)
+    assert conf[3 + 1] < conf[0]  # +x candidate below its on-plane source
+    keep = np.asarray(keep)
+    # model walls kept; covered +x duplicate dropped; open sides filled
+    assert keep[0] and not keep[4]
+    assert keep[1] and keep[5]  # off-plane -z wall AND its candidate
+    assert keep[3] and keep[6]  # -x and +z filled in
+
+    # degenerate trace -> synthesized rows masked out
+    short = np.zeros_like(raw)
+    short[:, :3] = 0.01
+    _, _, _, valid_deg = synthesize_walls(
+        boxes, logits, obj, jnp.asarray(short), ln, clearance=cl,
+        wall_thickness=wt)
+    assert bool(jnp.all(valid_deg[:3])) and not bool(jnp.any(valid_deg[3:]))
