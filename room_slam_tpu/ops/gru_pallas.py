@@ -9,6 +9,16 @@ VJP runs reverse-time BPTT as a second kernel over saved activations.
 Streamed tensors inherit ``xg``'s dtype (bfloat16 halves VMEM/HBM traffic;
 carry and math stay float32).
 
+Layout: the kernels are TIME-MAJOR — streamed blocks are [chunk, bb, H*],
+so each timestep's slice is a full (sublane, lane)-tiled [bb, H*] slab.
+With the batch-major [bb, chunk, H*] layout Mosaic tiles (chunk, H) as
+(sublane, lane) and every per-timestep access touches 1 of 8 sublanes;
+measured on the v5e this costs ~50% of the kernel's wall time at the
+scale-up shape (B=128, N=5000, H=256). The [B, N, *] <-> [N, B, *]
+transposes live inside the jitted wrappers where XLA fuses them with the
+surrounding gate matmuls; residuals stay time-major end-to-end (the BPTT
+kernel and the dW einsum consume them as [N, B, *]).
+
 torch ``nn.GRU`` numerics (gate order r, z, n; the reset gate multiplies
 ``W_hn h + b_hn`` only — see ops/rnn.py:gru_recurrence_scan).
 """
@@ -23,8 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from room_slam_tpu.ops.rnn_pallas import (_pad_batch, _pad_time,
-                                          _tile_plan)
+from room_slam_tpu.ops.rnn_pallas import _pad_tm, _tile_plan
 
 
 def _gru_fwd_kernel(w_ref, b_ref, xg_ref, ys_ref, gates_ref, hn_ref,
@@ -41,18 +50,18 @@ def _gru_fwd_kernel(w_ref, b_ref, xg_ref, ys_ref, gates_ref, hn_ref,
     H = hidden
     for t in range(chunk):
         hg = jnp.dot(h_s[:], w, preferred_element_type=jnp.float32) + b
-        g = xg_ref[:, t, :].astype(jnp.float32)
+        g = xg_ref[t].astype(jnp.float32)
         r = jax.nn.sigmoid(g[:, :H] + hg[:, :H])
         z = jax.nn.sigmoid(g[:, H:2 * H] + hg[:, H:2 * H])
         hn = hg[:, 2 * H:]
         n = jnp.tanh(g[:, 2 * H:] + r * hn)
         h = (1.0 - z) * n + z * h_s[:]
         h_s[:] = h
-        ys_ref[:, t, :] = h.astype(ys_ref.dtype)
+        ys_ref[t] = h.astype(ys_ref.dtype)
         if save_residuals:
-            gates_ref[:, t, :] = jnp.concatenate(
+            gates_ref[t] = jnp.concatenate(
                 [r, z, n], axis=-1).astype(gates_ref.dtype)
-            hn_ref[:, t, :] = hn.astype(hn_ref.dtype)
+            hn_ref[t] = hn.astype(hn_ref.dtype)
 
 
 def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
@@ -66,22 +75,22 @@ def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
     wt = wt_ref[:]
     H = hidden
     for t in range(chunk - 1, -1, -1):
-        g = gates_ref[:, t, :].astype(jnp.float32)
+        g = gates_ref[t].astype(jnp.float32)
         r = g[:, :H]
         z = g[:, H:2 * H]
         n = g[:, 2 * H:]
-        hn = hn_ref[:, t, :].astype(jnp.float32)
-        hp = hprev_ref[:, t, :].astype(jnp.float32)
-        dh_t = dys_ref[:, t, :].astype(jnp.float32) + dh_s[:]
+        hn = hn_ref[t].astype(jnp.float32)
+        hp = hprev_ref[t].astype(jnp.float32)
+        dh_t = dys_ref[t].astype(jnp.float32) + dh_s[:]
         dz = dh_t * (hp - n)
         dn_pre = dh_t * (1.0 - z) * (1.0 - n * n)
         dr = dn_pre * hn
         dhn = dn_pre * r
         dz_pre = dz * z * (1.0 - z)
         dr_pre = dr * r * (1.0 - r)
-        dxg_ref[:, t, :] = jnp.concatenate(
+        dxg_ref[t] = jnp.concatenate(
             [dr_pre, dz_pre, dn_pre], axis=-1).astype(dxg_ref.dtype)
-        dhn_ref[:, t, :] = dhn.astype(dhn_ref.dtype)
+        dhn_ref[t] = dhn.astype(dhn_ref.dtype)
         dgates_hh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
         dh_s[:] = dh_t * z + jnp.dot(
             dgates_hh, wt, preferred_element_type=jnp.float32)
@@ -92,24 +101,25 @@ def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
 def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
                     save_residuals: bool = True,
                     tile: Optional[Tuple[int, int]] = None):
+    """xg [B, N, 3H] -> ys [B, N, H]; residuals (gates, hn) TIME-MAJOR
+    [N, B, *] (consumed only by the BPTT kernel / dW einsum)."""
     B, N0, H3 = xg.shape
     H = H3 // 3
     cols = (2 * H3 + 2 * H) if save_residuals else (H3 + H)
     bb, chunk = tile or _tile_plan(
         B, cols, xg.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
-    xg_p, N0 = _pad_time(xg, chunk)
-    xg_p, B0 = _pad_batch(xg_p, bb)
-    Bp, N = xg_p.shape[0], xg_p.shape[1]
+    xg_t = _pad_tm(jnp.swapaxes(xg, 0, 1), chunk, bb)  # [Np, Bp, 3H]
+    N, Bp = xg_t.shape[0], xg_t.shape[1]
     grid = (Bp // bb, N // chunk)
     kernel = functools.partial(_gru_fwd_kernel, chunk=chunk, hidden=H,
                                save_residuals=save_residuals)
     in_specs = [
         pl.BlockSpec((H, H3), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, H3), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bb, chunk, H3), lambda b, i: (b, i, 0),
+        pl.BlockSpec((chunk, bb, H3), lambda b, i: (i, b, 0),
                      memory_space=pltpu.VMEM),
     ]
-    ys_spec = pl.BlockSpec((bb, chunk, H), lambda b, i: (b, i, 0),
+    ys_spec = pl.BlockSpec((chunk, bb, H), lambda b, i: (i, b, 0),
                            memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((bb, H), jnp.float32)]
     b2d = b_hh.reshape(1, H3)
@@ -120,20 +130,21 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
             in_specs=in_specs,
             out_specs=[
                 ys_spec,
-                pl.BlockSpec((bb, chunk, H3), lambda b, i: (b, i, 0),
+                pl.BlockSpec((chunk, bb, H3), lambda b, i: (i, b, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bb, chunk, H), lambda b, i: (b, i, 0),
+                pl.BlockSpec((chunk, bb, H), lambda b, i: (i, b, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
-                jax.ShapeDtypeStruct((Bp, N, H3), xg.dtype),
-                jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H), xg.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H3), xg.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H), xg.dtype),
             ],
             scratch_shapes=scratch,
             interpret=interpret,
-        )(w_hh, b2d, xg_p)
-        return ys[:B0, :N0], gates[:B0, :N0], hn[:B0, :N0]
+        )(w_hh, b2d, xg_t)
+        return (jnp.swapaxes(ys[:N0, :B], 0, 1), gates[:N0, :B],
+                hn[:N0, :B])
 
     def kernel_light(w_ref, b_ref, xg_ref, ys_ref, h_s):
         kernel(w_ref, b_ref, xg_ref, ys_ref, None, None, h_s)
@@ -143,32 +154,30 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
         grid=grid,
         in_specs=in_specs,
         out_specs=ys_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, Bp, H), xg.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(w_hh, b2d, xg_p)
-    return ys[:B0, :N0], None, None
+    )(w_hh, b2d, xg_t)
+    return jnp.swapaxes(ys[:N0, :B], 0, 1), None, None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys, interpret: bool = False,
                     tile: Optional[Tuple[int, int]] = None):
-    B, N0, H = hn.shape
+    """All activation arguments and outputs TIME-MAJOR [N, B, *]; dys
+    arrives batch-major [B, N, H] (the cotangent of the public output)."""
+    N0, B, H = hn.shape
     H3 = 3 * H
     cols = 2 * H3 + 4 * H  # gates + dxg (3H each) + hn + h_prev + dys + dhn
     bb, chunk = tile or _tile_plan(
         B, cols, hn.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
-    gates, _ = _pad_time(gates, chunk)
-    hn, _ = _pad_time(hn, chunk)
-    h_prev, _ = _pad_time(h_prev, chunk)
-    dys, _ = _pad_time(dys, chunk)
-    gates, B0 = _pad_batch(gates, bb)
-    hn, _ = _pad_batch(hn, bb)
-    h_prev, _ = _pad_batch(h_prev, bb)
-    dys, _ = _pad_batch(dys, bb)
-    Bp, N = hn.shape[0], hn.shape[1]
+    gates = _pad_tm(gates, chunk, bb)
+    hn = _pad_tm(hn, chunk, bb)
+    h_prev = _pad_tm(h_prev, chunk, bb)
+    dys = _pad_tm(jnp.swapaxes(dys, 0, 1).astype(hn.dtype), chunk, bb)
+    N, Bp = hn.shape[0], hn.shape[1]
     nc = N // chunk
-    rev = lambda b, i: (b, nc - 1 - i, 0)  # noqa: E731
+    rev = lambda b, i: (nc - 1 - i, b, 0)  # noqa: E731
 
     kernel = functools.partial(_gru_bwd_kernel, chunk=chunk, hidden=H)
     dxg, dhn = pl.pallas_call(
@@ -177,23 +186,23 @@ def _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys, interpret: bool = False,
         in_specs=[
             pl.BlockSpec((H3, H), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bb, chunk, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, N, H3), hn.dtype),
-            jax.ShapeDtypeStruct((Bp, N, H), hn.dtype),
+            jax.ShapeDtypeStruct((N, Bp, H3), hn.dtype),
+            jax.ShapeDtypeStruct((N, Bp, H), hn.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
         interpret=interpret,
     )(jnp.asarray(w_hh.T), gates, hn, h_prev, dys)
-    return dxg[:B0, :N0], dhn[:B0, :N0]
+    return dxg[:N0, :B], dhn[:N0, :B]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -212,18 +221,20 @@ def _gru_core_fwd(xg, w_hh, b_hh, interpret):
 def _gru_core_bwd(interpret, res, dys):
     w_hh, ys, gates, hn = res
     B, N, H = ys.shape
+    # ys is the public (batch-major) output; residuals are time-major
+    ys_t = jnp.swapaxes(ys, 0, 1)
     h_prev = jnp.concatenate(
-        [jnp.zeros((B, 1, H), ys.dtype), ys[:, :-1]], axis=1)
-    dxg, dhn = _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys,
-                               interpret=interpret)
+        [jnp.zeros((1, B, H), ys.dtype), ys_t[:-1]], axis=0)
+    dxg_t, dhn = _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys,
+                                 interpret=interpret)
     # hidden-side gate grads: [dr_pre, dz_pre, d(hn_part)]; f32 accumulation
     # even when activations stream in bf16
-    dgates_hh = jnp.concatenate([dxg[..., : 2 * H], dhn], axis=-1)
-    dw = jnp.einsum("bnh,bng->hg", h_prev, dgates_hh,
+    dgates_hh = jnp.concatenate([dxg_t[..., : 2 * H], dhn], axis=-1)
+    dw = jnp.einsum("nbh,nbg->hg", h_prev, dgates_hh,
                     preferred_element_type=jnp.float32).astype(w_hh.dtype)
     db = jnp.sum(dgates_hh.astype(jnp.float32),
                  axis=(0, 1)).astype(w_hh.dtype)
-    return dxg, dw, db
+    return jnp.swapaxes(dxg_t, 0, 1), dw, db
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)

@@ -24,6 +24,14 @@ Streamed tensors inherit ``xg``'s dtype: feed bfloat16 ``xg`` (see
 the HBM traffic and VMEM footprint, doubling the feasible batch tile. The
 carry and all in-kernel math stay float32.
 
+Blocks are TIME-MAJOR ([chunk, bb, *]): each timestep's slice is then a
+fully (sublane, lane)-tiled [bb, *] slab. The batch-major alternative puts
+time on the sublane dim, so every per-timestep access touches 1 of 8
+sublanes — measured ~2x kernel wall time at the scale-up shape. The
+[B, N, *] <-> [N, B, *] transposes live inside the jitted wrappers (XLA
+fuses them with the surrounding gate matmuls); residuals stay time-major
+end-to-end.
+
 Training support: the differentiated path's kernel also emits the activated
 gates and cell states; a custom VJP consumes them in a second Pallas kernel
 that runs reverse-time BPTT with the (dh, dc) carry in VMEM (the inference
@@ -49,7 +57,11 @@ CHUNK = 32  # default timesteps per grid step (small tensors / interpret)
 
 # VMEM working budget for the streamed blocks + resident weights. v5e has
 # ~16 MB/core; leave headroom for Mosaic temporaries of the unrolled loop.
-_VMEM_BUDGET = 10 << 20
+# 12 MB (vs the earlier conservative 10) is what lets batch 128 run as ONE
+# 128-row tile at chunk=8 — full MXU row occupancy for the recurrence
+# matmul instead of two half-filled 64-row tiles (measured compile-safe;
+# the Mosaic temporaries of an 8-step unroll fit the remaining ~4 MB).
+_VMEM_BUDGET = 12 << 20
 
 
 def _tile_plan(batch: int, stream_cols: int, elt_bytes: int,
@@ -77,26 +89,23 @@ def _tile_plan(batch: int, stream_cols: int, elt_bytes: int,
     return best if best is not None else (cands[-1], 8)
 
 
-def _pad_time(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
-    n = x.shape[1]
-    pad = (-n) % chunk
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    return x, n
-
-
-def _pad_batch(x: jnp.ndarray, bb: int) -> Tuple[jnp.ndarray, int]:
-    b = x.shape[0]
-    pad = (-b) % bb
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-    return x, b
+def _pad_tm(x: jnp.ndarray, chunk: int, bb: int) -> jnp.ndarray:
+    """Pad a TIME-MAJOR [N, B, C] tensor so N % chunk == 0, B % bb == 0."""
+    n, b = x.shape[0], x.shape[1]
+    pn, pb = (-n) % chunk, (-b) % bb
+    if pn or pb:
+        x = jnp.pad(x, ((0, pn), (0, pb), (0, 0)))
+    return x
 
 
 def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
                        h_s, c_s, *, chunk: int, hidden: int,
                        save_residuals: bool = True):
     """One grid step: advance one batch tile over ``chunk`` timesteps.
+    Blocks are TIME-MAJOR [chunk, bb, *] so each timestep's slice is a
+    fully (sublane, lane)-tiled [bb, *] slab — batch-major [bb, chunk, *]
+    puts time on the sublane dim and every slice then touches 1 of 8
+    sublanes (measured ~2x kernel wall time at the scale-up shape).
     ``save_residuals=False`` (inference) skips the cell-state and gate
     outputs — 3x less HBM write traffic."""
     t_step = pl.program_id(1)  # time chunk within this batch tile
@@ -109,7 +118,7 @@ def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
     w = w_ref[:]
     H = hidden
     for t in range(chunk):
-        g = xg_ref[:, t, :].astype(jnp.float32) + jnp.dot(
+        g = xg_ref[t].astype(jnp.float32) + jnp.dot(
             h_s[:], w, preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(g[:, :H])
         f = jax.nn.sigmoid(g[:, H:2 * H])
@@ -119,10 +128,10 @@ def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
         h = o * jnp.tanh(c)
         h_s[:] = h
         c_s[:] = c
-        ys_ref[:, t, :] = h.astype(ys_ref.dtype)
+        ys_ref[t] = h.astype(ys_ref.dtype)
         if save_residuals:
-            cs_ref[:, t, :] = c.astype(cs_ref.dtype)
-            gates_ref[:, t, :] = jnp.concatenate(
+            cs_ref[t] = c.astype(cs_ref.dtype)
+            gates_ref[t] = jnp.concatenate(
                 [i, f, gg, o], axis=-1).astype(gates_ref.dtype)
 
 
@@ -131,26 +140,26 @@ def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
 def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
                      interpret: bool = False, save_residuals: bool = True,
                      tile: Optional[Tuple[int, int]] = None):
-    """Forward-time recurrence. xg [B, N, 4H] -> (ys, cs, gates); cs/gates
-    are None when save_residuals=False (inference)."""
+    """Forward-time recurrence. xg [B, N, 4H] -> ys [B, N, H]; residuals
+    (cs, gates) TIME-MAJOR [N, B, *] (consumed only by the BPTT kernel /
+    dW einsum); None when save_residuals=False (inference)."""
     B, N0, H4 = xg.shape
     H = H4 // 4
     cols = (H4 + 6 * H) if save_residuals else (H4 + H)
     bb, chunk = tile or _tile_plan(
         B, cols, xg.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
-    xg_p, N0 = _pad_time(xg, chunk)
-    xg_p, B0 = _pad_batch(xg_p, bb)
-    Bp, N = xg_p.shape[0], xg_p.shape[1]
+    xg_t = _pad_tm(jnp.swapaxes(xg, 0, 1), chunk, bb)  # [Np, Bp, 4H]
+    N, Bp = xg_t.shape[0], xg_t.shape[1]
     grid = (Bp // bb, N // chunk)
 
     kernel = functools.partial(_lstm_chunk_kernel, chunk=chunk, hidden=H,
                                save_residuals=save_residuals)
     block_in = [
         pl.BlockSpec((H, H4), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bb, chunk, H4), lambda b, i: (b, i, 0),
+        pl.BlockSpec((chunk, bb, H4), lambda b, i: (i, b, 0),
                      memory_space=pltpu.VMEM),
     ]
-    ys_spec = pl.BlockSpec((bb, chunk, H), lambda b, i: (b, i, 0),
+    ys_spec = pl.BlockSpec((chunk, bb, H), lambda b, i: (i, b, 0),
                            memory_space=pltpu.VMEM)
     scratch = [
         pltpu.VMEM((bb, H), jnp.float32),
@@ -163,20 +172,21 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
             in_specs=block_in,
             out_specs=[
                 ys_spec,
-                pl.BlockSpec((bb, chunk, H), lambda b, i: (b, i, 0),
+                pl.BlockSpec((chunk, bb, H), lambda b, i: (i, b, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bb, chunk, H4), lambda b, i: (b, i, 0),
+                pl.BlockSpec((chunk, bb, H4), lambda b, i: (i, b, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
-                jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
-                jax.ShapeDtypeStruct((Bp, N, H4), xg.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H), xg.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H), xg.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H4), xg.dtype),
             ],
             scratch_shapes=scratch,
             interpret=interpret,
-        )(w_hh, xg_p)
-        return ys[:B0, :N0], cs[:B0, :N0], gates[:B0, :N0]
+        )(w_hh, xg_t)
+        return (jnp.swapaxes(ys[:N0, :B], 0, 1), cs[:N0, :B],
+                gates[:N0, :B])
 
     def kernel_light(w_ref, xg_ref, ys_ref, h_s, c_s):
         kernel(w_ref, xg_ref, ys_ref, None, None, h_s, c_s)
@@ -186,11 +196,11 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
         grid=grid,
         in_specs=block_in,
         out_specs=ys_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, N, H), xg.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, Bp, H), xg.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(w_hh, xg_p)
-    return ys[:B0, :N0], None, None
+    )(w_hh, xg_t)
+    return jnp.swapaxes(ys[:N0, :B], 0, 1), None, None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -222,22 +232,22 @@ def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
     wt = wt_ref[:]
     H = hidden
     for t in range(chunk - 1, -1, -1):
-        g = gates_ref[:, t, :].astype(jnp.float32)
+        g = gates_ref[t].astype(jnp.float32)
         i = g[:, :H]
         f = g[:, H:2 * H]
         gg = g[:, 2 * H:3 * H]
         o = g[:, 3 * H:]
-        tanh_c = jnp.tanh(cs_ref[:, t, :].astype(jnp.float32))
-        dh_t = dys_ref[:, t, :].astype(jnp.float32) + dh_s[:]
+        tanh_c = jnp.tanh(cs_ref[t].astype(jnp.float32))
+        dh_t = dys_ref[t].astype(jnp.float32) + dh_s[:]
         do = dh_t * tanh_c
         dc_t = dc_s[:] + dh_t * o * (1.0 - tanh_c * tanh_c)
         dgates = jnp.concatenate([
             dc_t * gg * i * (1.0 - i),
-            dc_t * cprev_ref[:, t, :].astype(jnp.float32) * f * (1.0 - f),
+            dc_t * cprev_ref[t].astype(jnp.float32) * f * (1.0 - f),
             dc_t * i * (1.0 - gg * gg),
             do * o * (1.0 - o),
         ], axis=-1)
-        dg_ref[:, t, :] = dgates.astype(dg_ref.dtype)
+        dg_ref[t] = dgates.astype(dg_ref.dtype)
         dh_s[:] = jnp.dot(dgates, wt, preferred_element_type=jnp.float32)
         dc_s[:] = dc_t * f
 
@@ -245,23 +255,21 @@ def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys, interpret: bool = False,
                      tile: Optional[Tuple[int, int]] = None):
-    """Fused reverse-time BPTT -> dgates [B, N, 4H]."""
-    B, N0, H = cs.shape
+    """Fused reverse-time BPTT -> dgates TIME-MAJOR [N, B, 4H]. All
+    activation arguments are time-major [N, B, *]; dys arrives batch-major
+    [B, N, H] (the cotangent of the public output)."""
+    N0, B, H = cs.shape
     H4 = 4 * H
     cols = 2 * H4 + 3 * H  # gates + dgates (4H each) + cs + c_prev + dys
     bb, chunk = tile or _tile_plan(
         B, cols, cs.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
-    gates, _ = _pad_time(gates, chunk)
-    cs, _ = _pad_time(cs, chunk)
-    c_prev, _ = _pad_time(c_prev, chunk)
-    dys, _ = _pad_time(dys, chunk)
-    gates, B0 = _pad_batch(gates, bb)
-    cs, _ = _pad_batch(cs, bb)
-    c_prev, _ = _pad_batch(c_prev, bb)
-    dys, _ = _pad_batch(dys, bb)
-    Bp, N = cs.shape[0], cs.shape[1]
+    gates = _pad_tm(gates, chunk, bb)
+    cs = _pad_tm(cs, chunk, bb)
+    c_prev = _pad_tm(c_prev, chunk, bb)
+    dys = _pad_tm(jnp.swapaxes(dys, 0, 1).astype(cs.dtype), chunk, bb)
+    N, Bp = cs.shape[0], cs.shape[1]
     nc = N // chunk
-    rev = lambda b, i: (b, nc - 1 - i, 0)  # noqa: E731
+    rev = lambda b, i: (nc - 1 - i, b, 0)  # noqa: E731
 
     kernel = functools.partial(_lstm_bwd_chunk_kernel, chunk=chunk,
                                hidden=H)
@@ -271,21 +279,21 @@ def _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys, interpret: bool = False,
         in_specs=[
             pl.BlockSpec((H4, H), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, chunk, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, chunk, H4), rev,
+        out_specs=pl.BlockSpec((chunk, bb, H4), rev,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, N, H4), cs.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, Bp, H4), cs.dtype),
         scratch_shapes=[
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((bb, H), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(w_hh.T), gates, cs, c_prev, dys)
-    return dgates[:B0, :N0]
+    return dgates[:N0, :B]
 
 
 def _lstm_core_bwd(interpret, res, dys):
@@ -293,17 +301,19 @@ def _lstm_core_bwd(interpret, res, dys):
     w_hh, ys, cs, gates = res
     B, N, H = ys.shape
 
+    # ys is the public (batch-major) output; residuals are time-major
+    ys_t = jnp.swapaxes(ys, 0, 1)
     h_prev = jnp.concatenate(
-        [jnp.zeros((B, 1, H), ys.dtype), ys[:, :-1]], axis=1)
+        [jnp.zeros((1, B, H), ys.dtype), ys_t[:-1]], axis=0)
     c_prev = jnp.concatenate(
-        [jnp.zeros((B, 1, H), cs.dtype), cs[:, :-1]], axis=1)
-    dxg = _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys,
-                           interpret=interpret)
+        [jnp.zeros((1, B, H), cs.dtype), cs[:-1]], axis=0)
+    dxg_t = _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys,
+                             interpret=interpret)
     # dW_hh = sum_t h_{t-1}^T dgates_t — one large MXU matmul (f32 accum
     # even when activations stream in bf16)
-    dw = jnp.einsum("bnh,bng->hg", h_prev, dxg,
+    dw = jnp.einsum("nbh,nbg->hg", h_prev, dxg_t,
                     preferred_element_type=jnp.float32).astype(w_hh.dtype)
-    return dxg, dw
+    return jnp.swapaxes(dxg_t, 0, 1), dw
 
 
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
