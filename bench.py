@@ -175,7 +175,21 @@ def bench_headline(profile=None):
 # rows, so batch=8 (BASELINE config 4's literal shape) leaves the MXU ~94%
 # empty no matter how good the kernel is. The sweep (--scaleup_sweep) picks
 # the largest batch that fits HBM: on the 16G v5e, bf16 streams fit 128
-# (256 OOMs in the backward's saved gate streams); see BENCH notes.
+# (256 OOMs in the backward's saved gate streams).
+#
+# MFU trail (measured on the v5e, batch=128 seq=5000):
+#   f32 streams, batch-major kernels        10.1% (round 2)
+#   bf16 streams (mixed precision)          16.4%
+#   time-major kernel blocks + 128-row tile 27.0%  (192-197 ms/step)
+# Device ceilings measured with readback-synced probes (the axon tunnel's
+# block_until_ready returns before remote completion, and it memoizes
+# identical (executable, input) dispatches — time with fresh inputs and a
+# scalar readback): 8192^3 bf16 matmul 193 TFLOP/s (98% of nominal peak),
+# the [640k, 512] x [512, 768] gate shape 144 TFLOP/s, HBM stream
+# 715 GB/s. What remains above the ~115 ms compute+stream floor (~46% MFU)
+# is the recurrence's serial latency — 5000 sequential steps/pass at
+# ~2-3 us each (MXU matmul + 3 transcendentals + carry update per step),
+# which batch size cannot amortize further once the 128 MXU rows are full.
 SCALEUP_BATCH = 128
 
 
