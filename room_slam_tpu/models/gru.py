@@ -29,14 +29,15 @@ class BiGRULayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d_in = x.shape[-1]
         init = _torch_lstm_init(self.hidden)
-        outs = []
-        for direction, reverse in (("fwd", False), ("bwd", True)):
+        xgs, w_hhs, b_hhs = [], [], []
+        for direction in ("fwd", "bwd"):
             w_ih = self.param(f"w_ih_{direction}", init,
                               (d_in, 3 * self.hidden))
             b_ih = self.param(f"b_ih_{direction}", init, (3 * self.hidden,))
-            w_hh = self.param(f"w_hh_{direction}", init,
-                              (self.hidden, 3 * self.hidden))
-            b_hh = self.param(f"b_hh_{direction}", init, (3 * self.hidden,))
+            w_hhs.append(self.param(f"w_hh_{direction}", init,
+                                    (self.hidden, 3 * self.hidden)))
+            b_hhs.append(self.param(f"b_hh_{direction}", init,
+                                    (3 * self.hidden,)))
             if self.compute_dtype != "float32":
                 # Cast the WEIGHTS so the gate matmul runs on the MXU's
                 # native bf16 path and xg is emitted directly in bf16 —
@@ -45,11 +46,22 @@ class BiGRULayer(nn.Module):
                 # Pallas batch tile (rnn_pallas.py); carry/in-kernel math
                 # and params stay f32.
                 cd = self.compute_dtype
-                xg = x.astype(cd) @ w_ih.astype(cd) + b_ih.astype(cd)
+                xgs.append(x.astype(cd) @ w_ih.astype(cd) + b_ih.astype(cd))
             else:
-                xg = x @ w_ih + b_ih  # one MXU matmul for the sequence
-            outs.append(gru_recurrence(xg, w_hh, b_hh, reverse=reverse,
-                                       use_pallas=self.use_pallas))
+                xgs.append(x @ w_ih + b_ih)  # one MXU matmul per direction
+        if self.use_pallas:
+            # fused kernel: both directions advance in one grid walk —
+            # per-step serial latency dominates, so the second direction
+            # comes nearly free (ops/gru_pallas.bigru_recurrence_pallas)
+            from room_slam_tpu.ops.gru_pallas import bigru_recurrence_pallas
+
+            ys_f, ys_b = bigru_recurrence_pallas(
+                xgs[0], xgs[1], w_hhs[0], b_hhs[0], w_hhs[1], b_hhs[1])
+            return jnp.concatenate([ys_f, ys_b], axis=-1)
+        outs = [
+            gru_recurrence(xgs[0], w_hhs[0], b_hhs[0], reverse=False),
+            gru_recurrence(xgs[1], w_hhs[1], b_hhs[1], reverse=True),
+        ]
         return jnp.concatenate(outs, axis=-1)
 
 

@@ -46,12 +46,12 @@ class BiLSTMLayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d_in = x.shape[-1]
         init = _torch_lstm_init(self.hidden)
-        outs = []
-        for direction, reverse in (("fwd", False), ("bwd", True)):
+        xgs, w_hhs = [], []
+        for direction in ("fwd", "bwd"):
             w_ih = self.param(f"w_ih_{direction}", init,
                               (d_in, 4 * self.hidden))
-            w_hh = self.param(f"w_hh_{direction}", init,
-                              (self.hidden, 4 * self.hidden))
+            w_hhs.append(self.param(f"w_hh_{direction}", init,
+                                    (self.hidden, 4 * self.hidden)))
             b = self.param(f"b_{direction}", init, (4 * self.hidden,))
             if self.compute_dtype != "float32":
                 # Cast the WEIGHTS (not the matmul output) so the gate
@@ -62,12 +62,22 @@ class BiLSTMLayer(nn.Module):
                 # carry/in-kernel math stay f32 (rnn_pallas.py); params
                 # stay f32.
                 cd = self.compute_dtype
-                xg = x.astype(cd) @ w_ih.astype(cd) + b.astype(cd)
+                xgs.append(x.astype(cd) @ w_ih.astype(cd) + b.astype(cd))
             else:
-                xg = x @ w_ih + b  # one MXU matmul for the full sequence
-            outs.append(
-                lstm_recurrence(xg, w_hh, reverse=reverse,
-                                use_pallas=self.use_pallas))
+                xgs.append(x @ w_ih + b)  # one MXU matmul per direction
+        if self.use_pallas:
+            # fused kernel: both directions advance in one grid walk —
+            # at the flagship's small per-step shapes the second
+            # direction comes nearly free (rnn_pallas.py)
+            from room_slam_tpu.ops.rnn_pallas import bilstm_recurrence_pallas
+
+            ys_f, ys_b = bilstm_recurrence_pallas(
+                xgs[0], xgs[1], w_hhs[0], w_hhs[1])
+            return jnp.concatenate([ys_f, ys_b], axis=-1)
+        outs = [
+            lstm_recurrence(xgs[0], w_hhs[0], reverse=False),
+            lstm_recurrence(xgs[1], w_hhs[1], reverse=True),
+        ]
         return jnp.concatenate(outs, axis=-1)
 
 

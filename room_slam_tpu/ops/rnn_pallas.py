@@ -79,7 +79,7 @@ def _tile_plan(batch: int, stream_cols: int, elt_bytes: int,
              if d <= bp and bp % d == 0] or [bp]
     avail = max(_VMEM_BUDGET - w_bytes, 1 << 20)
     best = None
-    for chunk in (32, 16, 8):
+    for chunk in (32, 16, 8, 4):
         per_row = 2 * chunk * stream_cols * elt_bytes  # double-buffered
         for bb in cands:  # descending: first fit is the largest tile
             if bb * per_row <= avail:
@@ -335,3 +335,285 @@ def lstm_recurrence_pallas(
         return jnp.flip(
             _lstm_core(jnp.flip(xg, axis=1), w_hh, interpret), axis=1)
     return _lstm_core(xg, w_hh, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused bidirectional kernel: both directions of a BiLSTM layer advance in
+# one grid walk (two (h, c) carries in scratch, two weight sets resident),
+# halving the sequential kernel-step count. At the small flagship shape
+# (B=32, H=64, N=500) per-step cost is dominated by fixed per-step
+# machinery rather than arithmetic, so the second direction comes nearly
+# free there; at large shapes it is throughput-neutral (see the BiGRU
+# twin in gru_pallas.py). The backward-in-time direction uses the same
+# flip trick: the caller pre-flips its gate stream and unflips the output.
+# ---------------------------------------------------------------------------
+
+
+def _bilstm_fwd_kernel(wf_ref, wb_ref, xgf_ref, xgb_ref,
+                       ysf_ref, ysb_ref, csf_ref, gf_ref, csb_ref, gb_ref,
+                       hf_s, cf_s, hb_s, cb_s, *, chunk: int, hidden: int,
+                       save_residuals: bool = True):
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _():
+        hf_s[:] = jnp.zeros_like(hf_s)
+        cf_s[:] = jnp.zeros_like(cf_s)
+        hb_s[:] = jnp.zeros_like(hb_s)
+        cb_s[:] = jnp.zeros_like(cb_s)
+
+    H = hidden
+
+    def cell(w, g, h, c):
+        g = g + jnp.dot(h, w, preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(g[:, :H])
+        f = jax.nn.sigmoid(g[:, H:2 * H])
+        gg = jnp.tanh(g[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(g[:, 3 * H:])
+        c_new = f * c + i * gg
+        h_new = o * jnp.tanh(c_new)
+        return h_new, c_new, i, f, gg, o
+
+    wf, wb = wf_ref[:], wb_ref[:]
+    for t in range(chunk):
+        hf, cf, i_f, f_f, g_f, o_f = cell(
+            wf, xgf_ref[t].astype(jnp.float32), hf_s[:], cf_s[:])
+        hb, cb, i_b, f_b, g_b, o_b = cell(
+            wb, xgb_ref[t].astype(jnp.float32), hb_s[:], cb_s[:])
+        hf_s[:] = hf
+        cf_s[:] = cf
+        hb_s[:] = hb
+        cb_s[:] = cb
+        ysf_ref[t] = hf.astype(ysf_ref.dtype)
+        ysb_ref[t] = hb.astype(ysb_ref.dtype)
+        if save_residuals:
+            csf_ref[t] = cf.astype(csf_ref.dtype)
+            gf_ref[t] = jnp.concatenate(
+                [i_f, f_f, g_f, o_f], axis=-1).astype(gf_ref.dtype)
+            csb_ref[t] = cb.astype(csb_ref.dtype)
+            gb_ref[t] = jnp.concatenate(
+                [i_b, f_b, g_b, o_b], axis=-1).astype(gb_ref.dtype)
+
+
+def _bilstm_bwd_kernel(wtf_ref, wtb_ref,
+                       gf_ref, csf_ref, cpf_ref, dyf_ref,
+                       gb_ref, csb_ref, cpb_ref, dyb_ref,
+                       dgf_ref, dgb_ref,
+                       dhf_s, dcf_s, dhb_s, dcb_s, *, chunk: int,
+                       hidden: int):
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _():
+        dhf_s[:] = jnp.zeros_like(dhf_s)
+        dcf_s[:] = jnp.zeros_like(dcf_s)
+        dhb_s[:] = jnp.zeros_like(dhb_s)
+        dcb_s[:] = jnp.zeros_like(dcb_s)
+
+    H = hidden
+
+    def cell_bwd(wt, g, cs, cp, dy, dh_in, dc_in):
+        i = g[:, :H]
+        f = g[:, H:2 * H]
+        gg = g[:, 2 * H:3 * H]
+        o = g[:, 3 * H:]
+        tanh_c = jnp.tanh(cs)
+        dh_t = dy + dh_in
+        do = dh_t * tanh_c
+        dc_t = dc_in + dh_t * o * (1.0 - tanh_c * tanh_c)
+        dgates = jnp.concatenate([
+            dc_t * gg * i * (1.0 - i),
+            dc_t * cp * f * (1.0 - f),
+            dc_t * i * (1.0 - gg * gg),
+            do * o * (1.0 - o),
+        ], axis=-1)
+        dh_out = jnp.dot(dgates, wt, preferred_element_type=jnp.float32)
+        return dgates, dh_out, dc_t * f
+
+    wtf, wtb = wtf_ref[:], wtb_ref[:]
+    for t in range(chunk - 1, -1, -1):
+        dgf, dhf, dcf = cell_bwd(
+            wtf, gf_ref[t].astype(jnp.float32),
+            csf_ref[t].astype(jnp.float32),
+            cpf_ref[t].astype(jnp.float32),
+            dyf_ref[t].astype(jnp.float32), dhf_s[:], dcf_s[:])
+        dgb, dhb, dcb = cell_bwd(
+            wtb, gb_ref[t].astype(jnp.float32),
+            csb_ref[t].astype(jnp.float32),
+            cpb_ref[t].astype(jnp.float32),
+            dyb_ref[t].astype(jnp.float32), dhb_s[:], dcb_s[:])
+        dgf_ref[t] = dgf.astype(dgf_ref.dtype)
+        dgb_ref[t] = dgb.astype(dgb_ref.dtype)
+        dhf_s[:] = dhf
+        dcf_s[:] = dcf
+        dhb_s[:] = dhb
+        dcb_s[:] = dcb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "save_residuals", "tile"))
+def _bilstm_fwd_pallas(xgf, xgb, w_f, w_b, interpret: bool = False,
+                       save_residuals: bool = True,
+                       tile: Optional[Tuple[int, int]] = None):
+    """Both gate streams [B, N, 4H] (xgb pre-flipped in time) ->
+    (ysf, ysb) [B, N, H] + time-major residuals per direction."""
+    B, N0, H4 = xgf.shape
+    H = H4 // 4
+    cols = 2 * ((H4 + 6 * H) if save_residuals else (H4 + H))
+    bb, chunk = tile or _tile_plan(
+        B, cols, xgf.dtype.itemsize, 2 * w_f.size * w_f.dtype.itemsize)
+    xgf_t = _pad_tm(jnp.swapaxes(xgf, 0, 1), chunk, bb)
+    xgb_t = _pad_tm(jnp.swapaxes(xgb, 0, 1), chunk, bb)
+    N, Bp = xgf_t.shape[0], xgf_t.shape[1]
+    grid = (Bp // bb, N // chunk)
+    kernel = functools.partial(_bilstm_fwd_kernel, chunk=chunk, hidden=H,
+                               save_residuals=save_residuals)
+    wspec = pl.BlockSpec((H, H4), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((chunk, bb, H4), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec((chunk, bb, H), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [wspec, wspec, xspec, xspec]
+    scratch = [pltpu.VMEM((bb, H), jnp.float32) for _ in range(4)]
+    if save_residuals:
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[yspec, yspec, yspec, xspec, yspec, xspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, Bp, H), xgf.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H), xgf.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H), xgf.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H4), xgf.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H), xgf.dtype),
+                jax.ShapeDtypeStruct((N, Bp, H4), xgf.dtype),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(w_f, w_b, xgf_t, xgb_t)
+        ysf, ysb, csf, gf, csb, gb = outs
+        return (jnp.swapaxes(ysf[:N0, :B], 0, 1),
+                jnp.swapaxes(ysb[:N0, :B], 0, 1),
+                csf[:N0, :B], gf[:N0, :B], csb[:N0, :B], gb[:N0, :B])
+
+    def kernel_light(wf_ref, wb_ref, xgf_ref, xgb_ref, ysf_ref, ysb_ref,
+                     hf_s, cf_s, hb_s, cb_s):
+        kernel(wf_ref, wb_ref, xgf_ref, xgb_ref, ysf_ref, ysb_ref,
+               None, None, None, None, hf_s, cf_s, hb_s, cb_s)
+
+    ysf, ysb = pl.pallas_call(
+        kernel_light,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[yspec, yspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Bp, H), xgf.dtype),
+            jax.ShapeDtypeStruct((N, Bp, H), xgf.dtype),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(w_f, w_b, xgf_t, xgb_t)
+    return (jnp.swapaxes(ysf[:N0, :B], 0, 1),
+            jnp.swapaxes(ysb[:N0, :B], 0, 1), None, None, None, None)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _bilstm_bwd_pallas(w_f, w_b, gf, csf, cpf, dyf, gb, csb, cpb, dyb,
+                       interpret: bool = False,
+                       tile: Optional[Tuple[int, int]] = None):
+    N0, B, H = csf.shape
+    H4 = 4 * H
+    cols = 2 * (2 * H4 + 3 * H)
+    bb, chunk = tile or _tile_plan(
+        B, cols, csf.dtype.itemsize, 2 * w_f.size * w_f.dtype.itemsize)
+    gf = _pad_tm(gf, chunk, bb)
+    csf = _pad_tm(csf, chunk, bb)
+    cpf = _pad_tm(cpf, chunk, bb)
+    gb = _pad_tm(gb, chunk, bb)
+    csb = _pad_tm(csb, chunk, bb)
+    cpb = _pad_tm(cpb, chunk, bb)
+    dyf = _pad_tm(jnp.swapaxes(dyf, 0, 1).astype(csf.dtype), chunk, bb)
+    dyb = _pad_tm(jnp.swapaxes(dyb, 0, 1).astype(csf.dtype), chunk, bb)
+    N, Bp = csf.shape[0], csf.shape[1]
+    nc = N // chunk
+    rev = lambda b, i: (nc - 1 - i, b, 0)  # noqa: E731
+
+    kernel = functools.partial(_bilstm_bwd_kernel, chunk=chunk, hidden=H)
+    wspec = pl.BlockSpec((H4, H), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    g4 = pl.BlockSpec((chunk, bb, H4), rev, memory_space=pltpu.VMEM)
+    g1 = pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM)
+    dgf, dgb = pl.pallas_call(
+        kernel,
+        grid=(Bp // bb, nc),
+        in_specs=[wspec, wspec, g4, g1, g1, g1, g4, g1, g1, g1],
+        out_specs=[g4, g4],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Bp, H4), csf.dtype),
+            jax.ShapeDtypeStruct((N, Bp, H4), csf.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)
+                        for _ in range(4)],
+        interpret=interpret,
+    )(jnp.asarray(w_f.T), jnp.asarray(w_b.T), gf, csf, cpf, dyf,
+      gb, csb, cpb, dyb)
+    return dgf[:N0, :B], dgb[:N0, :B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _bilstm_core(xgf, xgb, w_f, w_b, interpret: bool = False):
+    ysf, ysb, *_ = _bilstm_fwd_pallas(xgf, xgb, w_f, w_b, interpret,
+                                      save_residuals=False)
+    return ysf, ysb
+
+
+def _bilstm_core_fwd(xgf, xgb, w_f, w_b, interpret):
+    ysf, ysb, csf, gf, csb, gb = _bilstm_fwd_pallas(
+        xgf, xgb, w_f, w_b, interpret, save_residuals=True)
+    return (ysf, ysb), (w_f, w_b, ysf, ysb, csf, gf, csb, gb)
+
+
+def _bilstm_core_bwd(interpret, res, dys):
+    w_f, w_b, ysf, ysb, csf, gf, csb, gb = res
+    dyf, dyb = dys
+    B, N, H = ysf.shape
+
+    def prevs(ys, cs):
+        ys_t = jnp.swapaxes(ys, 0, 1)
+        hp = jnp.concatenate(
+            [jnp.zeros((1, B, H), ys.dtype), ys_t[:-1]], axis=0)
+        cp = jnp.concatenate(
+            [jnp.zeros((1, B, H), cs.dtype), cs[:-1]], axis=0)
+        return hp, cp
+
+    hpf, cpf = prevs(ysf, csf)
+    hpb, cpb = prevs(ysb, csb)
+    dgf_t, dgb_t = _bilstm_bwd_pallas(
+        w_f, w_b, gf, csf, cpf, dyf, gb, csb, cpb, dyb,
+        interpret=interpret)
+    dwf = jnp.einsum("nbh,nbg->hg", hpf, dgf_t,
+                     preferred_element_type=jnp.float32).astype(w_f.dtype)
+    dwb = jnp.einsum("nbh,nbg->hg", hpb, dgb_t,
+                     preferred_element_type=jnp.float32).astype(w_b.dtype)
+    return (jnp.swapaxes(dgf_t, 0, 1), jnp.swapaxes(dgb_t, 0, 1),
+            dwf, dwb)
+
+
+_bilstm_core.defvjp(_bilstm_core_fwd, _bilstm_core_bwd)
+
+
+def bilstm_recurrence_pallas(
+    xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+    w_f: jnp.ndarray, w_b: jnp.ndarray,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused BiLSTM layer recurrence: forward direction over ``xg_f`` and
+    BACKWARD-in-time direction over ``xg_b`` in one kernel walk; returns
+    (ys_fwd, ys_bwd) in original time order."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ysf, ysb = _bilstm_core(xg_f, jnp.flip(xg_b, axis=1),
+                            w_f, w_b, interpret)
+    return ysf, jnp.flip(ysb, axis=1)

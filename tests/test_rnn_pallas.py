@@ -165,3 +165,106 @@ def test_padding_region_inert(rng):
             lstm_recurrence_pallas(a, w, interpret=True) ** 2))(xg)
         rel = float(jnp.abs(g1 - g2).max() / (jnp.abs(g1).max() + 1e-9))
         assert rel < 1e-4, (N, rel)
+
+
+def test_bigru_fused_parity(rng):
+    """Fused bidirectional kernel == two single-direction recurrences,
+    forward values and all six gradients (interpret mode)."""
+    from room_slam_tpu.ops.gru_pallas import bigru_recurrence_pallas
+
+    B, N, H = 3, 53, 16
+    xgf = jnp.asarray(rng.normal(size=(B, N, 3 * H)).astype(np.float32) * .5)
+    xgb = jnp.asarray(rng.normal(size=(B, N, 3 * H)).astype(np.float32) * .5)
+    wf = jnp.asarray(rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.1)
+    bf = jnp.asarray(rng.normal(size=(3 * H,)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.1)
+    bb = jnp.asarray(rng.normal(size=(3 * H,)).astype(np.float32) * 0.1)
+
+    ref_f = gru_recurrence_scan(xgf, wf, bf, reverse=False)
+    ref_b = gru_recurrence_scan(xgb, wb, bb, reverse=True)
+    got_f, got_b = bigru_recurrence_pallas(xgf, xgb, wf, bf, wb, bb,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_ref(xgf, xgb, wf, bf, wb, bb):
+        a = gru_recurrence_scan(xgf, wf, bf, reverse=False)
+        b = gru_recurrence_scan(xgb, wb, bb, reverse=True)
+        return jnp.sum(jnp.sin(a) * jnp.cos(b))
+
+    def loss_fused(xgf, xgb, wf, bf, wb, bb):
+        a, b = bigru_recurrence_pallas(xgf, xgb, wf, bf, wb, bb,
+                                       interpret=True)
+        return jnp.sum(jnp.sin(a) * jnp.cos(b))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    g_ref = jax.grad(loss_ref, argnums)(xgf, xgb, wf, bf, wb, bb)
+    g_fus = jax.grad(loss_fused, argnums)(xgf, xgb, wf, bf, wb, bb)
+    for i, (a, b) in enumerate(zip(g_ref, g_fus)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+        assert rel < 1e-4, (i, rel)
+
+
+def test_bigru_fused_bf16_stream(rng):
+    """bf16 gate streams through the fused kernel: f32 outputs follow from
+    the caller's cast; values near the f32 fused result."""
+    from room_slam_tpu.ops.gru_pallas import bigru_recurrence_pallas
+
+    B, N, H = 2, 40, 16
+    xgf = jnp.asarray(rng.normal(size=(B, N, 3 * H)).astype(np.float32) * .5)
+    xgb = jnp.asarray(rng.normal(size=(B, N, 3 * H)).astype(np.float32) * .5)
+    wf = jnp.asarray(rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.1)
+    bf = jnp.zeros((3 * H,), jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.1)
+    bb = jnp.zeros((3 * H,), jnp.float32)
+
+    f32_f, f32_b = bigru_recurrence_pallas(xgf, xgb, wf, bf, wb, bb,
+                                           interpret=True)
+    b16_f, b16_b = bigru_recurrence_pallas(
+        xgf.astype(jnp.bfloat16), xgb.astype(jnp.bfloat16),
+        wf, bf, wb, bb, interpret=True)
+    assert b16_f.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(b16_f, dtype=np.float32), np.asarray(f32_f),
+        rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(b16_b, dtype=np.float32), np.asarray(f32_b),
+        rtol=0.05, atol=0.05)
+
+
+def test_bilstm_fused_parity(rng):
+    """Fused bidirectional LSTM kernel == two single-direction
+    recurrences, forward values and all four gradients (interpret)."""
+    from room_slam_tpu.ops.rnn_pallas import bilstm_recurrence_pallas
+
+    B, N, H = 3, 53, 16
+    xgf = jnp.asarray(rng.normal(size=(B, N, 4 * H)).astype(np.float32) * .5)
+    xgb = jnp.asarray(rng.normal(size=(B, N, 4 * H)).astype(np.float32) * .5)
+    wf = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32) * 0.1)
+
+    ref_f = lstm_recurrence_scan(xgf, wf, reverse=False)
+    ref_b = lstm_recurrence_scan(xgb, wb, reverse=True)
+    got_f, got_b = bilstm_recurrence_pallas(xgf, xgb, wf, wb,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_ref(xgf, xgb, wf, wb):
+        a = lstm_recurrence_scan(xgf, wf, reverse=False)
+        b = lstm_recurrence_scan(xgb, wb, reverse=True)
+        return jnp.sum(jnp.sin(a) * jnp.cos(b))
+
+    def loss_fused(xgf, xgb, wf, wb):
+        a, b = bilstm_recurrence_pallas(xgf, xgb, wf, wb, interpret=True)
+        return jnp.sum(jnp.sin(a) * jnp.cos(b))
+
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(xgf, xgb, wf, wb)
+    g_fus = jax.grad(loss_fused, (0, 1, 2, 3))(xgf, xgb, wf, wb)
+    for i, (a, b) in enumerate(zip(g_ref, g_fus)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+        assert rel < 1e-4, (i, rel)
