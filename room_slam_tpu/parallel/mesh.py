@@ -8,9 +8,16 @@ collectives. Here scaling is first-class: a ('data', 'model') mesh with
 - optional tensor parallelism over 'model' for the transformer variant
   (attention q/k/v/out and FFN kernels sharded on head/ffn dims), mostly to
   keep the multi-chip path exercised and ready for scale-up configs
-  (BASELINE.json configs 4-5).
+  (BASELINE.json configs 4-5),
+- optional sequence parallelism over 'seq' on a 3-axis
+  ('data', 'seq', 'model') mesh (``make_mesh3``): the [B, L, *] trace
+  stream shards along the sequence axis, so the featurizer's neighbor
+  diffs become halo exchanges and attention K/V an all-gather — both
+  inserted by the SPMD partitioner, not written by hand. This is the
+  scaling direction for seq=5000-class captures, where a single chip's
+  activation memory, not parameters, is the limit.
 
-jit + NamedSharding lets XLA insert the all-reduces over ICI; there is no
+jit + NamedSharding lets XLA insert the collectives over ICI; there is no
 hand-written collective code on this path.
 """
 
@@ -38,6 +45,21 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_mesh3(
+    mesh_shape: Tuple[int, int, int] = (0, 1, 1),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 3D ('data', 'seq', 'model') mesh for combined data +
+    sequence (+ tensor) parallelism. ``data=0`` = fill with the rest."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_data, n_seq, n_model = mesh_shape
+    if n_data <= 0:
+        n_data = len(devices) // max(n_seq * n_model, 1)
+    use = n_data * n_seq * n_model
+    arr = np.array(devices[:use]).reshape(n_data, n_seq, n_model)
+    return Mesh(arr, axis_names=("data", "seq", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over 'data'; replicate the rest."""
     return NamedSharding(mesh, P("data"))
@@ -48,9 +70,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch dict on device, batch dim split over 'data'."""
+    """Place a host batch dict on device, batch dim split over 'data'.
+
+    On a mesh with a 'seq' axis, the raw trace [B, L, 4] additionally
+    shards its sequence dim over 'seq' (sequence parallelism): the
+    featurizer's neighbor diffs and downstream attention then run as an
+    SPMD program with XLA-inserted halo exchanges / K/V gathers. Only
+    ``raw`` has a true sequence axis — collider slots (boxes/labels/valid)
+    are a set, not a sequence, and stay replicated along 'seq'."""
     s = batch_sharding(mesh)
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+    out = {}
+    seq = "seq" in mesh.axis_names and mesh.shape["seq"] > 1
+    for k, v in batch.items():
+        if seq and k == "raw":
+            out[k] = jax.device_put(
+                v, NamedSharding(mesh, P("data", "seq", None)))
+        else:
+            out[k] = jax.device_put(v, s)
+    return out
 
 
 # ---------------------------------------------------------------------------
