@@ -117,6 +117,18 @@ class TrainConfig:
     val_every: int = 1
     iou_thresh: float = 0.5
     grad_clip: float = 1.0
+    # microbatches per optimizer step: the batch splits into this many
+    # equal slices whose gradients accumulate (lax.scan) before ONE
+    # update — effective batch sizes past the HBM wall (the seq=5000
+    # scale-up config OOMs at batch 256 resident; accum 2 x 128 trains
+    # the same effective batch). batch_size must divide evenly.
+    grad_accum: int = 1
+    # Polyak/EMA averaging of parameters (0 = off). When > 0, a running
+    # exponential average of the post-update parameters (decay ~0.999)
+    # is tracked on device and used for validation and the best_model
+    # checkpoint; the raw online weights keep training and land in
+    # final_model / periodic checkpoints.
+    ema_decay: float = 0.0
     seed: int = 0
     save_dir: str = "./checkpoints"
     # class_loss / l1_loss / giou_loss weights (ref: train.py:433-437)

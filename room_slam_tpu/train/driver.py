@@ -24,9 +24,9 @@ from room_slam_tpu.models.factory import build_model, count_parameters, \
 from room_slam_tpu.parallel import mesh as mesh_lib
 from room_slam_tpu.train import checkpoint as ckpt_lib
 from room_slam_tpu.train.loop import (PlateauScheduler, TrainState,
-                                      make_eval_epoch, make_optimizer,
-                                      make_train_epoch, get_learning_rate,
-                                      set_learning_rate)
+                                      eval_params, make_eval_epoch,
+                                      make_optimizer, make_train_epoch,
+                                      get_learning_rate, set_learning_rate)
 from room_slam_tpu.train.metrics import summarize_metrics
 
 
@@ -408,7 +408,8 @@ def train_benchmark(
 
         # --- validate + metrics: one device dispatch ---
         if (epoch + 1) % cfg.train.val_every == 0:
-            losses, sums = eval_epoch(state.params, val_data, val_plan)
+            p_eval = eval_params(state)  # EMA when enabled, else raw
+            losses, sums = eval_epoch(p_eval, val_data, val_plan)
             val_loss = float(losses["total_loss"])
             metrics = summarize_metrics(
                 {k: float(v) for k, v in sums.items()})
@@ -438,7 +439,7 @@ def train_benchmark(
             if val_loss < best_val:
                 best_val = val_loss
                 ckpt_lib.save_checkpoint(
-                    save_dir / "best_model", state.params, state.opt_state,
+                    save_dir / "best_model", p_eval, state.opt_state,
                     epoch=epoch, val_loss=val_loss, metrics=metrics,
                     config=cfg, extra={"sched": sched.state_dict()})
                 if verbose:

@@ -28,16 +28,72 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+class EMAState(NamedTuple):
+    """optax state slot holding the Polyak average of the parameters."""
+    ema: Any
+
+
+def _params_ema(decay: float) -> optax.GradientTransformation:
+    """Pass-through transform, placed LAST in the chain (after AdamW), that
+    tracks an exponential moving average of the post-update parameters in
+    its own state. Living inside opt_state means checkpointing, buffer
+    donation, and the fused multi-epoch scan all carry the average with no
+    TrainState or driver changes."""
+
+    def init_fn(params):
+        # jnp.copy, not asarray: the EMA must NOT alias params — both are
+        # donated to the train step (same-buffer-twice INVALID_ARGUMENT)
+        return EMAState(ema=jax.tree_util.tree_map(jnp.copy, params))
+
+    def update_fn(updates, state, params=None):
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema, new_params)
+        return updates, EMAState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _find_ema(obj):
+    if isinstance(obj, EMAState):
+        return obj.ema
+    if isinstance(obj, dict):
+        items = obj.values()
+    elif isinstance(obj, (tuple, list)):  # includes NamedTuple states
+        items = obj
+    else:
+        return None
+    for item in items:
+        found = _find_ema(item)
+        if found is not None:
+            return found
+    return None
+
+
+def eval_params(state: "TrainState"):
+    """Parameters to validate with / save as best_model: the Polyak
+    average when ``train.ema_decay > 0`` (an EMAState is then present in
+    opt_state), else the raw online parameters. Pure structural lookup —
+    safe under jit."""
+    ema = _find_ema(state.opt_state)
+    return state.params if ema is None else ema
+
+
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """clip(1.0) -> AdamW, with the learning rate injected as a mutable
     hyperparameter so the plateau scheduler can drive it per epoch
-    (ref: train.py:440-458)."""
+    (ref: train.py:440-458). With ``train.ema_decay > 0`` a parameter-EMA
+    tracker is appended (see _params_ema)."""
 
     def opt(learning_rate):
-        return optax.chain(
+        txs = [
             optax.clip_by_global_norm(cfg.train.grad_clip),
             optax.adamw(learning_rate, weight_decay=cfg.train.weight_decay),
-        )
+        ]
+        if cfg.train.ema_decay > 0:
+            txs.append(_params_ema(cfg.train.ema_decay))
+        return optax.chain(*txs)
 
     return optax.inject_hyperparams(opt)(learning_rate=cfg.train.lr)
 
@@ -157,14 +213,46 @@ def _step_impl(model, tx, cfg: ExperimentConfig, augment: bool):
             "valid_mask": sample.valid,
         }
 
-        def loss_fn(params):
+        def loss_fn(params, feats, mask, targets, weight, dkey):
             out = model.apply(
                 params, feats, mask, deterministic=False,
                 rngs={"dropout": dkey})
-            losses = set_criterion(out, targets, batch["weight"], lw)
+            losses = set_criterion(out, targets, weight, lw)
             return losses["total_loss"], losses
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        A = max(1, int(cfg.train.grad_accum))
+        if A == 1:
+            grads, losses = jax.grad(loss_fn, has_aux=True)(
+                state.params, feats, mask, targets, batch["weight"], dkey)
+        else:
+            # gradient accumulation: scan over A microbatches, ONE update.
+            # Only one microbatch's activations are live at a time, so the
+            # effective batch can exceed the resident-batch HBM wall.
+            # Each microbatch normalizes its own weighted loss mean
+            # (standard accumulation semantics; equal to the full-batch
+            # gradient when sample weights are uniform).
+            B = feats.shape[0]
+            mb = B // A
+
+            def split(x):
+                return x.reshape(A, mb, *x.shape[1:])
+
+            mbs = (split(feats), split(mask),
+                   jax.tree_util.tree_map(split, targets),
+                   split(batch["weight"]),
+                   jax.random.split(dkey, A))
+
+            def body(acc, m):
+                f, k, t, w, dk = m
+                g, l = jax.grad(loss_fn, has_aux=True)(
+                    state.params, f, k, t, w, dk)
+                return jax.tree_util.tree_map(jnp.add, acc, g), l
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grads, losses_stack = jax.lax.scan(body, zeros, mbs)
+            grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+            losses = jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0), losses_stack)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), losses
@@ -352,8 +440,8 @@ def make_fused_run(model, tx: optax.GradientTransformation,
                  bkeys))
             train_loss = jnp.mean(tl)
 
-            val_losses, sums = eval_epoch_fn(state.params, val_data,
-                                             val_plan)
+            p_eval = eval_params(state)  # EMA when enabled, else raw
+            val_losses, sums = eval_epoch_fn(p_eval, val_data, val_plan)
             val_loss = val_losses["total_loss"]
 
             sched = sched_update(sched, val_loss, cfg)
@@ -364,7 +452,7 @@ def make_fused_run(model, tx: optax.GradientTransformation,
             best = {
                 "params": jax.tree_util.tree_map(
                     lambda new, old: jnp.where(is_best, new, old),
-                    state.params, best["params"]),
+                    p_eval, best["params"]),
                 "val_loss": jnp.where(is_best, val_loss, best["val_loss"]),
                 "epoch": jnp.where(is_best, epoch_idx, best["epoch"]),
             }

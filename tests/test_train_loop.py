@@ -304,3 +304,120 @@ def test_multidevice_sequence_parallel_step():
     got = float(losses["total_loss"])
     assert np.isfinite(got)
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_grad_accum_matches_single_step():
+    """train.grad_accum=2 produces the same mean loss and (for a batch
+    whose two halves are identical, so the microbatch gradients equal the
+    full-batch gradient by construction) the same post-step parameters as
+    one full-batch step. Duplicated halves sidestep AdamW's sign
+    sensitivity to f32 reduction-order noise at step 1."""
+    cfg = _tiny_config()
+    cfg.train.batch_size = 4
+    cfg.model = ModelConfig(**{**cfg.model.__dict__, "dropout": 0.0})
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    half = jax.device_get(_synthetic_batch(cfg, batch=2))
+    host_batch = {k: np.concatenate([v, v]) for k, v in half.items()}
+    host_batch["weight"] = np.ones_like(host_batch["weight"])
+
+    import optax
+
+    results = {}
+    for accum in (1, 2):
+        cfg.train.grad_accum = accum
+        # SGD(1.0): post-step params = params - mean_grad, so the param
+        # delta IS the accumulated gradient (AdamW's per-element
+        # normalization would amplify f32 reduction-order noise on
+        # tiny-gradient elements into spurious mismatches)
+        tx = optax.sgd(1.0)
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        state = TrainState(p, tx.init(p), jnp.asarray(0))
+        # augment=False + dropout 0.0: both microbatches see the same data
+        step = make_train_step(model, tx, cfg, augment=False)
+        state, losses = step(state, host_batch, jax.random.key(0))
+        results[accum] = (state.params, float(losses["total_loss"]))
+
+    np.testing.assert_allclose(results[1][1], results[2][1], rtol=1e-5)
+    # Normalize by the GLOBAL gradient scale, not per-leaf: leaves whose
+    # gradient is analytically zero (k_proj.bias — softmax is invariant to
+    # a shared key bias, which shifts each query's logits by a per-row
+    # constant) hold only ~1e-9 f32 cancellation noise whose value depends
+    # on reduction order; per-leaf normalization blows that noise up to O(1).
+    deltas = [(np.asarray(p0) - np.asarray(a), np.asarray(p0) - np.asarray(b))
+              for p0, a, b in zip(jax.tree_util.tree_leaves(params),
+                                  jax.tree_util.tree_leaves(results[1][0]),
+                                  jax.tree_util.tree_leaves(results[2][0]))]
+    scale = max(np.abs(g1).max() for g1, _ in deltas) + 1e-8
+    for g1, g2 in deltas:
+        np.testing.assert_allclose(g1 / scale, g2 / scale, atol=1e-5)
+
+
+def test_ema_params_track_polyak_average():
+    """With train.ema_decay > 0 the optimizer chain tracks a Polyak
+    average of the post-update parameters inside opt_state, and
+    eval_params(state) returns it; with ema_decay = 0 eval_params is the
+    identity on state.params."""
+    from room_slam_tpu.train.loop import eval_params, make_optimizer
+
+    cfg = _tiny_config()
+    cfg.model = ModelConfig(**{**cfg.model.__dict__, "dropout": 0.0})
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    batch = jax.device_get(_synthetic_batch(cfg, batch=4))
+
+    # off: eval_params returns the raw online parameters
+    cfg.train.ema_decay = 0.0
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    assert eval_params(state) is state.params
+
+    # on: replay the recurrence on the host from the observed params
+    d = 0.5  # large enough that one step moves the average visibly
+    cfg.train.ema_decay = d
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    step = make_train_step(model, tx, cfg, augment=False)
+    # host copies: params itself is donated into (and deleted by) step 1
+    ema_ref = jax.tree_util.tree_map(np.asarray, params)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.key(i))
+        p_host = jax.tree_util.tree_map(np.asarray, state.params)
+        ema_ref = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1.0 - d) * p, ema_ref, p_host)
+    got = eval_params(state)
+    for r, g, p in zip(jax.tree_util.tree_leaves(ema_ref),
+                       jax.tree_util.tree_leaves(got),
+                       jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-7)
+    # and the average genuinely lags the online weights
+    diffs = [np.abs(np.asarray(g) - np.asarray(p)).max()
+             for g, p in zip(jax.tree_util.tree_leaves(got),
+                             jax.tree_util.tree_leaves(state.params))]
+    assert max(diffs) > 1e-6
+
+
+def test_fused_run_with_ema_and_accum(tmp_path):
+    """The fused multi-epoch path (production path for on-disk datasets —
+    no other test exercises it) under both trainer extensions at once:
+    gradient accumulation and EMA eval/best tracking. Guards the fused
+    scan's buffer-donation contracts (EMA must not alias params)."""
+    from room_slam_tpu.train.driver import (make_synthetic_datasets,
+                                            train_benchmark_fused)
+
+    cfg = _tiny_config()
+    cfg.model = ModelConfig(**{**cfg.model.__dict__, "num_queries": 20})
+    cfg.train.num_epochs = 3
+    cfg.train.batch_size = 4
+    cfg.train.grad_accum = 2
+    cfg.train.ema_decay = 0.9
+    cfg.train.save_dir = str(tmp_path)
+    train_ds, val_ds = make_synthetic_datasets(cfg, 8)
+    res = train_benchmark_fused(cfg, use_mesh=False, verbose=False,
+                                train_ds=train_ds, val_ds=val_ds)
+    assert np.isfinite(res["best_val_loss"])
+    assert len(res["history"]) == 3
+    assert all(np.isfinite(r["val_loss"]) for r in res["history"])
+    assert (tmp_path / "best_model.msgpack").exists()
+    assert (tmp_path / "final_model.msgpack").exists()
