@@ -17,6 +17,11 @@ ENV = {
     **os.environ,
     "JAX_PLATFORM_NAME": "cpu",
     "JAX_PLATFORMS": "cpu",
+    # unset -> the axon sitecustomize skips TPU-plugin registration
+    # entirely. Without this, its get_backend hook initializes the axon
+    # client even under JAX_PLATFORMS=cpu, and every subprocess BLOCKS
+    # whenever the remote TPU worker is down.
+    "PALLAS_AXON_POOL_IPS": "",
 }
 
 
