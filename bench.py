@@ -193,7 +193,8 @@ def bench_headline(profile=None):
 SCALEUP_BATCH = 128
 
 
-def bench_scaleup(batch: int | None = None, bf16_stream: bool = True):
+def bench_scaleup(batch: int | None = None, bf16_stream: bool = True,
+                  accum: int = 1):
     """Scale-up config (BASELINE.json config 4): seq=5000, hidden=512,
     max_objects=32 BiGRU with the fused loss — train-step traces/sec.
     This is the config where MFU is a meaningful target (d=512 matmuls).
@@ -204,7 +205,12 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True):
     native path, halving the HBM traffic that binds this config; params,
     carries, softmax, and heads stay f32. The halved streams also double
     the feasible Pallas batch tile (= MXU rows of the recurrence matmul,
-    rnn_pallas._tile_plan)."""
+    rnn_pallas._tile_plan).
+
+    ``accum`` > 1 trains ``batch`` as that many scanned microbatches with
+    one optimizer update (train.grad_accum) — the route past the HBM wall
+    where batch=256 resident OOMs: 2 x 128 holds one microbatch's
+    activations at a time while amortizing the update over 2x the traces."""
     from room_slam_tpu.config import (DataConfig, ExperimentConfig,
                                       ModelConfig, TrainConfig)
     from room_slam_tpu.models.factory import build_model, count_parameters, \
@@ -220,7 +226,7 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True):
         model=ModelConfig(
             model_type="bigru", d_model=512, num_queries=M,
             compute_dtype="bfloat16" if bf16_stream else "float32"),
-        train=TrainConfig(batch_size=B),
+        train=TrainConfig(batch_size=B, grad_accum=accum),
     )
     model = build_model(cfg.model)
     params = init_params(model, cfg.model, seq_len=256, batch=B)
@@ -256,9 +262,11 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True):
     dt = time.perf_counter() - t0
     return {
         "metric": "scale-up train traces/sec/chip (seq=5000, d=512, "
-                  f"BiGRU, max_objects=32, batch={B})",
+                  f"BiGRU, max_objects=32, batch={B}"
+                  + (f", accum={accum}" if accum > 1 else "") + ")",
         "value": round(n * B / dt, 2),
         "batch": B,
+        "grad_accum": accum,
         "stream_dtype": cfg.model.compute_dtype,
         "unit": "traces/sec",
         "vs_baseline": None,
@@ -312,6 +320,12 @@ def main():
     ap.add_argument("--scaleup_fp32", action="store_true",
                     help="stream the recurrence in f32 instead of bf16 "
                          "(halves the feasible Pallas batch tile)")
+    ap.add_argument("--scaleup_accum", type=int, default=1,
+                    help="train --scaleup_batch as this many scanned "
+                         "microbatches with one optimizer update "
+                         "(train.grad_accum): effective batches past the "
+                         "HBM wall, e.g. --scaleup_batch 256 "
+                         "--scaleup_accum 2")
     ap.add_argument("--scaleup_sweep", type=str, default=None,
                     metavar="B1,B2,...",
                     help="run the scale-up bench at each batch size in its "
@@ -357,7 +371,8 @@ def main():
         return
     if args.scaleup:
         print(json.dumps(bench_scaleup(args.scaleup_batch,
-                                       bf16_stream=not args.scaleup_fp32)))
+                                       bf16_stream=not args.scaleup_fp32,
+                                       accum=args.scaleup_accum)))
         return
     if args.datagen:
         print(json.dumps(bench_datagen()))
