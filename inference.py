@@ -29,7 +29,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             synth_walls: bool = False,
             extent_slack: float | None = None,
             consensus: bool = False,
-            top_k: int | None = None):
+            top_k: int | None = None,
+            tta_rotations: bool = False):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
     room_slam_tpu.predictor.build_predictor (shared with the live UDP
@@ -40,7 +41,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         nms_threshold=nms_threshold, refine_clearance=refine_clearance,
         refine_trust=refine_trust, refine_furniture=refine_furniture,
         synth_walls=synth_walls,
-        extent_slack=extent_slack, consensus=consensus, top_k=top_k)
+        extent_slack=extent_slack, consensus=consensus, top_k=top_k,
+        tta_rotations=tta_rotations)
     return predict_array(formats.load_trace_json(traces_file))
 
 
@@ -88,6 +90,12 @@ def main():
                              "(rank-based operating point; transfers "
                              "across domains where absolute thresholds "
                              "do not)")
+    parser.add_argument("--tta", action="store_true",
+                        help="4-way rotation test-time augmentation: "
+                             "forward all four 90-degree rotations, pool "
+                             "the un-rotated candidates through one "
+                             "NMS/top-K pass (averages out rotation "
+                             "variance; helps unseen rooms)")
     args = parser.parse_args()
 
     print(f"Loading model from {args.checkpoint}")
@@ -102,7 +110,7 @@ def main():
         refine_furniture=args.refine_furniture,
         synth_walls=args.synth_walls,
         extent_slack=args.extent_slack, consensus=args.consensus,
-        top_k=args.top_k)
+        top_k=args.top_k, tta_rotations=args.tta)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -102,6 +102,37 @@ def draw_rands(key: jax.Array, batch: int, L: int, M: int,
     )
 
 
+def rotate_raw(raw: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Y-rotate [..., 4] (x, y, z, t) trace points by k * 90 degrees:
+    x' = c*x + s*z ; z' = -s*x + c*z. Shape-agnostic (used per-sample by
+    rotate_sample and batched by the TTA forwards)."""
+    c = _ROT_COS[k]
+    s = _ROT_SIN[k]
+    x, y, z, t = (raw[..., i] for i in range(4))
+    return jnp.stack([c * x + s * z, y, -s * x + c * z, t], axis=-1)
+
+
+def unrotate_boxes(boxes_r: jnp.ndarray, ks: jnp.ndarray) -> jnp.ndarray:
+    """Map boxes predicted in a k-rotated frame back to the capture frame
+    — the inverse of rotate_sample's box transform, exact for 90-degree
+    multiples: centers get the k -> (4 - k) % 4 rotation, x/z sizes swap
+    for odd k. boxes_r: [R, Q, 6]; ks: [R] int in 0..3. Used by rotation
+    test-time augmentation (predictor.build_predictor, tools.calibrate)."""
+    inv = (4 - ks % 4) % 4
+    c = _ROT_COS[inv][:, None]
+    s = _ROT_SIN[inv][:, None]
+    cx, cz = boxes_r[..., 0], boxes_r[..., 2]
+    odd = ((ks % 2) == 1)[:, None]
+    return jnp.stack([
+        c * cx + s * cz,
+        boxes_r[..., 1],
+        -s * cx + c * cz,
+        jnp.where(odd, boxes_r[..., 5], boxes_r[..., 3]),
+        boxes_r[..., 4],
+        jnp.where(odd, boxes_r[..., 3], boxes_r[..., 5]),
+    ], axis=-1)
+
+
 def rotate_sample(sample: Sample, k: jnp.ndarray) -> Sample:
     """Rotate trace + boxes around the Y axis by k * 90 degrees (k in 0..3).
 
@@ -110,8 +141,7 @@ def rotate_sample(sample: Sample, k: jnp.ndarray) -> Sample:
     """
     c = _ROT_COS[k]
     s = _ROT_SIN[k]
-    x, y, z, t = (sample.raw[:, i] for i in range(4))
-    raw = jnp.stack([c * x + s * z, y, -s * x + c * z, t], axis=-1)
+    raw = rotate_raw(sample.raw, k)
 
     b = sample.boxes
     cx, cy, cz = b[:, 0], b[:, 1], b[:, 2]

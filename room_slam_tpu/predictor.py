@@ -55,16 +55,30 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     extent_slack: float | None = None,
                     consensus: bool = False,
                     top_k: int | None = None,
+                    tta_rotations: bool = False,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
 
     The returned callable owns one jit-compiled program; call it as often
     as desired (the live demo calls it every few seconds on the growing
-    trace)."""
+    trace).
+
+    ``tta_rotations`` enables 4-way rotation test-time augmentation: the
+    trace is forwarded at all four 90-degree Y rotations in one batch,
+    predictions are rotated back into the capture frame (exact for
+    axis-aligned boxes: centers rotate, x/z sizes swap at 90/270), and
+    the pooled 4*Q candidates go through ONE refine + NMS + top-K pass.
+    Same-object candidates from different rotations merge under NMS (and
+    boost the consensus score), averaging out the model's rotation
+    variance — a training-free transfer lever for unseen rooms."""
     import jax
 
     @jax.jit
     def run(params, traces, mask):
+        # traces: [R, L, F] — row r is the trace rotated by r*90 degrees
+        # (R=1 when TTA is off). Row 0 is always the capture frame; the
+        # trace-informed post-passes below all use it.
+        R = traces.shape[0]
         # mask-less fallback for models whose __call__ doesn't take a mask
         # (ref: inference.py:261-265 TypeError fallback); the TypeError
         # surfaces at trace time, so plain try/except works under jit
@@ -72,7 +86,16 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             out = model.apply(params, traces, mask, deterministic=True)
         except TypeError:
             out = model.apply(params, traces, deterministic=True)
-        boxes0 = out["pred_boxes"][0]
+        boxes_r = out["pred_boxes"]          # [R, Q, 6]
+        Q = boxes_r.shape[1]
+        from room_slam_tpu.data.augment import unrotate_boxes
+
+        boxes0 = unrotate_boxes(boxes_r, jnp.arange(R)).reshape(R * Q, 6)
+        out = dict(out)
+        out["pred_classes"] = out["pred_classes"].reshape(R * Q, -1)[None]
+        if out.get("pred_objectness") is not None:
+            out["pred_objectness"] = \
+                out["pred_objectness"].reshape(R * Q)[None]
         if refine_clearance is not None and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import refine_walls
 
@@ -125,19 +148,35 @@ def build_predictor(model, params, max_trace_len: int = 3000,
         if arr.shape[0] > max_trace_len and verbose:
             print(f"Downsampling traces from {arr.shape[0]} to "
                   f"{max_trace_len} points")
-        feats = process_traces_np(arr, max_len=max_trace_len)  # [n, 11]
-        in_feat = model_input_dim(params, default=feats.shape[-1])
-        if in_feat != feats.shape[-1]:
-            if verbose and not adapted_once[0]:
-                print(f"Adapting features from {feats.shape[-1]} to "
-                      f"{in_feat} dims to match the checkpoint")
-                adapted_once[0] = True
-            feats = adapt_features(feats, in_feat)
-        n = feats.shape[0]
-        padded = np.zeros((1, max_trace_len, in_feat), np.float32)
-        padded[0, :n] = feats
-        mask = np.zeros((1, max_trace_len), bool)
-        mask[0, :n] = True
+        R = 4 if tta_rotations else 1
+        rot_cos = [1.0, 0.0, -1.0, 0.0]
+        rot_sin = [0.0, 1.0, 0.0, -1.0]
+        feats_r, n = [], None
+        for k in range(R):
+            a = np.asarray(arr, np.float32)
+            if k:
+                # same convention as augment.rotate_sample:
+                # x' = c x + s z ; z' = -s x + c z
+                c, s = rot_cos[k], rot_sin[k]
+                a = a.copy()
+                a[:, 0], a[:, 2] = (c * arr[:, 0] + s * arr[:, 2],
+                                    -s * arr[:, 0] + c * arr[:, 2])
+            f = process_traces_np(a, max_len=max_trace_len)  # [n, 11]
+            in_feat = model_input_dim(params, default=f.shape[-1])
+            if in_feat != f.shape[-1]:
+                if verbose and not adapted_once[0]:
+                    print(f"Adapting features from {f.shape[-1]} to "
+                          f"{in_feat} dims to match the checkpoint")
+                    adapted_once[0] = True
+                f = adapt_features(f, in_feat)
+            feats_r.append(f)
+            n = f.shape[0]
+        padded = np.zeros((R, max_trace_len, feats_r[0].shape[-1]),
+                          np.float32)
+        mask = np.zeros((R, max_trace_len), bool)
+        for k, f in enumerate(feats_r):
+            padded[k, :n] = f
+            mask[k, :n] = True
 
         boxes0, keep, labels, conf = run(
             params, jnp.asarray(padded), jnp.asarray(mask))

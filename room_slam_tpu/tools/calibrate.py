@@ -26,11 +26,19 @@ import json
 import numpy as np
 
 
-def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
-    """One jitted forward over the whole val set; returns host arrays."""
+def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
+                     tta: bool = False):
+    """One jitted forward over the whole val set; returns host arrays.
+
+    ``tta``: forward each capture at all four 90-degree Y rotations and
+    pool the un-rotated candidates along the query axis — cached arrays
+    become [N, 4*Q, ...] and every downstream operating point (NMS,
+    top-K, refine) sees the pooled candidate set (rotation test-time
+    augmentation, same semantics as predictor.build_predictor)."""
     import jax
     import jax.numpy as jnp
 
+    from room_slam_tpu.data.augment import rotate_raw, unrotate_boxes
     from room_slam_tpu.data.dataset import TraceColliderArrays
     from room_slam_tpu.data.features import featurize
     from room_slam_tpu.train.driver import load_model_for_inference
@@ -45,14 +53,26 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int):
     names: list = []
     for batch in ds.epoch_batches(batch_size, shuffle=False):
         db = {k: jnp.asarray(v) for k, v in batch.items()}
-        feats, mask = featurize(db["raw"], db["length"])
-        out = fwd(params, feats, mask)
+        boxes_k, logits_k, obj_k = [], [], []
+        for k in range(4 if tta else 1):
+            raw_k = rotate_raw(db["raw"], k) if k else db["raw"]
+            feats, mask = featurize(raw_k, db["length"])
+            out = fwd(params, feats, mask)
+            b = out["pred_boxes"]
+            if k:
+                b = unrotate_boxes(b, jnp.full(b.shape[0], k))
+            boxes_k.append(np.asarray(b))
+            logits_k.append(np.asarray(out["pred_classes"]))
+            if "pred_objectness" in out:
+                obj_k.append(np.asarray(out["pred_objectness"]))
         keepers = np.where(batch["weight"] != 0)[0]
-        rows["pred_boxes"].append(np.asarray(out["pred_boxes"])[keepers])
-        rows["pred_logits"].append(np.asarray(out["pred_classes"])[keepers])
-        if "pred_objectness" in out:
+        rows["pred_boxes"].append(
+            np.concatenate(boxes_k, axis=1)[keepers])
+        rows["pred_logits"].append(
+            np.concatenate(logits_k, axis=1)[keepers])
+        if obj_k:
             rows.setdefault("pred_objectness", []).append(
-                np.asarray(out["pred_objectness"])[keepers])
+                np.concatenate(obj_k, axis=1)[keepers])
         for k in ("raw", "length"):
             rows[k].append(batch[k][keepers])
         rows["gt_boxes"].append(batch["boxes"][keepers])
@@ -237,6 +257,10 @@ def main():
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
     p.add_argument("--device", choices=["cpu", "default"], default="cpu")
+    p.add_argument("--tta", action="store_true",
+                   help="4-way rotation test-time augmentation: every "
+                        "cell is scored on the pooled un-rotated "
+                        "candidates of all four 90-degree forwards")
     p.add_argument("--output", default=None)
     p.add_argument("--eval_dir", default=None,
                    help="honest protocol: choose the best cell on "
@@ -270,7 +294,7 @@ def main():
                   for x in args.top_k.split(",")]
 
     cached = _forward_val_set(args.checkpoint, args.data_dir,
-                              args.batch_size)
+                              args.batch_size, tta=args.tta)
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
                     consensus_vals, top_k_vals,
                     refine_furniture=args.refine_furniture,
@@ -290,7 +314,7 @@ def main():
         # the sweep never saw (max-over-cells on the reported set is
         # selection bias)
         eval_cached = _forward_val_set(args.checkpoint, args.eval_dir,
-                                       args.batch_size)
+                                       args.batch_size, tta=args.tta)
         held_out = sweep(eval_cached, [best["threshold"]], [best["nms"]],
                          [best["refine"]], [best["extent"]],
                          [best["consensus"]], [best.get("top_k")],

@@ -35,12 +35,14 @@ REF_DIRS = ("/root/reference/dataset/train", "/root/reference/dataset/val")
 IOU_THRESHOLDS = (0.25, 0.5)
 
 
-def forward_captures(checkpoint: str, dirs, batch_size: int = 8) -> dict:
+def forward_captures(checkpoint: str, dirs, batch_size: int = 8,
+                     tta: bool = False) -> dict:
     """Cached forwards over every capture of every directory, concatenated.
     Requires all dirs to exist; capture names are prefixed by room."""
     from room_slam_tpu.tools.calibrate import _forward_val_set
 
-    parts = [_forward_val_set(checkpoint, d, batch_size) for d in dirs]
+    parts = [_forward_val_set(checkpoint, d, batch_size, tta=tta)
+             for d in dirs]
     out = {}
     for k in parts[0]:
         if k == "names":
@@ -231,8 +233,8 @@ def _pool_metrics(per_cap: list, caps: np.ndarray) -> dict:
 
 def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
         refine_furniture: bool = False, batch_size: int = 8,
-        seed: int = 0) -> dict:
-    cached = forward_captures(checkpoint, dirs, batch_size)
+        seed: int = 0, tta: bool = False) -> dict:
+    cached = forward_captures(checkpoint, dirs, batch_size, tta=tta)
     dets = apply_operating_point(cached, cell, refine_furniture)
     n_img = cached["pred_boxes"].shape[0]
     g_img, g_flat = np.nonzero(cached["gt_valid"])
@@ -325,6 +327,10 @@ def main():
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--device", choices=["cpu", "default"], default="cpu")
+    p.add_argument("--tta", action="store_true",
+                   help="4-way rotation test-time augmentation: pool the "
+                        "un-rotated candidates of all four 90-degree "
+                        "forwards before the operating point is applied")
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
@@ -352,9 +358,10 @@ def main():
                 else float(args.extent),
                 "consensus": args.consensus,
                 "top_k": args.top_k}
+    cell["tta"] = args.tta
 
     report = run(args.checkpoint, dirs, cell, args.bootstrap,
-                 args.refine_furniture, args.batch_size)
+                 args.refine_furniture, args.batch_size, tta=args.tta)
     agg = report["aggregate"]
     print(f"\n=== {len(report['captures'])} captures, "
           f"{agg['num_gt']} GT boxes, {agg['num_predictions']} predictions")

@@ -11,7 +11,8 @@ import numpy as np
 
 from room_slam_tpu.config import DataConfig
 from room_slam_tpu.data.augment import (Sample, augment_sample, draw_rands,
-                                        apply_augment, rotate_sample)
+                                        apply_augment, rotate_raw,
+                                        rotate_sample, unrotate_boxes)
 from tests.conftest import REFERENCE, requires_reference
 
 
@@ -223,3 +224,18 @@ def test_collider_dropout_keeps_walls(rng):
         assert v.any()                # never empty
         dropped_any |= not v.all()
     assert dropped_any                # 0.99 drop prob must fire sometimes
+
+
+def test_unrotate_boxes_inverts_rotate_sample(rng):
+    """unrotate_boxes is the exact inverse of rotate_sample's box
+    transform for every k — the contract rotation TTA relies on — and
+    rotate_raw matches rotate_sample's trace transform."""
+    s = _sample(rng)
+    for k in range(4):
+        rot = rotate_sample(s, jnp.asarray(k))
+        np.testing.assert_array_equal(
+            np.asarray(rotate_raw(s.raw, jnp.asarray(k))),
+            np.asarray(rot.raw))
+        back = unrotate_boxes(rot.boxes[None], jnp.asarray([k]))[0]
+        np.testing.assert_allclose(
+            np.asarray(back), np.asarray(s.boxes), atol=1e-6)

@@ -73,3 +73,62 @@ def test_predict_maskless_model_fallback(tmp_path):
 def test_model_input_dim_default_when_absent():
     assert model_input_dim({"params": {"head": {"w": jnp.zeros((3, 3))}}},
                            default=11) == 11
+
+
+def test_tta_rotations_exact_for_covariant_model(tmp_path):
+    """End-to-end contract of rotation TTA (predictor.build_predictor
+    tta_rotations): host-side trace rotation -> featurize -> forward ->
+    unrotate_boxes must be an exact identity for a model that is
+    rotation-covariant by construction. The extent-box model below
+    predicts the trace's axis-aligned XZ bounding box, which commutes
+    with 90-degree rotations exactly, so all four rotations' un-rotated
+    candidates coincide and the TTA output must equal the plain output."""
+    import flax.linen as nn
+
+    from room_slam_tpu.predictor import build_predictor
+
+    class ExtentBoxModel(nn.Module):
+        num_queries: int = 4
+
+        @nn.compact
+        def __call__(self, feats, mask, deterministic=True):
+            # feature columns 0..3 are the raw (x, y, z, t) trace
+            big = jnp.asarray(1e9, feats.dtype)
+            x, z = feats[..., 0], feats[..., 2]
+            xmin = jnp.min(jnp.where(mask, x, big), axis=1)
+            xmax = jnp.max(jnp.where(mask, x, -big), axis=1)
+            zmin = jnp.min(jnp.where(mask, z, big), axis=1)
+            zmax = jnp.max(jnp.where(mask, z, -big), axis=1)
+            box = jnp.stack([
+                (xmin + xmax) / 2, jnp.ones_like(xmin) * 0.5,
+                (zmin + zmax) / 2,
+                xmax - xmin, jnp.ones_like(xmin), zmax - zmin], axis=-1)
+            boxes = jnp.repeat(box[:, None], self.num_queries, axis=1)
+            logits = jnp.zeros((*boxes.shape[:2], 4)).at[..., 0].set(5.0)
+            # unused param so init_params-style flows have a tree to carry
+            _ = self.param("dummy", nn.initializers.zeros, (1,))
+            return {"pred_boxes": boxes, "pred_classes": logits}
+
+    model = ExtentBoxModel()
+    rng = np.random.default_rng(3)
+    arr = np.column_stack([
+        rng.normal(size=50) * 2 + 1.0,
+        np.full(50, 1.2),
+        rng.normal(size=50) * 3 - 0.5,
+        np.sort(rng.uniform(0, 10, 50)),
+    ]).astype(np.float32)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 64, 11)), jnp.ones((1, 64), bool))
+
+    outs = {}
+    for tta in (False, True):
+        pred = build_predictor(
+            model, params, max_trace_len=64, confidence_threshold=0.1,
+            nms_threshold=0.3, tta_rotations=tta, verbose=False)
+        outs[tta] = pred(arr)
+    assert len(outs[False]) == 1 and len(outs[True]) == 1
+    a, b = outs[False][0], outs[True][0]
+    assert a["label"] == b["label"]
+    for key in ("center", "size"):
+        for ax in ("x", "y", "z"):
+            np.testing.assert_allclose(a[key][ax], b[key][ax], atol=1e-5)
