@@ -34,7 +34,26 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     pool the un-rotated candidates along the query axis — cached arrays
     become [N, 4*Q, ...] and every downstream operating point (NMS,
     top-K, refine) sees the pooled candidate set (rotation test-time
-    augmentation, same semantics as predictor.build_predictor)."""
+    augmentation, same semantics as predictor.build_predictor).
+
+    ``checkpoint`` may be a comma-separated list: candidates from every
+    checkpoint pool along the same query axis (seed ensembling — the
+    NMS/top-K/consensus machinery merges agreeing detections exactly as
+    it merges TTA rotations). All checkpoints must share a data config."""
+    ckpts = [c for c in str(checkpoint).split(",") if c]
+    if len(ckpts) > 1:
+        parts = [_forward_val_set(c, data_dir, batch_size, tta)
+                 for c in ckpts]
+        out = dict(parts[0])
+        for k in ("pred_boxes", "pred_logits", "pred_objectness"):
+            if all(k in p for p in parts):
+                out[k] = np.concatenate([p[k] for p in parts], axis=1)
+            else:
+                # mixed heads (some checkpoints without objectness) can't
+                # share one confidence formula — fall back to softmax-only
+                out.pop(k, None)
+        return out
+
     import jax
     import jax.numpy as jnp
 
@@ -230,7 +249,9 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint stem, or comma-separated stems to "
+                        "pool as a seed ensemble")
     p.add_argument("--data_dir", required=True)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--thresholds", default="0.3,0.5,0.7")

@@ -303,7 +303,9 @@ def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint stem, or comma-separated stems to "
+                        "pool as a seed ensemble")
     p.add_argument("--dirs", default=",".join(REF_DIRS),
                    help="comma list of capture directories to score")
     p.add_argument("--calib_dir", default=None,
