@@ -132,3 +132,43 @@ def test_tta_rotations_exact_for_covariant_model(tmp_path):
     for key in ("center", "size"):
         for ax in ("x", "y", "z"):
             np.testing.assert_allclose(a[key][ax], b[key][ax], atol=1e-5)
+
+
+def test_ensemble_checkpoint_pooling(tmp_path):
+    """calibrate._forward_val_set with a comma-separated checkpoint list
+    pools candidates along the query axis: same checkpoint twice ->
+    [N, 2Q] arrays whose halves are identical."""
+    from room_slam_tpu.config import DataConfig, ExperimentConfig, \
+        TrainConfig
+    from room_slam_tpu.data.synthetic import write_synthetic_dataset
+    from room_slam_tpu.models.factory import build_model, init_params
+    from room_slam_tpu.tools.calibrate import _forward_val_set
+    from room_slam_tpu.train import checkpoint as ckpt_lib
+
+    cfg = ExperimentConfig(
+        data=DataConfig(max_trace_len=128, max_colliders=16),
+        model=ModelConfig(model_type="lstm", d_model=32, num_queries=8,
+                          lstm_layers=1, use_pallas_rnn=False),
+        train=TrainConfig(batch_size=4),
+    )
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    write_synthetic_dataset(str(tmp_path / "data"), 2, 128, seed=5)
+    for d in ("a", "b"):
+        ckpt_lib.save_checkpoint(tmp_path / d / "best_model", params,
+                                 config=cfg)
+
+    single = _forward_val_set(str(tmp_path / "a" / "best_model"),
+                              str(tmp_path / "data"), batch_size=4)
+    ens = _forward_val_set(
+        f"{tmp_path}/a/best_model,{tmp_path}/b/best_model",
+        str(tmp_path / "data"), batch_size=4)
+    Q = single["pred_boxes"].shape[1]
+    assert ens["pred_boxes"].shape[1] == 2 * Q
+    np.testing.assert_array_equal(ens["pred_boxes"][:, :Q],
+                                  ens["pred_boxes"][:, Q:])
+    np.testing.assert_array_equal(ens["pred_boxes"][:, :Q],
+                                  single["pred_boxes"])
+    assert ens["pred_logits"].shape[1] == 2 * Q
+    # gt/raw side untouched by pooling
+    np.testing.assert_array_equal(ens["gt_boxes"], single["gt_boxes"])
