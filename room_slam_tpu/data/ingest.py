@@ -178,6 +178,7 @@ def live(
     refine: Optional[float] = None,
     extent_slack: Optional[float] = None,
     consensus: bool = False,
+    tta: bool = False,
     flip_handedness: bool = True,
 ) -> list:
     """Streamed room inference: accumulate poses like ``record`` and rerun
@@ -205,7 +206,7 @@ def live(
         model, params, max_trace_len=cfg.data.max_trace_len,
         confidence_threshold=threshold, nms_threshold=nms,
         refine_clearance=refine, extent_slack=extent_slack,
-        consensus=consensus, verbose=False)
+        consensus=consensus, tta_rotations=tta, verbose=False)
     print(f"Live inference on {host}:{port} "
           f"(refresh every {interval}s once {min_points}+ points) ...")
     rows: List[List[float]] = []  # [x, y, z, t]
@@ -344,6 +345,9 @@ def main():
     pv.add_argument("--extent_slack", type=float, default=None,
                     metavar="METERS")
     pv.add_argument("--consensus", action="store_true")
+    pv.add_argument("--tta", action="store_true",
+                    help="4-way rotation test-time augmentation per "
+                         "refresh (see predictor.build_predictor)")
 
     args = p.parse_args()
     if args.cmd == "listen":
@@ -359,7 +363,7 @@ def main():
         live(args.checkpoint, args.host, args.port, args.interval,
              args.min_points, args.duration, args.max_points, args.output,
              args.threshold, args.nms, args.refine, args.extent_slack,
-             args.consensus)
+             args.consensus, args.tta)
 
 
 if __name__ == "__main__":
