@@ -281,12 +281,15 @@ def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
 
 
 def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
-                batch_size: int = 8, refine_furniture: bool = False) -> dict:
+                batch_size: int = 8, refine_furniture: bool = False,
+                tta: bool = False) -> dict:
     """Sweep the calibration grid on a held-out directory; return the best
-    cell by ``select`` (calibrate-on-A, score-on-B)."""
+    cell by ``select`` (calibrate-on-A, score-on-B). ``tta`` must match
+    the scoring run: a cell chosen on single-forward candidates is not
+    comparable to pooled 4-rotation candidates."""
     from room_slam_tpu.tools.calibrate import _forward_val_set, sweep
 
-    cached = _forward_val_set(checkpoint, calib_dir, batch_size)
+    cached = _forward_val_set(checkpoint, calib_dir, batch_size, tta=tta)
     cells = sweep(cached, thresholds=(0.0, 0.3, 0.5, 0.7),
                   nms_vals=(0.1, 0.3),
                   refine_vals=(None, 0.55), extent_vals=(None, 0.75),
@@ -347,7 +350,8 @@ def main():
 
     if args.calib_dir:
         cell = choose_cell(args.checkpoint, args.calib_dir, args.select,
-                           args.batch_size, args.refine_furniture)
+                           args.batch_size, args.refine_furniture,
+                           tta=args.tta)
         cell["calibrated_on"] = args.calib_dir
         print(f"operating point from {args.calib_dir}: {cell}")
     else:
