@@ -232,6 +232,10 @@ def _step_impl(model, tx, cfg: ExperimentConfig, augment: bool):
             # (standard accumulation semantics; equal to the full-batch
             # gradient when sample weights are uniform).
             B = feats.shape[0]
+            if B % A:
+                raise ValueError(
+                    f"train.grad_accum={A} must divide the per-step batch "
+                    f"size {B} (shapes are static under jit)")
             mb = B // A
 
             def split(x):
