@@ -167,12 +167,16 @@ def test_query_capacity_guard_warns():
 
 def test_multidevice_data_parallel_step():
     """The train step under a 'data'-sharded batch on the virtual 8-CPU mesh
-    (the dryrun_multichip path)."""
+    (the dryrun_multichip path) — with grad accumulation and EMA on, so
+    the two trainer extensions are exercised under sharding (the scan
+    microbatch split must slice the sharded batch evenly)."""
     from room_slam_tpu.parallel import mesh as mesh_lib
 
     assert jax.device_count() >= 8
     cfg = _tiny_config()
     cfg.train.batch_size = 8
+    cfg.train.grad_accum = 2
+    cfg.train.ema_decay = 0.9
     mesh = mesh_lib.make_mesh((8, 1))
     model = build_model(cfg.model)
     params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
