@@ -30,7 +30,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             extent_slack: float | None = None,
             consensus: bool = False,
             top_k: int | None = None,
-            tta_rotations: bool = False):
+            tta_rotations: bool = False,
+            tta_reflect: bool = False):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
     room_slam_tpu.predictor.build_predictor (shared with the live UDP
@@ -42,7 +43,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         refine_trust=refine_trust, refine_furniture=refine_furniture,
         synth_walls=synth_walls,
         extent_slack=extent_slack, consensus=consensus, top_k=top_k,
-        tta_rotations=tta_rotations)
+        tta_rotations=tta_rotations, tta_reflect=tta_reflect)
     return predict_array(formats.load_trace_json(traces_file))
 
 
@@ -96,6 +97,9 @@ def main():
                              "the un-rotated candidates through one "
                              "NMS/top-K pass (averages out rotation "
                              "variance; helps unseen rooms)")
+    parser.add_argument("--tta_reflect", action="store_true",
+                        help="also pool the x-mirrored copy of every TTA "
+                             "view (8-view dihedral pooling with --tta)")
     args = parser.parse_args()
 
     print(f"Loading model from {args.checkpoint}")
@@ -110,7 +114,8 @@ def main():
         refine_furniture=args.refine_furniture,
         synth_walls=args.synth_walls,
         extent_slack=args.extent_slack, consensus=args.consensus,
-        top_k=args.top_k, tta_rotations=args.tta)
+        top_k=args.top_k, tta_rotations=args.tta,
+        tta_reflect=args.tta_reflect)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -133,6 +133,21 @@ def unrotate_boxes(boxes_r: jnp.ndarray, ks: jnp.ndarray) -> jnp.ndarray:
     ], axis=-1)
 
 
+def reflect_raw(raw: jnp.ndarray) -> jnp.ndarray:
+    """Mirror [..., 4] (x, y, z, t) trace points across the x = 0 plane
+    (x -> -x). Combined with rotate_raw this generates all 8 views of the
+    dihedral group D4 — the full symmetry group of an axis-aligned room.
+    Training augmentation (ref: dataloader.py:317-392) never reflects, so
+    mirrored forwards are genuinely diverse views for test-time pooling."""
+    return raw * jnp.asarray([-1.0, 1.0, 1.0, 1.0], raw.dtype)
+
+
+def unreflect_boxes(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Inverse box transform of reflect_raw: center x -> -x; sizes are
+    unchanged (axis-aligned boxes are mirror-symmetric). Own inverse."""
+    return boxes * jnp.asarray([-1.0, 1.0, 1.0, 1.0, 1.0, 1.0], boxes.dtype)
+
+
 def rotate_sample(sample: Sample, k: jnp.ndarray) -> Sample:
     """Rotate trace + boxes around the Y axis by k * 90 degrees (k in 0..3).
 

@@ -179,6 +179,7 @@ def live(
     extent_slack: Optional[float] = None,
     consensus: bool = False,
     tta: bool = False,
+    tta_reflect: bool = False,
     flip_handedness: bool = True,
 ) -> list:
     """Streamed room inference: accumulate poses like ``record`` and rerun
@@ -206,7 +207,8 @@ def live(
         model, params, max_trace_len=cfg.data.max_trace_len,
         confidence_threshold=threshold, nms_threshold=nms,
         refine_clearance=refine, extent_slack=extent_slack,
-        consensus=consensus, tta_rotations=tta, verbose=False)
+        consensus=consensus, tta_rotations=tta, tta_reflect=tta_reflect,
+        verbose=False)
     print(f"Live inference on {host}:{port} "
           f"(refresh every {interval}s once {min_points}+ points) ...")
     rows: List[List[float]] = []  # [x, y, z, t]
@@ -348,6 +350,9 @@ def main():
     pv.add_argument("--tta", action="store_true",
                     help="4-way rotation test-time augmentation per "
                          "refresh (see predictor.build_predictor)")
+    pv.add_argument("--tta_reflect", action="store_true",
+                    help="also pool the x-mirrored copy of every TTA view "
+                         "(8-view dihedral pooling with --tta)")
 
     args = p.parse_args()
     if args.cmd == "listen":
@@ -363,7 +368,7 @@ def main():
         live(args.checkpoint, args.host, args.port, args.interval,
              args.min_points, args.duration, args.max_points, args.output,
              args.threshold, args.nms, args.refine, args.extent_slack,
-             args.consensus, args.tta)
+             args.consensus, args.tta, args.tta_reflect)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     consensus: bool = False,
                     top_k: int | None = None,
                     tta_rotations: bool = False,
+                    tta_reflect: bool = False,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
 
@@ -70,13 +71,24 @@ def build_predictor(model, params, max_trace_len: int = 3000,
     the pooled 4*Q candidates go through ONE refine + NMS + top-K pass.
     Same-object candidates from different rotations merge under NMS (and
     boost the consensus score), averaging out the model's rotation
-    variance — a training-free transfer lever for unseen rooms."""
+    variance — a training-free transfer lever for unseen rooms.
+    ``tta_reflect`` adds the x-mirrored copy of every view (the other
+    half of the dihedral group D4): 8 views with ``tta_rotations``, 2
+    without."""
     import jax
+
+    from room_slam_tpu.data.augment import unreflect_boxes, unrotate_boxes
+
+    # view v = rotate_k(reflect^m(trace)); row 0 is the capture frame
+    views = [(k, m) for m in ((0, 1) if tta_reflect else (0,))
+             for k in (range(4) if tta_rotations else (0,))]
+    view_ks = jnp.asarray([k for k, _ in views])
+    view_ms = jnp.asarray([bool(m) for _, m in views])
 
     @jax.jit
     def run(params, traces, mask):
-        # traces: [R, L, F] — row r is the trace rotated by r*90 degrees
-        # (R=1 when TTA is off). Row 0 is always the capture frame; the
+        # traces: [R, L, F] — row r is the trace in view r's frame (R=1
+        # when TTA is off). Row 0 is always the capture frame; the
         # trace-informed post-passes below all use it.
         R = traces.shape[0]
         # mask-less fallback for models whose __call__ doesn't take a mask
@@ -88,9 +100,11 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             out = model.apply(params, traces, deterministic=True)
         boxes_r = out["pred_boxes"]          # [R, Q, 6]
         Q = boxes_r.shape[1]
-        from room_slam_tpu.data.augment import unrotate_boxes
-
-        boxes0 = unrotate_boxes(boxes_r, jnp.arange(R)).reshape(R * Q, 6)
+        # inverse of the view transform: unrotate, then unreflect
+        boxes_r = unrotate_boxes(boxes_r, view_ks)
+        boxes_r = jnp.where(view_ms[:, None, None],
+                            unreflect_boxes(boxes_r), boxes_r)
+        boxes0 = boxes_r.reshape(R * Q, 6)
         out = dict(out)
         out["pred_classes"] = out["pred_classes"].reshape(R * Q, -1)[None]
         if out.get("pred_objectness") is not None:
@@ -148,19 +162,21 @@ def build_predictor(model, params, max_trace_len: int = 3000,
         if arr.shape[0] > max_trace_len and verbose:
             print(f"Downsampling traces from {arr.shape[0]} to "
                   f"{max_trace_len} points")
-        R = 4 if tta_rotations else 1
+        R = len(views)
         rot_cos = [1.0, 0.0, -1.0, 0.0]
         rot_sin = [0.0, 1.0, 0.0, -1.0]
         feats_r, n = [], None
-        for k in range(R):
+        for k, m in views:
             a = np.asarray(arr, np.float32)
-            if k:
-                # same convention as augment.rotate_sample:
+            if k or m:
+                # same convention as augment.rotate_sample /
+                # augment.reflect_raw: mirror first, then
                 # x' = c x + s z ; z' = -s x + c z
                 c, s = rot_cos[k], rot_sin[k]
                 a = a.copy()
-                a[:, 0], a[:, 2] = (c * arr[:, 0] + s * arr[:, 2],
-                                    -s * arr[:, 0] + c * arr[:, 2])
+                x0 = -arr[:, 0] if m else arr[:, 0]
+                a[:, 0], a[:, 2] = (c * x0 + s * arr[:, 2],
+                                    -s * x0 + c * arr[:, 2])
             f = process_traces_np(a, max_len=max_trace_len)  # [n, 11]
             in_feat = model_input_dim(params, default=f.shape[-1])
             if in_feat != f.shape[-1]:

@@ -27,7 +27,7 @@ import numpy as np
 
 
 def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
-                     tta: bool = False):
+                     tta: bool = False, tta_reflect: bool = False):
     """One jitted forward over the whole val set; returns host arrays.
 
     ``tta``: forward each capture at all four 90-degree Y rotations and
@@ -35,6 +35,8 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     become [N, 4*Q, ...] and every downstream operating point (NMS,
     top-K, refine) sees the pooled candidate set (rotation test-time
     augmentation, same semantics as predictor.build_predictor).
+    ``tta_reflect`` adds the x-mirrored copy of every view (the other
+    half of the dihedral group D4): 8 views with ``tta``, 2 without.
 
     ``checkpoint`` may be a comma-separated list: candidates from every
     checkpoint pool along the same query axis (seed ensembling — the
@@ -42,7 +44,7 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     it merges TTA rotations). All checkpoints must share a data config."""
     ckpts = [c for c in str(checkpoint).split(",") if c]
     if len(ckpts) > 1:
-        parts = [_forward_val_set(c, data_dir, batch_size, tta)
+        parts = [_forward_val_set(c, data_dir, batch_size, tta, tta_reflect)
                  for c in ckpts]
         out = dict(parts[0])
         for k in ("pred_boxes", "pred_logits", "pred_objectness"):
@@ -57,7 +59,8 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     import jax
     import jax.numpy as jnp
 
-    from room_slam_tpu.data.augment import rotate_raw, unrotate_boxes
+    from room_slam_tpu.data.augment import (reflect_raw, rotate_raw,
+                                            unreflect_boxes, unrotate_boxes)
     from room_slam_tpu.data.dataset import TraceColliderArrays
     from room_slam_tpu.data.features import featurize
     from room_slam_tpu.train.driver import load_model_for_inference
@@ -73,13 +76,18 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     for batch in ds.epoch_batches(batch_size, shuffle=False):
         db = {k: jnp.asarray(v) for k, v in batch.items()}
         boxes_k, logits_k, obj_k = [], [], []
-        for k in range(4 if tta else 1):
-            raw_k = rotate_raw(db["raw"], k) if k else db["raw"]
+        views = [(k, m) for m in ((0, 1) if tta_reflect else (0,))
+                 for k in (range(4) if tta else (0,))]
+        for k, m in views:
+            raw_k = reflect_raw(db["raw"]) if m else db["raw"]
+            raw_k = rotate_raw(raw_k, k) if k else raw_k
             feats, mask = featurize(raw_k, db["length"])
             out = fwd(params, feats, mask)
             b = out["pred_boxes"]
             if k:
                 b = unrotate_boxes(b, jnp.full(b.shape[0], k))
+            if m:
+                b = unreflect_boxes(b)
             boxes_k.append(np.asarray(b))
             logits_k.append(np.asarray(out["pred_classes"]))
             if "pred_objectness" in out:
@@ -282,6 +290,9 @@ def main():
                    help="4-way rotation test-time augmentation: every "
                         "cell is scored on the pooled un-rotated "
                         "candidates of all four 90-degree forwards")
+    p.add_argument("--tta_reflect", action="store_true",
+                   help="also pool the x-mirrored copy of every TTA view "
+                        "(8-view dihedral pooling with --tta)")
     p.add_argument("--output", default=None)
     p.add_argument("--eval_dir", default=None,
                    help="honest protocol: choose the best cell on "
@@ -315,7 +326,8 @@ def main():
                   for x in args.top_k.split(",")]
 
     cached = _forward_val_set(args.checkpoint, args.data_dir,
-                              args.batch_size, tta=args.tta)
+                              args.batch_size, tta=args.tta,
+                              tta_reflect=args.tta_reflect)
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
                     consensus_vals, top_k_vals,
                     refine_furniture=args.refine_furniture,
@@ -335,7 +347,8 @@ def main():
         # the sweep never saw (max-over-cells on the reported set is
         # selection bias)
         eval_cached = _forward_val_set(args.checkpoint, args.eval_dir,
-                                       args.batch_size, tta=args.tta)
+                                       args.batch_size, tta=args.tta,
+                                       tta_reflect=args.tta_reflect)
         held_out = sweep(eval_cached, [best["threshold"]], [best["nms"]],
                          [best["refine"]], [best["extent"]],
                          [best["consensus"]], [best.get("top_k")],

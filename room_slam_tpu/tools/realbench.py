@@ -36,12 +36,13 @@ IOU_THRESHOLDS = (0.25, 0.5)
 
 
 def forward_captures(checkpoint: str, dirs, batch_size: int = 8,
-                     tta: bool = False) -> dict:
+                     tta: bool = False, tta_reflect: bool = False) -> dict:
     """Cached forwards over every capture of every directory, concatenated.
     Requires all dirs to exist; capture names are prefixed by room."""
     from room_slam_tpu.tools.calibrate import _forward_val_set
 
-    parts = [_forward_val_set(checkpoint, d, batch_size, tta=tta)
+    parts = [_forward_val_set(checkpoint, d, batch_size, tta=tta,
+                              tta_reflect=tta_reflect)
              for d in dirs]
     out = {}
     for k in parts[0]:
@@ -233,8 +234,9 @@ def _pool_metrics(per_cap: list, caps: np.ndarray) -> dict:
 
 def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
         refine_furniture: bool = False, batch_size: int = 8,
-        seed: int = 0, tta: bool = False) -> dict:
-    cached = forward_captures(checkpoint, dirs, batch_size, tta=tta)
+        seed: int = 0, tta: bool = False, tta_reflect: bool = False) -> dict:
+    cached = forward_captures(checkpoint, dirs, batch_size, tta=tta,
+                              tta_reflect=tta_reflect)
     dets = apply_operating_point(cached, cell, refine_furniture)
     n_img = cached["pred_boxes"].shape[0]
     g_img, g_flat = np.nonzero(cached["gt_valid"])
@@ -282,14 +284,15 @@ def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
 
 def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
                 batch_size: int = 8, refine_furniture: bool = False,
-                tta: bool = False) -> dict:
+                tta: bool = False, tta_reflect: bool = False) -> dict:
     """Sweep the calibration grid on a held-out directory; return the best
-    cell by ``select`` (calibrate-on-A, score-on-B). ``tta`` must match
-    the scoring run: a cell chosen on single-forward candidates is not
-    comparable to pooled 4-rotation candidates."""
+    cell by ``select`` (calibrate-on-A, score-on-B). ``tta``/``tta_reflect``
+    must match the scoring run: a cell chosen on single-forward candidates
+    is not comparable to pooled multi-view candidates."""
     from room_slam_tpu.tools.calibrate import _forward_val_set, sweep
 
-    cached = _forward_val_set(checkpoint, calib_dir, batch_size, tta=tta)
+    cached = _forward_val_set(checkpoint, calib_dir, batch_size, tta=tta,
+                              tta_reflect=tta_reflect)
     cells = sweep(cached, thresholds=(0.0, 0.3, 0.5, 0.7),
                   nms_vals=(0.1, 0.3),
                   refine_vals=(None, 0.55), extent_vals=(None, 0.75),
@@ -336,6 +339,9 @@ def main():
                    help="4-way rotation test-time augmentation: pool the "
                         "un-rotated candidates of all four 90-degree "
                         "forwards before the operating point is applied")
+    p.add_argument("--tta_reflect", action="store_true",
+                   help="also pool the x-mirrored copy of every TTA view "
+                        "(8-view dihedral pooling with --tta)")
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
@@ -351,7 +357,7 @@ def main():
     if args.calib_dir:
         cell = choose_cell(args.checkpoint, args.calib_dir, args.select,
                            args.batch_size, args.refine_furniture,
-                           tta=args.tta)
+                           tta=args.tta, tta_reflect=args.tta_reflect)
         cell["calibrated_on"] = args.calib_dir
         print(f"operating point from {args.calib_dir}: {cell}")
     else:
@@ -365,9 +371,11 @@ def main():
                 "consensus": args.consensus,
                 "top_k": args.top_k}
     cell["tta"] = args.tta
+    cell["tta_reflect"] = args.tta_reflect
 
     report = run(args.checkpoint, dirs, cell, args.bootstrap,
-                 args.refine_furniture, args.batch_size, tta=args.tta)
+                 args.refine_furniture, args.batch_size, tta=args.tta,
+                 tta_reflect=args.tta_reflect)
     agg = report["aggregate"]
     print(f"\n=== {len(report['captures'])} captures, "
           f"{agg['num_gt']} GT boxes, {agg['num_predictions']} predictions")

@@ -121,17 +121,25 @@ def test_tta_rotations_exact_for_covariant_model(tmp_path):
                         jnp.zeros((1, 64, 11)), jnp.ones((1, 64), bool))
 
     outs = {}
-    for tta in (False, True):
+    # the extent box also commutes with the x-mirror exactly, so every
+    # dihedral view (rotations, reflections, both) must collapse to the
+    # plain output under NMS
+    for tta, refl in ((False, False), (True, False), (False, True),
+                      (True, True)):
         pred = build_predictor(
             model, params, max_trace_len=64, confidence_threshold=0.1,
-            nms_threshold=0.3, tta_rotations=tta, verbose=False)
-        outs[tta] = pred(arr)
-    assert len(outs[False]) == 1 and len(outs[True]) == 1
-    a, b = outs[False][0], outs[True][0]
-    assert a["label"] == b["label"]
-    for key in ("center", "size"):
-        for ax in ("x", "y", "z"):
-            np.testing.assert_allclose(a[key][ax], b[key][ax], atol=1e-5)
+            nms_threshold=0.3, tta_rotations=tta, tta_reflect=refl,
+            verbose=False)
+        outs[(tta, refl)] = pred(arr)
+    assert all(len(v) == 1 for v in outs.values())
+    a = outs[(False, False)][0]
+    for b in (outs[(True, False)][0], outs[(False, True)][0],
+              outs[(True, True)][0]):
+        assert a["label"] == b["label"]
+        for key in ("center", "size"):
+            for ax in ("x", "y", "z"):
+                np.testing.assert_allclose(a[key][ax], b[key][ax],
+                                           atol=1e-5)
 
 
 def test_ensemble_checkpoint_pooling(tmp_path):
@@ -172,3 +180,18 @@ def test_ensemble_checkpoint_pooling(tmp_path):
     assert ens["pred_logits"].shape[1] == 2 * Q
     # gt/raw side untouched by pooling
     np.testing.assert_array_equal(ens["gt_boxes"], single["gt_boxes"])
+
+    # dihedral TTA pooling: 4 rotations x 2 mirrors = 8 views along the
+    # query axis; view order puts the un-mirrored k=0 view first, so the
+    # leading Q columns equal the plain forward
+    d8 = _forward_val_set(str(tmp_path / "a" / "best_model"),
+                          str(tmp_path / "data"), batch_size=4,
+                          tta=True, tta_reflect=True)
+    assert d8["pred_boxes"].shape[1] == 8 * Q
+    assert d8["pred_logits"].shape[1] == 8 * Q
+    np.testing.assert_allclose(d8["pred_boxes"][:, :Q],
+                               single["pred_boxes"], atol=1e-6)
+    refl_only = _forward_val_set(str(tmp_path / "a" / "best_model"),
+                                 str(tmp_path / "data"), batch_size=4,
+                                 tta=False, tta_reflect=True)
+    assert refl_only["pred_boxes"].shape[1] == 2 * Q
