@@ -239,3 +239,32 @@ def test_unrotate_boxes_inverts_rotate_sample(rng):
         back = unrotate_boxes(rot.boxes[None], jnp.asarray([k]))[0]
         np.testing.assert_allclose(
             np.asarray(back), np.asarray(s.boxes), atol=1e-6)
+
+
+def test_reflect_raw_involution_and_box_inverse(rng):
+    """reflect_raw is an involution on traces and unreflect_boxes is the
+    exact inverse of the induced box transform — the contract reflection
+    TTA (--tta_reflect) relies on. Mirroring a box across x = 0 flips
+    center x and keeps sizes, so GT boxes of a mirrored room are
+    unreflect_boxes of the originals."""
+    from room_slam_tpu.data.augment import reflect_raw, unreflect_boxes
+
+    s = _sample(rng)
+    np.testing.assert_array_equal(
+        np.asarray(reflect_raw(reflect_raw(s.raw))), np.asarray(s.raw))
+    mirrored = np.asarray(s.boxes).copy()
+    mirrored[:, 0] = -mirrored[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(unreflect_boxes(jnp.asarray(mirrored))),
+        np.asarray(s.boxes), atol=0)
+    # composes with rotation the way the TTA inverse applies them:
+    # view = rotate_k(reflect(trace)); boxes come back via
+    # unrotate_boxes -> unreflect_boxes
+    for k in range(4):
+        view = rotate_sample(s._replace(raw=reflect_raw(s.raw),
+                                        boxes=jnp.asarray(mirrored)),
+                             jnp.asarray(k))
+        back = unreflect_boxes(
+            unrotate_boxes(view.boxes[None], jnp.asarray([k]))[0])
+        np.testing.assert_allclose(np.asarray(back), np.asarray(s.boxes),
+                                   atol=1e-6)
