@@ -31,7 +31,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             consensus: bool = False,
             top_k: int | None = None,
             tta_rotations: bool = False,
-            tta_reflect: bool = False):
+            tta_reflect: bool = False,
+            fuse: bool = False):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
     room_slam_tpu.predictor.build_predictor (shared with the live UDP
@@ -43,7 +44,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         refine_trust=refine_trust, refine_furniture=refine_furniture,
         synth_walls=synth_walls,
         extent_slack=extent_slack, consensus=consensus, top_k=top_k,
-        tta_rotations=tta_rotations, tta_reflect=tta_reflect)
+        tta_rotations=tta_rotations, tta_reflect=tta_reflect, fuse=fuse)
     return predict_array(formats.load_trace_json(traces_file))
 
 
@@ -100,6 +101,11 @@ def main():
     parser.add_argument("--tta_reflect", action="store_true",
                         help="also pool the x-mirrored copy of every TTA "
                              "view (8-view dihedral pooling with --tta)")
+    parser.add_argument("--fuse", action="store_true",
+                        help="weighted box fusion: each kept detection "
+                             "becomes its NMS cluster's score-weighted "
+                             "mean (best with --tta/--tta_reflect or "
+                             "ensemble pooling)")
     args = parser.parse_args()
 
     print(f"Loading model from {args.checkpoint}")
@@ -115,7 +121,7 @@ def main():
         synth_walls=args.synth_walls,
         extent_slack=args.extent_slack, consensus=args.consensus,
         top_k=args.top_k, tta_rotations=args.tta,
-        tta_reflect=args.tta_reflect)
+        tta_reflect=args.tta_reflect, fuse=args.fuse)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -47,27 +47,48 @@ def nms_3d_with_counts(
     object they are sure about; the cluster size is a consensus vote that
     stays informative even when every softmax confidence saturates at 1.0,
     so it can re-rank detections for AP (see post_process consensus)."""
+    keep, counts, _ = nms_3d_fused(boxes, scores, mask, iou_threshold)
+    return keep, counts
+
+
+def nms_3d_fused(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    mask: jnp.ndarray,
+    iou_threshold: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS returning (keep, cluster counts, fused boxes).
+
+    ``fused[q]`` is the score-weighted mean of the boxes box q suppressed
+    (itself included) — weighted box fusion. With pooled multi-view (TTA)
+    or multi-checkpoint (ensemble) candidates, each object attracts a
+    cluster of near-identical boxes jittered around the truth; averaging
+    the cluster cancels per-view regression noise where keep-best cannot.
+    Rows not kept carry their original box."""
     Q = boxes.shape[0]
     iou = pairwise_iou_3d(boxes, boxes)
     neg_inf = jnp.finfo(scores.dtype).min
     order = jnp.argsort(jnp.where(mask, scores, neg_inf))[::-1]
 
     def body(i, carry):
-        keep, suppressed, counts = carry
+        keep, suppressed, counts, fused = carry
         idx = order[i]
         alive = (~suppressed[idx]) & mask[idx]
         keep = keep.at[idx].set(alive)
         sup = (iou[idx] >= iou_threshold) & alive & ~suppressed
         counts = counts.at[idx].set(
             jnp.where(alive, sup.sum(), 0).astype(jnp.int32))
-        return keep, suppressed | sup, counts
+        w = jnp.where(sup, scores, 0.0)
+        mean = (w @ boxes) / jnp.maximum(w.sum(), 1e-12)
+        fused = fused.at[idx].set(jnp.where(alive, mean, fused[idx]))
+        return keep, suppressed | sup, counts, fused
 
     keep = jnp.zeros((Q,), dtype=bool)
     suppressed = ~mask
     counts = jnp.zeros((Q,), dtype=jnp.int32)
-    keep, _, counts = jax.lax.fori_loop(
-        0, Q, body, (keep, suppressed, counts))
-    return keep, counts
+    keep, _, counts, fused = jax.lax.fori_loop(
+        0, Q, body, (keep, suppressed, counts, boxes))
+    return keep, counts, fused
 
 
 def post_process(
@@ -80,7 +101,9 @@ def post_process(
     objectness: jnp.ndarray | None = None,
     top_k: int | None = None,
     candidate_mask: jnp.ndarray | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    fuse: bool = False,
+    return_boxes: bool = False,
+):
     """Confidence filter + per-class NMS (ref: inference.py:130-170).
 
     Args:
@@ -106,10 +129,21 @@ def post_process(
         candidate_mask: optional [Q] bool pre-filter (e.g. extent
             suppression). Applied BEFORE NMS and top_k so an implausible
             box neither suppresses a real one nor consumes a top-K slot.
+        fuse: weighted box fusion — each kept detection's box becomes the
+            score-weighted mean of its NMS cluster (nms_3d_fused). Only
+            affects the boxes, so it requires ``return_boxes``; keep /
+            labels / ranking are untouched. Intended for pooled TTA /
+            ensemble candidates where the cluster jitters around the
+            true box.
+        return_boxes: also return the output boxes ([Q, 6]; fused when
+            ``fuse`` else the input boxes) as a fourth element.
 
     Returns:
-        (keep [Q] bool, labels [Q] int32, confidences [Q] float32).
+        (keep [Q] bool, labels [Q] int32, confidences [Q] float32)
+        [+ boxes [Q, 6] when ``return_boxes``].
     """
+    if fuse and not return_boxes:
+        raise ValueError("fuse=True changes boxes; pass return_boxes=True")
     probs = jax.nn.softmax(pred_logits, axis=-1)
     conf = jnp.max(probs, axis=-1)
     if objectness is not None:
@@ -120,12 +154,18 @@ def post_process(
         passed = passed & candidate_mask
 
     def per_class(c):
-        return nms_3d_with_counts(
+        return nms_3d_fused(
             pred_boxes, conf, passed & (labels == c), nms_threshold)
 
-    keep_per_class, counts_per_class = jax.vmap(per_class)(
-        jnp.arange(num_classes))  # [C, Q] each
+    keep_per_class, counts_per_class, fused_per_class = jax.vmap(per_class)(
+        jnp.arange(num_classes))  # [C, Q], [C, Q], [C, Q, 6]
     keep = jnp.any(keep_per_class, axis=0)
+    out_boxes = pred_boxes
+    if fuse:
+        # each box was kept by (at most) its own class's NMS pass
+        out_boxes = jnp.where(
+            keep[:, None], fused_per_class[labels, jnp.arange(labels.shape[0])],
+            pred_boxes)
     if consensus:
         counts = counts_per_class.sum(axis=0)  # one class kept each box
         conf = conf * counts / pred_boxes.shape[0]
@@ -136,4 +176,6 @@ def post_process(
         rank = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0]))
         keep = keep & (rank < top_k)
+    if return_boxes:
+        return keep, labels, conf, out_boxes
     return keep, labels, conf

@@ -57,6 +57,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     top_k: int | None = None,
                     tta_rotations: bool = False,
                     tta_reflect: bool = False,
+                    fuse: bool = False,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
 
@@ -145,12 +146,13 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                 boxes0, traces[0, :, :4],
                 jnp.sum(mask[0].astype(jnp.int32)), slack=extent_slack)
             cand = ~outside if cand is None else cand & ~outside
-        keep, labels, conf = post_process(
+        keep, labels, conf, boxes_out = post_process(
             boxes0, logits0,
             confidence_threshold=confidence_threshold,
             nms_threshold=nms_threshold, consensus=consensus, top_k=top_k,
-            objectness=obj0, candidate_mask=cand)
-        return boxes0, keep, labels, conf
+            objectness=obj0, candidate_mask=cand,
+            fuse=fuse, return_boxes=True)
+        return boxes_out, keep, labels, conf
 
     adapted_once = [False]
 

@@ -115,15 +115,18 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
 def sweep(cached: dict, thresholds, nms_vals, refine_vals,
           extent_vals=(None,), consensus_vals=(False,), top_k_vals=(None,),
           iou_thresholds=(0.5, 0.25), refine_furniture: bool = False,
-          trust_vals=(0.4,), synth_vals=(False,)) -> list:
+          trust_vals=(0.4,), synth_vals=(False,),
+          fuse_vals=(False,)) -> list:
     """Score every (threshold, nms, refine, trust, synth, extent,
-    consensus, top_k) cell from cached forwards.
+    consensus, top_k, fuse) cell from cached forwards.
 
     ``trust_vals`` sweeps refine_walls' max snap distance — under domain
     shift wall predictions drift well past the in-domain 0.4 m default
     (measured 0.6-0.97 m on the real val capture), so the window itself is
     an operating-point choice. ``synth_vals`` sweeps extent-implied wall
-    candidate injection (ops/refine.synthesize_walls)."""
+    candidate injection (ops/refine.synthesize_walls). ``fuse_vals``
+    sweeps weighted box fusion (ops/nms.nms_3d_fused) — each kept box
+    becomes its NMS cluster's score-weighted mean."""
     import jax
     import jax.numpy as jnp
 
@@ -153,18 +156,19 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         )(boxes, logits, obj, raw, length)
 
     @functools.partial(jax.jit, static_argnames=("consensus", "top_k",
-                                                 "has_obj"))
+                                                 "has_obj", "fuse"))
     def _post_all(boxes, logits, obj, thr, nms_thr, consensus=False,
-                  top_k=None, cand=None, has_obj=True):
+                  top_k=None, cand=None, has_obj=True, fuse=False):
         if not has_obj:
             return jax.vmap(lambda b, lg, cm: post_process(
                 b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
-                consensus=consensus, top_k=top_k, candidate_mask=cm)
+                consensus=consensus, top_k=top_k, candidate_mask=cm,
+                fuse=fuse, return_boxes=True)
             )(boxes, logits, cand)
         return jax.vmap(lambda b, lg, o, cm: post_process(
             b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
             consensus=consensus, top_k=top_k, objectness=o,
-            candidate_mask=cm)
+            candidate_mask=cm, fuse=fuse, return_boxes=True)
         )(boxes, logits, obj, cand)
 
     # (refine, trust, synth) -> (boxes, logits, objectness, base_valid)
@@ -211,9 +215,9 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         )(boxes, raw, length)
 
     results = []
-    for (rf, tr, sy), thr, nm, ext, cns, tk in itertools.product(
+    for (rf, tr, sy), thr, nm, ext, cns, tk, fu in itertools.product(
             variants, thresholds, nms_vals, extent_vals,
-            consensus_vals, top_k_vals):
+            consensus_vals, top_k_vals, fuse_vals):
         boxes, logits, obj, base_valid = variants[rf, tr, sy]
         if ext is None:
             cand = jnp.asarray(base_valid)
@@ -223,15 +227,15 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             cand = jnp.asarray(base_valid) & ~_outside_all(
                 jnp.asarray(boxes), jnp.asarray(cached["raw"]),
                 jnp.asarray(cached["length"]), jnp.float32(ext))
-        keep, labels, conf = (np.asarray(a) for a in _post_all(
+        keep, labels, conf, boxes = (np.asarray(a) for a in _post_all(
             jnp.asarray(boxes), jnp.asarray(logits),
             None if obj is None else jnp.asarray(obj),
             jnp.float32(thr), jnp.float32(nm), consensus=cns, top_k=tk,
-            cand=cand, has_obj=obj is not None))
+            cand=cand, has_obj=obj is not None, fuse=fu))
         img_ids, flat = np.nonzero(keep)
         cell = {"threshold": thr, "nms": nm, "refine": rf, "trust": tr,
                 "synth": sy, "extent": ext, "consensus": cns, "top_k": tk,
-                "num_predictions": int(keep.sum())}
+                "fuse": fu, "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
                 mAP, aps = average_precision_3d(
@@ -282,6 +286,11 @@ def main():
     p.add_argument("--top_k", default="none",
                    help="comma list of rank cutoffs (keep K best after "
                         "NMS); 'none' = absolute threshold only")
+    p.add_argument("--fuse", default="off",
+                   help="'off', 'on', or 'off,on' (alias 'both'): sweep "
+                        "weighted box fusion — kept boxes become their "
+                        "NMS cluster's score-weighted mean "
+                        "(ops/nms.nms_3d_fused)")
     p.add_argument("--refine_furniture", action="store_true",
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
@@ -324,6 +333,10 @@ def main():
         consensus_vals = [x == "on" for x in args.consensus.split(",")]
     top_k_vals = [None if x == "none" else int(x)
                   for x in args.top_k.split(",")]
+    if args.fuse == "both":
+        fuse_vals = [False, True]
+    else:
+        fuse_vals = [x == "on" for x in args.fuse.split(",")]
 
     cached = _forward_val_set(args.checkpoint, args.data_dir,
                               args.batch_size, tta=args.tta,
@@ -331,13 +344,15 @@ def main():
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
                     consensus_vals, top_k_vals,
                     refine_furniture=args.refine_furniture,
-                    trust_vals=trust_vals, synth_vals=synth_vals)
+                    trust_vals=trust_vals, synth_vals=synth_vals,
+                    fuse_vals=fuse_vals)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
               f"refine={c['refine']} trust={c['trust']} "
               f"synth={int(c['synth'])} extent={c['extent']} "
               f"cns={int(c['consensus'])} k={c['top_k']} "
+              f"fuse={int(c['fuse'])} "
               f"preds={c['num_predictions']:4d} "
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
     best = results[0]
@@ -354,7 +369,8 @@ def main():
                          [best["consensus"]], [best.get("top_k")],
                          refine_furniture=args.refine_furniture,
                          trust_vals=[best.get("trust", 0.4)],
-                         synth_vals=[best.get("synth", False)])[0]
+                         synth_vals=[best.get("synth", False)],
+                         fuse_vals=[best.get("fuse", False)])[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir
         print("held-out:", json.dumps(held_out, default=float))

@@ -108,19 +108,21 @@ def apply_operating_point(cached: dict, cell: dict,
            jnp.asarray(cached["length"]))
 
     def _post(b, lg, o, cm):
-        return post_process(
+        k, lb, cf, ob = post_process(
             b, lg, confidence_threshold=cell["threshold"],
             nms_threshold=cell["nms"], consensus=cell.get("consensus", False),
-            top_k=cell.get("top_k"), objectness=o, candidate_mask=cm)
+            top_k=cell.get("top_k"), objectness=o, candidate_mask=cm,
+            fuse=cell.get("fuse", False), return_boxes=True)
+        return k, lb, cf, ob
 
     if obj is None:
-        keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
-            lambda b, lg, cm: _post(b, lg, None, cm)))(
+        keep, labels, conf, boxes = (np.asarray(a) for a in jax.jit(
+            jax.vmap(lambda b, lg, cm: _post(b, lg, None, cm)))(
                 jnp.asarray(boxes), jnp.asarray(logits), cand))
     else:
-        keep, labels, conf = (np.asarray(a) for a in jax.jit(jax.vmap(
-            _post))(jnp.asarray(boxes), jnp.asarray(logits),
-                    jnp.asarray(obj), cand))
+        keep, labels, conf, boxes = (np.asarray(a) for a in jax.jit(
+            jax.vmap(_post))(jnp.asarray(boxes), jnp.asarray(logits),
+                             jnp.asarray(obj), cand))
     img, flat = np.nonzero(keep)
     return {"boxes": boxes[img, flat], "labels": labels[img, flat],
             "conf": conf[img, flat], "img": img}
@@ -331,6 +333,9 @@ def main():
     p.add_argument("--consensus", action="store_true")
     p.add_argument("--top_k", type=int, default=None,
                    help="keep only the K best detections after NMS")
+    p.add_argument("--fuse", action="store_true",
+                   help="weighted box fusion: kept boxes become their NMS "
+                        "cluster's score-weighted mean (ops/nms)")
     p.add_argument("--refine_furniture", action="store_true")
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
@@ -359,6 +364,7 @@ def main():
                            args.batch_size, args.refine_furniture,
                            tta=args.tta, tta_reflect=args.tta_reflect)
         cell["calibrated_on"] = args.calib_dir
+        cell.setdefault("fuse", args.fuse)
         print(f"operating point from {args.calib_dir}: {cell}")
     else:
         cell = {"threshold": args.threshold, "nms": args.nms,
@@ -369,7 +375,8 @@ def main():
                 "extent": None if args.extent == "none"
                 else float(args.extent),
                 "consensus": args.consensus,
-                "top_k": args.top_k}
+                "top_k": args.top_k,
+                "fuse": args.fuse}
     cell["tta"] = args.tta
     cell["tta_reflect"] = args.tta_reflect
 

@@ -181,3 +181,49 @@ def test_post_process_top_k():
         jnp.asarray(boxes), jnp.asarray(logits), confidence_threshold=0.0,
         nms_threshold=0.3, objectness=jnp.asarray(obj), top_k=50)
     assert np.asarray(keep_big).sum() == Q
+
+
+def test_weighted_box_fusion():
+    """nms_3d_fused: a kept box becomes the score-weighted mean of its
+    cluster; isolated boxes are untouched; keep/labels/conf from
+    post_process(fuse=True) are identical to the unfused call."""
+    import pytest
+
+    from room_slam_tpu.ops.nms import nms_3d_fused
+
+    # cluster of two overlapping boxes + one isolated box
+    boxes = jnp.asarray([
+        [0.0, 0.0, 0.0, 2.0, 2.0, 2.0],
+        [0.2, 0.0, 0.0, 2.0, 2.0, 2.0],   # IoU with first well above 0.3
+        [9.0, 0.0, 0.0, 1.0, 1.0, 1.0],
+    ])
+    scores = jnp.asarray([0.75, 0.25, 0.5])
+    mask = jnp.ones(3, bool)
+    keep, counts, fused = nms_3d_fused(boxes, scores, mask,
+                                       iou_threshold=0.3)
+    keep, counts, fused = (np.asarray(a) for a in (keep, counts, fused))
+    assert keep.tolist() == [True, False, True]
+    assert counts[0] == 2 and counts[2] == 1
+    want = (0.75 * np.asarray(boxes[0]) + 0.25 * np.asarray(boxes[1]))
+    np.testing.assert_allclose(fused[0], want, atol=1e-6)
+    np.testing.assert_allclose(fused[2], np.asarray(boxes[2]), atol=0)
+
+    # post_process contract: fuse only changes the returned boxes
+    logits = jnp.zeros((3, 4)).at[:, 1].set(4.0)
+    base = post_process(boxes, logits, confidence_threshold=0.0,
+                        nms_threshold=0.3)
+    k2, l2, c2, b2 = post_process(boxes, logits, confidence_threshold=0.0,
+                                  nms_threshold=0.3, fuse=True,
+                                  return_boxes=True)
+    for a, b in zip(base, (k2, l2, c2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # same-score cluster -> plain mean of the two boxes, carried by
+    # whichever of the pair the tie-break kept
+    kept = np.nonzero(np.asarray(k2))[0]
+    rep = [i for i in kept if i in (0, 1)]
+    assert len(rep) == 1
+    np.testing.assert_allclose(np.asarray(b2[rep[0]]),
+                               np.asarray((boxes[0] + boxes[1]) / 2),
+                               atol=1e-6)
+    with pytest.raises(ValueError):
+        post_process(boxes, logits, fuse=True)
