@@ -32,6 +32,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             top_k: int | None = None,
             tta_rotations: bool = False,
             tta_reflect: bool = False,
+            tta_scales: tuple = (),
             fuse: bool = False):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
@@ -44,7 +45,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         refine_trust=refine_trust, refine_furniture=refine_furniture,
         synth_walls=synth_walls,
         extent_slack=extent_slack, consensus=consensus, top_k=top_k,
-        tta_rotations=tta_rotations, tta_reflect=tta_reflect, fuse=fuse)
+        tta_rotations=tta_rotations, tta_reflect=tta_reflect,
+        tta_scales=tta_scales, fuse=fuse)
     return predict_array(formats.load_trace_json(traces_file))
 
 
@@ -101,6 +103,10 @@ def main():
     parser.add_argument("--tta_reflect", action="store_true",
                         help="also pool the x-mirrored copy of every TTA "
                              "view (8-view dihedral pooling with --tta)")
+    parser.add_argument("--tta_scales", default="",
+                        help="comma list of extra uniform scales to "
+                             "forward every TTA view at (boxes exactly "
+                             "unscaled before pooling)")
     parser.add_argument("--fuse", action="store_true",
                         help="weighted box fusion: each kept detection "
                              "becomes its NMS cluster's score-weighted "
@@ -121,7 +127,9 @@ def main():
         synth_walls=args.synth_walls,
         extent_slack=args.extent_slack, consensus=args.consensus,
         top_k=args.top_k, tta_rotations=args.tta,
-        tta_reflect=args.tta_reflect, fuse=args.fuse)
+        tta_reflect=args.tta_reflect,
+        tta_scales=tuple(float(x) for x in args.tta_scales.split(",") if x),
+        fuse=args.fuse)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -148,6 +148,21 @@ def unreflect_boxes(boxes: jnp.ndarray) -> jnp.ndarray:
     return boxes * jnp.asarray([-1.0, 1.0, 1.0, 1.0, 1.0, 1.0], boxes.dtype)
 
 
+def scale_raw(raw: jnp.ndarray, s) -> jnp.ndarray:
+    """Uniformly scale [..., 4] (x, y, z, t) trace positions by ``s``
+    (timestamps untouched) — the test-time twin of the training scale
+    augmentation (ref: dataloader.py:265-294, 0.8-1.2). The box inverse
+    (unscale_boxes) is exact: centers and sizes divide by ``s``."""
+    return raw * jnp.asarray([1.0, 1.0, 1.0, 0.0], raw.dtype) * s \
+        + raw * jnp.asarray([0.0, 0.0, 0.0, 1.0], raw.dtype)
+
+
+def unscale_boxes(boxes: jnp.ndarray, s) -> jnp.ndarray:
+    """Inverse box transform of scale_raw: all 6 box coordinates (center
+    and size) divide by ``s``."""
+    return boxes / s
+
+
 def rotate_sample(sample: Sample, k: jnp.ndarray) -> Sample:
     """Rotate trace + boxes around the Y axis by k * 90 degrees (k in 0..3).
 

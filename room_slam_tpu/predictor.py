@@ -57,6 +57,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     top_k: int | None = None,
                     tta_rotations: bool = False,
                     tta_reflect: bool = False,
+                    tta_scales: tuple = (),
                     fuse: bool = False,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
@@ -75,16 +76,22 @@ def build_predictor(model, params, max_trace_len: int = 3000,
     variance — a training-free transfer lever for unseen rooms.
     ``tta_reflect`` adds the x-mirrored copy of every view (the other
     half of the dihedral group D4): 8 views with ``tta_rotations``, 2
-    without."""
+    without. ``tta_scales`` (e.g. ``(0.9, 1.1)``) forwards every view at
+    those extra uniform scales, boxes exactly unscaled before pooling.
+    ``fuse`` replaces each kept box with its NMS cluster's score-weighted
+    mean (weighted box fusion, ops/nms.nms_3d_fused)."""
     import jax
 
     from room_slam_tpu.data.augment import unreflect_boxes, unrotate_boxes
 
-    # view v = rotate_k(reflect^m(trace)); row 0 is the capture frame
-    views = [(k, m) for m in ((0, 1) if tta_reflect else (0,))
+    # view v = rotate_k(reflect^m(scale_s(trace))); row 0 is the capture
+    # frame
+    views = [(k, m, s) for s in (1.0, *tta_scales)
+             for m in ((0, 1) if tta_reflect else (0,))
              for k in (range(4) if tta_rotations else (0,))]
-    view_ks = jnp.asarray([k for k, _ in views])
-    view_ms = jnp.asarray([bool(m) for _, m in views])
+    view_ks = jnp.asarray([k for k, _, _ in views])
+    view_ms = jnp.asarray([bool(m) for _, m, _ in views])
+    view_ss = jnp.asarray([s for _, _, s in views], jnp.float32)
 
     @jax.jit
     def run(params, traces, mask):
@@ -101,10 +108,11 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             out = model.apply(params, traces, deterministic=True)
         boxes_r = out["pred_boxes"]          # [R, Q, 6]
         Q = boxes_r.shape[1]
-        # inverse of the view transform: unrotate, then unreflect
+        # inverse of the view transform: unrotate, unreflect, unscale
         boxes_r = unrotate_boxes(boxes_r, view_ks)
         boxes_r = jnp.where(view_ms[:, None, None],
                             unreflect_boxes(boxes_r), boxes_r)
+        boxes_r = boxes_r / view_ss[:, None, None]
         boxes0 = boxes_r.reshape(R * Q, 6)
         out = dict(out)
         out["pred_classes"] = out["pred_classes"].reshape(R * Q, -1)[None]
@@ -168,17 +176,18 @@ def build_predictor(model, params, max_trace_len: int = 3000,
         rot_cos = [1.0, 0.0, -1.0, 0.0]
         rot_sin = [0.0, 1.0, 0.0, -1.0]
         feats_r, n = [], None
-        for k, m in views:
+        for k, m, sc in views:
             a = np.asarray(arr, np.float32)
-            if k or m:
-                # same convention as augment.rotate_sample /
-                # augment.reflect_raw: mirror first, then
+            if k or m or sc != 1.0:
+                # same convention as augment.scale_raw / reflect_raw /
+                # rotate_sample: scale, mirror, then
                 # x' = c x + s z ; z' = -s x + c z
                 c, s = rot_cos[k], rot_sin[k]
                 a = a.copy()
-                x0 = -arr[:, 0] if m else arr[:, 0]
-                a[:, 0], a[:, 2] = (c * x0 + s * arr[:, 2],
-                                    -s * x0 + c * arr[:, 2])
+                a[:, :3] *= sc
+                x0 = -a[:, 0] if m else a[:, 0]
+                z0 = a[:, 2].copy()
+                a[:, 0], a[:, 2] = c * x0 + s * z0, -s * x0 + c * z0
             f = process_traces_np(a, max_len=max_trace_len)  # [n, 11]
             in_feat = model_input_dim(params, default=f.shape[-1])
             if in_feat != f.shape[-1]:

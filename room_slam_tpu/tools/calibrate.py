@@ -27,7 +27,8 @@ import numpy as np
 
 
 def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
-                     tta: bool = False, tta_reflect: bool = False):
+                     tta: bool = False, tta_reflect: bool = False,
+                     tta_scales: tuple = ()):
     """One jitted forward over the whole val set; returns host arrays.
 
     ``tta``: forward each capture at all four 90-degree Y rotations and
@@ -37,6 +38,9 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     augmentation, same semantics as predictor.build_predictor).
     ``tta_reflect`` adds the x-mirrored copy of every view (the other
     half of the dihedral group D4): 8 views with ``tta``, 2 without.
+    ``tta_scales`` (e.g. ``(0.9, 1.1)``) additionally forwards every view
+    at those uniform scales (positions scaled, boxes exactly unscaled) —
+    the test-time twin of the training scale augmentation.
 
     ``checkpoint`` may be a comma-separated list: candidates from every
     checkpoint pool along the same query axis (seed ensembling — the
@@ -44,7 +48,8 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     it merges TTA rotations). All checkpoints must share a data config."""
     ckpts = [c for c in str(checkpoint).split(",") if c]
     if len(ckpts) > 1:
-        parts = [_forward_val_set(c, data_dir, batch_size, tta, tta_reflect)
+        parts = [_forward_val_set(c, data_dir, batch_size, tta, tta_reflect,
+                                  tta_scales)
                  for c in ckpts]
         out = dict(parts[0])
         for k in ("pred_boxes", "pred_logits", "pred_objectness"):
@@ -60,7 +65,8 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     import jax.numpy as jnp
 
     from room_slam_tpu.data.augment import (reflect_raw, rotate_raw,
-                                            unreflect_boxes, unrotate_boxes)
+                                            scale_raw, unreflect_boxes,
+                                            unrotate_boxes, unscale_boxes)
     from room_slam_tpu.data.dataset import TraceColliderArrays
     from room_slam_tpu.data.features import featurize
     from room_slam_tpu.train.driver import load_model_for_inference
@@ -76,10 +82,12 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     for batch in ds.epoch_batches(batch_size, shuffle=False):
         db = {k: jnp.asarray(v) for k, v in batch.items()}
         boxes_k, logits_k, obj_k = [], [], []
-        views = [(k, m) for m in ((0, 1) if tta_reflect else (0,))
+        views = [(k, m, s) for s in (1.0, *tta_scales)
+                 for m in ((0, 1) if tta_reflect else (0,))
                  for k in (range(4) if tta else (0,))]
-        for k, m in views:
-            raw_k = reflect_raw(db["raw"]) if m else db["raw"]
+        for k, m, s in views:
+            raw_k = scale_raw(db["raw"], s) if s != 1.0 else db["raw"]
+            raw_k = reflect_raw(raw_k) if m else raw_k
             raw_k = rotate_raw(raw_k, k) if k else raw_k
             feats, mask = featurize(raw_k, db["length"])
             out = fwd(params, feats, mask)
@@ -88,6 +96,8 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
                 b = unrotate_boxes(b, jnp.full(b.shape[0], k))
             if m:
                 b = unreflect_boxes(b)
+            if s != 1.0:
+                b = unscale_boxes(b, s)
             boxes_k.append(np.asarray(b))
             logits_k.append(np.asarray(out["pred_classes"]))
             if "pred_objectness" in out:
@@ -302,6 +312,10 @@ def main():
     p.add_argument("--tta_reflect", action="store_true",
                    help="also pool the x-mirrored copy of every TTA view "
                         "(8-view dihedral pooling with --tta)")
+    p.add_argument("--tta_scales", default="",
+                   help="comma list of extra uniform scales (e.g. "
+                        "'0.9,1.1') to forward every TTA view at; boxes "
+                        "are exactly unscaled before pooling")
     p.add_argument("--output", default=None)
     p.add_argument("--eval_dir", default=None,
                    help="honest protocol: choose the best cell on "
@@ -338,9 +352,11 @@ def main():
     else:
         fuse_vals = [x == "on" for x in args.fuse.split(",")]
 
+    tta_scales = tuple(float(x) for x in args.tta_scales.split(",") if x)
     cached = _forward_val_set(args.checkpoint, args.data_dir,
                               args.batch_size, tta=args.tta,
-                              tta_reflect=args.tta_reflect)
+                              tta_reflect=args.tta_reflect,
+                              tta_scales=tta_scales)
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
                     consensus_vals, top_k_vals,
                     refine_furniture=args.refine_furniture,
@@ -363,7 +379,8 @@ def main():
         # selection bias)
         eval_cached = _forward_val_set(args.checkpoint, args.eval_dir,
                                        args.batch_size, tta=args.tta,
-                                       tta_reflect=args.tta_reflect)
+                                       tta_reflect=args.tta_reflect,
+                                       tta_scales=tta_scales)
         held_out = sweep(eval_cached, [best["threshold"]], [best["nms"]],
                          [best["refine"]], [best["extent"]],
                          [best["consensus"]], [best.get("top_k")],

@@ -36,13 +36,15 @@ IOU_THRESHOLDS = (0.25, 0.5)
 
 
 def forward_captures(checkpoint: str, dirs, batch_size: int = 8,
-                     tta: bool = False, tta_reflect: bool = False) -> dict:
+                     tta: bool = False, tta_reflect: bool = False,
+                     tta_scales: tuple = ()) -> dict:
     """Cached forwards over every capture of every directory, concatenated.
     Requires all dirs to exist; capture names are prefixed by room."""
     from room_slam_tpu.tools.calibrate import _forward_val_set
 
     parts = [_forward_val_set(checkpoint, d, batch_size, tta=tta,
-                              tta_reflect=tta_reflect)
+                              tta_reflect=tta_reflect,
+                              tta_scales=tta_scales)
              for d in dirs]
     out = {}
     for k in parts[0]:
@@ -236,9 +238,11 @@ def _pool_metrics(per_cap: list, caps: np.ndarray) -> dict:
 
 def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
         refine_furniture: bool = False, batch_size: int = 8,
-        seed: int = 0, tta: bool = False, tta_reflect: bool = False) -> dict:
+        seed: int = 0, tta: bool = False, tta_reflect: bool = False,
+        tta_scales: tuple = ()) -> dict:
     cached = forward_captures(checkpoint, dirs, batch_size, tta=tta,
-                              tta_reflect=tta_reflect)
+                              tta_reflect=tta_reflect,
+                              tta_scales=tta_scales)
     dets = apply_operating_point(cached, cell, refine_furniture)
     n_img = cached["pred_boxes"].shape[0]
     g_img, g_flat = np.nonzero(cached["gt_valid"])
@@ -286,7 +290,8 @@ def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
 
 def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
                 batch_size: int = 8, refine_furniture: bool = False,
-                tta: bool = False, tta_reflect: bool = False) -> dict:
+                tta: bool = False, tta_reflect: bool = False,
+                tta_scales: tuple = ()) -> dict:
     """Sweep the calibration grid on a held-out directory; return the best
     cell by ``select`` (calibrate-on-A, score-on-B). ``tta``/``tta_reflect``
     must match the scoring run: a cell chosen on single-forward candidates
@@ -294,7 +299,8 @@ def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
     from room_slam_tpu.tools.calibrate import _forward_val_set, sweep
 
     cached = _forward_val_set(checkpoint, calib_dir, batch_size, tta=tta,
-                              tta_reflect=tta_reflect)
+                              tta_reflect=tta_reflect,
+                              tta_scales=tta_scales)
     cells = sweep(cached, thresholds=(0.0, 0.3, 0.5, 0.7),
                   nms_vals=(0.1, 0.3),
                   refine_vals=(None, 0.55), extent_vals=(None, 0.75),
@@ -347,6 +353,9 @@ def main():
     p.add_argument("--tta_reflect", action="store_true",
                    help="also pool the x-mirrored copy of every TTA view "
                         "(8-view dihedral pooling with --tta)")
+    p.add_argument("--tta_scales", default="",
+                   help="comma list of extra uniform scales to forward "
+                        "every TTA view at (boxes exactly unscaled)")
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
@@ -359,10 +368,12 @@ def main():
     if missing:
         raise SystemExit(f"capture directories not found: {missing}")
 
+    tta_scales = tuple(float(x) for x in args.tta_scales.split(",") if x)
     if args.calib_dir:
         cell = choose_cell(args.checkpoint, args.calib_dir, args.select,
                            args.batch_size, args.refine_furniture,
-                           tta=args.tta, tta_reflect=args.tta_reflect)
+                           tta=args.tta, tta_reflect=args.tta_reflect,
+                           tta_scales=tta_scales)
         cell["calibrated_on"] = args.calib_dir
         cell.setdefault("fuse", args.fuse)
         print(f"operating point from {args.calib_dir}: {cell}")
@@ -379,10 +390,12 @@ def main():
                 "fuse": args.fuse}
     cell["tta"] = args.tta
     cell["tta_reflect"] = args.tta_reflect
+    if tta_scales:
+        cell["tta_scales"] = list(tta_scales)
 
     report = run(args.checkpoint, dirs, cell, args.bootstrap,
                  args.refine_furniture, args.batch_size, tta=args.tta,
-                 tta_reflect=args.tta_reflect)
+                 tta_reflect=args.tta_reflect, tta_scales=tta_scales)
     agg = report["aggregate"]
     print(f"\n=== {len(report['captures'])} captures, "
           f"{agg['num_gt']} GT boxes, {agg['num_predictions']} predictions")

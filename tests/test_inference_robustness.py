@@ -94,15 +94,22 @@ def test_tta_rotations_exact_for_covariant_model(tmp_path):
         def __call__(self, feats, mask, deterministic=True):
             # feature columns 0..3 are the raw (x, y, z, t) trace
             big = jnp.asarray(1e9, feats.dtype)
-            x, z = feats[..., 0], feats[..., 2]
+            x, y, z = feats[..., 0], feats[..., 1], feats[..., 2]
             xmin = jnp.min(jnp.where(mask, x, big), axis=1)
             xmax = jnp.max(jnp.where(mask, x, -big), axis=1)
             zmin = jnp.min(jnp.where(mask, z, big), axis=1)
             zmax = jnp.max(jnp.where(mask, z, -big), axis=1)
+            ymean = jnp.sum(jnp.where(mask, y, 0.0), axis=1) / \
+                jnp.sum(mask, axis=1)
+            # every coordinate is linear in the trace AND the y size is
+            # rotation-invariant ((x+z)/2 extent), so the box commutes
+            # exactly with rotation, mirror, and uniform scaling (a
+            # constant y size would break scale covariance; a bare x
+            # extent would break rotation covariance)
             box = jnp.stack([
-                (xmin + xmax) / 2, jnp.ones_like(xmin) * 0.5,
-                (zmin + zmax) / 2,
-                xmax - xmin, jnp.ones_like(xmin), zmax - zmin], axis=-1)
+                (xmin + xmax) / 2, ymean, (zmin + zmax) / 2,
+                xmax - xmin, (xmax - xmin + zmax - zmin) / 2,
+                zmax - zmin], axis=-1)
             boxes = jnp.repeat(box[:, None], self.num_queries, axis=1)
             logits = jnp.zeros((*boxes.shape[:2], 4)).at[..., 0].set(5.0)
             # unused param so init_params-style flows have a tree to carry
@@ -121,20 +128,22 @@ def test_tta_rotations_exact_for_covariant_model(tmp_path):
                         jnp.zeros((1, 64, 11)), jnp.ones((1, 64), bool))
 
     outs = {}
-    # the extent box also commutes with the x-mirror exactly, so every
-    # dihedral view (rotations, reflections, both) must collapse to the
-    # plain output under NMS
-    for tta, refl in ((False, False), (True, False), (False, True),
-                      (True, True)):
+    # the extent box also commutes with the x-mirror and with uniform
+    # scaling exactly, so every view family (rotations, reflections,
+    # scales, all combined) must collapse to the plain output under NMS
+    cases = ((False, False, ()), (True, False, ()), (False, True, ()),
+             (True, True, ()), (False, False, (0.9, 1.1)),
+             (True, True, (0.9, 1.1)))
+    for tta, refl, scales in cases:
         pred = build_predictor(
             model, params, max_trace_len=64, confidence_threshold=0.1,
             nms_threshold=0.3, tta_rotations=tta, tta_reflect=refl,
-            verbose=False)
-        outs[(tta, refl)] = pred(arr)
+            tta_scales=scales, verbose=False)
+        outs[(tta, refl, scales)] = pred(arr)
     assert all(len(v) == 1 for v in outs.values())
-    a = outs[(False, False)][0]
-    for b in (outs[(True, False)][0], outs[(False, True)][0],
-              outs[(True, True)][0]):
+    a = outs[cases[0]][0]
+    for case in cases[1:]:
+        b = outs[case][0]
         assert a["label"] == b["label"]
         for key in ("center", "size"):
             for ax in ("x", "y", "z"):
@@ -195,3 +204,9 @@ def test_ensemble_checkpoint_pooling(tmp_path):
                                  str(tmp_path / "data"), batch_size=4,
                                  tta=False, tta_reflect=True)
     assert refl_only["pred_boxes"].shape[1] == 2 * Q
+    # scale views multiply the count: (1 + len(scales)) x mirrors
+    scaled = _forward_val_set(str(tmp_path / "a" / "best_model"),
+                              str(tmp_path / "data"), batch_size=4,
+                              tta=False, tta_reflect=True,
+                              tta_scales=(0.9, 1.1))
+    assert scaled["pred_boxes"].shape[1] == 6 * Q
