@@ -22,13 +22,23 @@ import argparse
 import functools
 import itertools
 import json
+from pathlib import Path
 
 import numpy as np
 
 
+def window_fractions(n_windows: int, overlap: float = 0.1) -> list:
+    """``n_windows`` overlapping (start, end) fractions covering [0, 1]."""
+    if n_windows < 2:
+        return []
+    width = (1.0 + overlap * (n_windows - 1)) / n_windows
+    step = (1.0 - width) / (n_windows - 1)
+    return [(i * step, i * step + width) for i in range(n_windows)]
+
+
 def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
                      tta: bool = False, tta_reflect: bool = False,
-                     tta_scales: tuple = ()):
+                     tta_scales: tuple = (), tta_windows: int = 0):
     """One jitted forward over the whole val set; returns host arrays.
 
     ``tta``: forward each capture at all four 90-degree Y rotations and
@@ -41,6 +51,15 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     ``tta_scales`` (e.g. ``(0.9, 1.1)``) additionally forwards every view
     at those uniform scales (positions scaled, boxes exactly unscaled) —
     the test-time twin of the training scale augmentation.
+    ``tta_windows`` (>= 2): additionally forward that many overlapping
+    temporal windows of each capture, each RE-DOWNSAMPLED FROM THE
+    FULL-RESOLUTION trace file. A real capture can be 3k-41k points
+    decimated to max_trace_len, so unlike the geometric views a window
+    is not a resampling of the same information — it restores up to
+    ``n_windows``x temporal resolution over its span. Window candidates
+    pool along the query axis like every other view (same frame: no
+    geometric inverse needed); the cached ``raw`` stays the full-trace
+    view so refine/extent post-passes see the whole walk.
 
     ``checkpoint`` may be a comma-separated list: candidates from every
     checkpoint pool along the same query axis (seed ensembling — the
@@ -49,7 +68,7 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     ckpts = [c for c in str(checkpoint).split(",") if c]
     if len(ckpts) > 1:
         parts = [_forward_val_set(c, data_dir, batch_size, tta, tta_reflect,
-                                  tta_scales)
+                                  tta_scales, tta_windows)
                  for c in ckpts]
         out = dict(parts[0])
         for k in ("pred_boxes", "pred_logits", "pred_objectness"):
@@ -76,32 +95,60 @@ def _forward_val_set(checkpoint: str, data_dir: str, batch_size: int,
     ds = TraceColliderArrays(data_dir, cfg.data, augment=False, verbose=False)
     fwd = make_forward(model)
 
+    # full-resolution temporal windows as extra input variants
+    variants = [ds]
+    if tta_windows >= 2:
+        import copy
+
+        from room_slam_tpu.data import formats
+
+        L = cfg.data.max_trace_len
+        pairs = formats.find_data_pairs(Path(data_dir))
+        fulls = [formats.sort_by_time(formats.load_trace_json(t))
+                 for t, _ in pairs]
+        for f0, f1 in window_fractions(tta_windows):
+            ds_w = copy.copy(ds)
+            ds_w.raw = np.zeros_like(ds.raw)
+            ds_w.length = np.zeros_like(ds.length)
+            for i, arr in enumerate(fulls):
+                lo = int(f0 * arr.shape[0])
+                hi = max(int(f1 * arr.shape[0]), lo + 1)
+                win = formats.linspace_downsample(arr[lo:hi], L)
+                ds_w.raw[i, : win.shape[0]] = win
+                ds_w.length[i] = max(win.shape[0], 1)
+            variants.append(ds_w)
+
+    geom_views = [(k, m, s) for s in (1.0, *tta_scales)
+                  for m in ((0, 1) if tta_reflect else (0,))
+                  for k in (range(4) if tta else (0,))]
+
     rows = {k: [] for k in ("pred_boxes", "pred_logits", "raw", "length",
                             "gt_boxes", "gt_labels", "gt_valid")}
     names: list = []
-    for batch in ds.epoch_batches(batch_size, shuffle=False):
-        db = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch_iters = [v.epoch_batches(batch_size, shuffle=False)
+                   for v in variants]
+    for batches in zip(*batch_iters):
         boxes_k, logits_k, obj_k = [], [], []
-        views = [(k, m, s) for s in (1.0, *tta_scales)
-                 for m in ((0, 1) if tta_reflect else (0,))
-                 for k in (range(4) if tta else (0,))]
-        for k, m, s in views:
-            raw_k = scale_raw(db["raw"], s) if s != 1.0 else db["raw"]
-            raw_k = reflect_raw(raw_k) if m else raw_k
-            raw_k = rotate_raw(raw_k, k) if k else raw_k
-            feats, mask = featurize(raw_k, db["length"])
-            out = fwd(params, feats, mask)
-            b = out["pred_boxes"]
-            if k:
-                b = unrotate_boxes(b, jnp.full(b.shape[0], k))
-            if m:
-                b = unreflect_boxes(b)
-            if s != 1.0:
-                b = unscale_boxes(b, s)
-            boxes_k.append(np.asarray(b))
-            logits_k.append(np.asarray(out["pred_classes"]))
-            if "pred_objectness" in out:
-                obj_k.append(np.asarray(out["pred_objectness"]))
+        for batch_v in batches:
+            db = {k: jnp.asarray(v) for k, v in batch_v.items()}
+            for k, m, s in geom_views:
+                raw_k = scale_raw(db["raw"], s) if s != 1.0 else db["raw"]
+                raw_k = reflect_raw(raw_k) if m else raw_k
+                raw_k = rotate_raw(raw_k, k) if k else raw_k
+                feats, mask = featurize(raw_k, db["length"])
+                out = fwd(params, feats, mask)
+                b = out["pred_boxes"]
+                if k:
+                    b = unrotate_boxes(b, jnp.full(b.shape[0], k))
+                if m:
+                    b = unreflect_boxes(b)
+                if s != 1.0:
+                    b = unscale_boxes(b, s)
+                boxes_k.append(np.asarray(b))
+                logits_k.append(np.asarray(out["pred_classes"]))
+                if "pred_objectness" in out:
+                    obj_k.append(np.asarray(out["pred_objectness"]))
+        batch = batches[0]  # full-trace variant: raw/length/gt/weights
         keepers = np.where(batch["weight"] != 0)[0]
         rows["pred_boxes"].append(
             np.concatenate(boxes_k, axis=1)[keepers])
@@ -316,6 +363,11 @@ def main():
                    help="comma list of extra uniform scales (e.g. "
                         "'0.9,1.1') to forward every TTA view at; boxes "
                         "are exactly unscaled before pooling")
+    p.add_argument("--tta_windows", type=int, default=0,
+                   help=">= 2: also forward that many overlapping "
+                        "temporal windows re-downsampled from the "
+                        "FULL-RESOLUTION trace files (restores detail "
+                        "long captures lose to decimation)")
     p.add_argument("--output", default=None)
     p.add_argument("--eval_dir", default=None,
                    help="honest protocol: choose the best cell on "
@@ -356,7 +408,8 @@ def main():
     cached = _forward_val_set(args.checkpoint, args.data_dir,
                               args.batch_size, tta=args.tta,
                               tta_reflect=args.tta_reflect,
-                              tta_scales=tta_scales)
+                              tta_scales=tta_scales,
+                              tta_windows=args.tta_windows)
     results = sweep(cached, thresholds, nms_vals, refine_vals, extent_vals,
                     consensus_vals, top_k_vals,
                     refine_furniture=args.refine_furniture,
@@ -380,7 +433,8 @@ def main():
         eval_cached = _forward_val_set(args.checkpoint, args.eval_dir,
                                        args.batch_size, tta=args.tta,
                                        tta_reflect=args.tta_reflect,
-                                       tta_scales=tta_scales)
+                                       tta_scales=tta_scales,
+                                       tta_windows=args.tta_windows)
         held_out = sweep(eval_cached, [best["threshold"]], [best["nms"]],
                          [best["refine"]], [best["extent"]],
                          [best["consensus"]], [best.get("top_k")],

@@ -37,14 +37,15 @@ IOU_THRESHOLDS = (0.25, 0.5)
 
 def forward_captures(checkpoint: str, dirs, batch_size: int = 8,
                      tta: bool = False, tta_reflect: bool = False,
-                     tta_scales: tuple = ()) -> dict:
+                     tta_scales: tuple = (), tta_windows: int = 0) -> dict:
     """Cached forwards over every capture of every directory, concatenated.
     Requires all dirs to exist; capture names are prefixed by room."""
     from room_slam_tpu.tools.calibrate import _forward_val_set
 
     parts = [_forward_val_set(checkpoint, d, batch_size, tta=tta,
                               tta_reflect=tta_reflect,
-                              tta_scales=tta_scales)
+                              tta_scales=tta_scales,
+                              tta_windows=tta_windows)
              for d in dirs]
     out = {}
     for k in parts[0]:
@@ -239,10 +240,11 @@ def _pool_metrics(per_cap: list, caps: np.ndarray) -> dict:
 def run(checkpoint: str, dirs, cell: dict, bootstrap: int = 2000,
         refine_furniture: bool = False, batch_size: int = 8,
         seed: int = 0, tta: bool = False, tta_reflect: bool = False,
-        tta_scales: tuple = ()) -> dict:
+        tta_scales: tuple = (), tta_windows: int = 0) -> dict:
     cached = forward_captures(checkpoint, dirs, batch_size, tta=tta,
                               tta_reflect=tta_reflect,
-                              tta_scales=tta_scales)
+                              tta_scales=tta_scales,
+                              tta_windows=tta_windows)
     dets = apply_operating_point(cached, cell, refine_furniture)
     n_img = cached["pred_boxes"].shape[0]
     g_img, g_flat = np.nonzero(cached["gt_valid"])
@@ -356,6 +358,10 @@ def main():
     p.add_argument("--tta_scales", default="",
                    help="comma list of extra uniform scales to forward "
                         "every TTA view at (boxes exactly unscaled)")
+    p.add_argument("--tta_windows", type=int, default=0,
+                   help=">= 2: pool that many overlapping full-resolution "
+                        "temporal windows of each capture (restores "
+                        "detail long captures lose to decimation)")
     p.add_argument("--output", default=None)
     args = p.parse_args()
 
@@ -392,10 +398,13 @@ def main():
     cell["tta_reflect"] = args.tta_reflect
     if tta_scales:
         cell["tta_scales"] = list(tta_scales)
+    if args.tta_windows:
+        cell["tta_windows"] = args.tta_windows
 
     report = run(args.checkpoint, dirs, cell, args.bootstrap,
                  args.refine_furniture, args.batch_size, tta=args.tta,
-                 tta_reflect=args.tta_reflect, tta_scales=tta_scales)
+                 tta_reflect=args.tta_reflect, tta_scales=tta_scales,
+                 tta_windows=args.tta_windows)
     agg = report["aggregate"]
     print(f"\n=== {len(report['captures'])} captures, "
           f"{agg['num_gt']} GT boxes, {agg['num_predictions']} predictions")

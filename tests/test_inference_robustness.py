@@ -210,3 +210,19 @@ def test_ensemble_checkpoint_pooling(tmp_path):
                               tta=False, tta_reflect=True,
                               tta_scales=(0.9, 1.1))
     assert scaled["pred_boxes"].shape[1] == 6 * Q
+
+    # temporal windows are extra input variants: full + 2 windows -> 3Q,
+    # with the full-trace candidates leading; cached raw stays full-trace
+    from room_slam_tpu.tools.calibrate import window_fractions
+
+    assert window_fractions(1) == []
+    fr = window_fractions(2)
+    assert len(fr) == 2 and fr[0][0] == 0.0 and fr[1][1] == 1.0
+    assert fr[0][1] > fr[1][0]  # overlap
+    win = _forward_val_set(str(tmp_path / "a" / "best_model"),
+                           str(tmp_path / "data"), batch_size=4,
+                           tta_windows=2)
+    assert win["pred_boxes"].shape[1] == 3 * Q
+    np.testing.assert_array_equal(win["pred_boxes"][:, :Q],
+                                  single["pred_boxes"])
+    np.testing.assert_array_equal(win["raw"], single["raw"])
