@@ -248,7 +248,22 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True,
         "weight": jnp.ones((B,), jnp.float32),
     }
     key = jax.random.key(0)
-    flops = _step_flops(train_step, state, batch, key)
+    if accum > 1:
+        # XLA cost analysis counts a lax.scan body ONCE, so the accumulated
+        # step's fwd/bwd FLOPs would be undercounted by the accum factor.
+        # Probe an accum=1 step at the microbatch size and scale; the only
+        # error is the optimizer update counted accum x instead of once
+        # (~n_params FLOPs, negligible vs the TFLOP-scale fwd/bwd).
+        mb = B // accum
+        cfg1 = ExperimentConfig(
+            data=cfg.data, model=cfg.model,
+            train=TrainConfig(batch_size=mb, grad_accum=1))
+        step1 = make_train_step(model, tx, cfg1, augment=True)
+        sl = {k: v[:mb] for k, v in batch.items()}
+        f1 = _step_flops(step1, state, sl, key)
+        flops = accum * f1 if f1 else None
+    else:
+        flops = _step_flops(train_step, state, batch, key)
     for _ in range(3):
         key, sub = jax.random.split(key)
         state, losses = train_step(state, batch, sub)
