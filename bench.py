@@ -181,6 +181,7 @@ def bench_headline(profile=None):
 #   f32 streams, batch-major kernels        10.1% (round 2)
 #   bf16 streams (mixed precision)          16.4%
 #   time-major kernel blocks + 128-row tile 27.0%  (192-197 ms/step)
+#   rbg step PRNG (augment noise + dropout) 30.2%  (172 ms/step)
 # Device ceilings measured with readback-synced probes (the axon tunnel's
 # block_until_ready returns before remote completion, and it memoizes
 # identical (executable, input) dispatches — time with fresh inputs and a
@@ -226,7 +227,8 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True,
         model=ModelConfig(
             model_type="bigru", d_model=512, num_queries=M,
             compute_dtype="bfloat16" if bf16_stream else "float32"),
-        train=TrainConfig(batch_size=B, grad_accum=accum),
+        train=TrainConfig(batch_size=B, grad_accum=accum,
+                          rng_impl="rbg"),
     )
     model = build_model(cfg.model)
     params = init_params(model, cfg.model, seq_len=256, batch=B)
@@ -247,7 +249,11 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True,
         "rotation_k": jnp.zeros((B,), jnp.int32),
         "weight": jnp.ones((B,), jnp.float32),
     }
-    key = jax.random.key(0)
+    # rbg PRNG for the step key: augmentation noise + dropout masks over
+    # [B, 5000, 512]-sized activations make threefry a measured ~13% of
+    # the step (197 -> 170 ms at batch 128); matches train.rng_impl above
+    # so the measured step is exactly what the trainer runs.
+    key = jax.random.key(0, impl=cfg.train.rng_impl)
     if accum > 1:
         # XLA cost analysis counts a lax.scan body ONCE, so the accumulated
         # step's fwd/bwd FLOPs would be undercounted by the accum factor.
@@ -283,6 +289,7 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True,
         "batch": B,
         "grad_accum": accum,
         "stream_dtype": cfg.model.compute_dtype,
+        "rng_impl": cfg.train.rng_impl,
         "unit": "traces/sec",
         "vs_baseline": None,
         "ms_per_step": round(dt / n * 1000, 1),

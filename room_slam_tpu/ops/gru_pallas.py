@@ -49,7 +49,11 @@ def _gru_fwd_kernel(w_ref, b_ref, xg_ref, ys_ref, gates_ref, hn_ref,
     b = b_ref[:]
     H = hidden
     for t in range(chunk):
-        hg = jnp.dot(h_s[:], w, preferred_element_type=jnp.float32) + b
+        # w arrives in the stream dtype (bf16 in mixed-precision mode):
+        # casting the f32 carry to match runs the dot on the MXU's native
+        # bf16 path (~4x the f32 issue rate) with f32 accumulation.
+        hg = jnp.dot(h_s[:].astype(w.dtype), w,
+                     preferred_element_type=jnp.float32) + b
         g = xg_ref[t].astype(jnp.float32)
         r = jax.nn.sigmoid(g[:, :H] + hg[:, :H])
         z = jax.nn.sigmoid(g[:, H:2 * H] + hg[:, H:2 * H])
@@ -93,7 +97,8 @@ def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
         dhn_ref[t] = dhn.astype(dhn_ref.dtype)
         dgates_hh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
         dh_s[:] = dh_t * z + jnp.dot(
-            dgates_hh, wt, preferred_element_type=jnp.float32)
+            dgates_hh.astype(wt.dtype), wt,
+            preferred_element_type=jnp.float32)
 
 
 @functools.partial(
@@ -123,6 +128,10 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
                            memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((bb, H), jnp.float32)]
     b2d = b_hh.reshape(1, H3)
+    # Recurrence weights travel in the stream dtype so the in-kernel dot
+    # uses the MXU bf16 path in mixed-precision mode (f32 accumulate; the
+    # f32 path is bit-identical to before).
+    w_in = w_hh if xg.dtype == jnp.float32 else w_hh.astype(xg.dtype)
     if save_residuals:
         ys, gates, hn = pl.pallas_call(
             kernel,
@@ -142,7 +151,7 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
             ],
             scratch_shapes=scratch,
             interpret=interpret,
-        )(w_hh, b2d, xg_t)
+        )(w_in, b2d, xg_t)
         return (jnp.swapaxes(ys[:N0, :B], 0, 1), gates[:N0, :B],
                 hn[:N0, :B])
 
@@ -157,7 +166,7 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((N, Bp, H), xg.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(w_hh, b2d, xg_t)
+    )(w_in, b2d, xg_t)
     return jnp.swapaxes(ys[:N0, :B], 0, 1), None, None
 
 
@@ -201,7 +210,8 @@ def _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys, interpret: bool = False,
         ],
         scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(w_hh.T), gates, hn, h_prev, dys)
+    )(jnp.asarray(w_hh.T).astype(hn.dtype) if hn.dtype != jnp.float32
+      else jnp.asarray(w_hh.T), gates, hn, h_prev, dys)
     return dxg[:N0, :B], dhn[:N0, :B]
 
 
@@ -283,7 +293,9 @@ def _bigru_fwd_kernel(wf_ref, bf_ref, wb_ref, bb_ref, xgf_ref, xgb_ref,
     H = hidden
 
     def cell(w, b, g, h):
-        hg = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        # stream-dtype w -> MXU bf16 path in mixed precision (f32 accum)
+        hg = jnp.dot(h.astype(w.dtype), w,
+                     preferred_element_type=jnp.float32) + b
         r = jax.nn.sigmoid(g[:, :H] + hg[:, :H])
         z = jax.nn.sigmoid(g[:, H:2 * H] + hg[:, H:2 * H])
         hn = hg[:, 2 * H:]
@@ -336,7 +348,8 @@ def _bigru_bwd_kernel(wtf_ref, wtb_ref, gf_ref, hnf_ref, hpf_ref, dyf_ref,
         dr_pre = dr * r * (1.0 - r)
         dgates_hh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
         dh_out = dh_t * z + jnp.dot(
-            dgates_hh, wt, preferred_element_type=jnp.float32)
+            dgates_hh.astype(wt.dtype), wt,
+            preferred_element_type=jnp.float32)
         return dr_pre, dz_pre, dn_pre, dhn, dh_out
 
     wtf, wtb = wtf_ref[:], wtb_ref[:]
@@ -392,6 +405,8 @@ def _bigru_fwd_pallas(xgf, xgb, w_f, b_f, w_b, b_b,
     in_specs = [wspec, bspec, wspec, bspec, xspec, xspec]
     scratch = [pltpu.VMEM((bb, H), jnp.float32),
                pltpu.VMEM((bb, H), jnp.float32)]
+    if xgf.dtype != jnp.float32:
+        w_f, w_b = w_f.astype(xgf.dtype), w_b.astype(xgf.dtype)
     args = (w_f, b_f.reshape(1, H3), w_b, b_b.reshape(1, H3), xgf_t, xgb_t)
     if save_residuals:
         outs = pl.pallas_call(
@@ -474,7 +489,10 @@ def _bigru_bwd_pallas(w_f, w_b, gf, hnf, hpf, dyf, gb, hnb, hpb, dyb,
         scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32),
                         pltpu.VMEM((bb, H), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(w_f.T), jnp.asarray(w_b.T), pads[0], pads[1], pads[2],
+    )(jnp.asarray(w_f.T).astype(hnf.dtype) if hnf.dtype != jnp.float32
+      else jnp.asarray(w_f.T),
+      jnp.asarray(w_b.T).astype(hnf.dtype) if hnf.dtype != jnp.float32
+      else jnp.asarray(w_b.T), pads[0], pads[1], pads[2],
       dyf, padsb[0], padsb[1], padsb[2], dyb)
     return dxf[:N0, :B], dhnf[:N0, :B], dxb[:N0, :B], dhnb[:N0, :B]
 

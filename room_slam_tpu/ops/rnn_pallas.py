@@ -118,8 +118,9 @@ def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
     w = w_ref[:]
     H = hidden
     for t in range(chunk):
+        # stream-dtype w -> MXU bf16 path in mixed precision (f32 accum)
         g = xg_ref[t].astype(jnp.float32) + jnp.dot(
-            h_s[:], w, preferred_element_type=jnp.float32)
+            h_s[:].astype(w.dtype), w, preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(g[:, :H])
         f = jax.nn.sigmoid(g[:, H:2 * H])
         gg = jnp.tanh(g[:, 2 * H:3 * H])
@@ -165,6 +166,10 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
         pltpu.VMEM((bb, H), jnp.float32),
         pltpu.VMEM((bb, H), jnp.float32),
     ]
+    # Recurrence weights travel in the stream dtype so the in-kernel dot
+    # uses the MXU bf16 path in mixed-precision mode (f32 accumulate; the
+    # f32 path is bit-identical to before).
+    w_in = w_hh if xg.dtype == jnp.float32 else w_hh.astype(xg.dtype)
     if save_residuals:
         ys, cs, gates = pl.pallas_call(
             kernel,
@@ -184,7 +189,7 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
             ],
             scratch_shapes=scratch,
             interpret=interpret,
-        )(w_hh, xg_t)
+        )(w_in, xg_t)
         return (jnp.swapaxes(ys[:N0, :B], 0, 1), cs[:N0, :B],
                 gates[:N0, :B])
 
@@ -199,7 +204,7 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((N, Bp, H), xg.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(w_hh, xg_t)
+    )(w_in, xg_t)
     return jnp.swapaxes(ys[:N0, :B], 0, 1), None, None
 
 
@@ -248,7 +253,8 @@ def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
             do * o * (1.0 - o),
         ], axis=-1)
         dg_ref[t] = dgates.astype(dg_ref.dtype)
-        dh_s[:] = jnp.dot(dgates, wt, preferred_element_type=jnp.float32)
+        dh_s[:] = jnp.dot(dgates.astype(wt.dtype), wt,
+                          preferred_element_type=jnp.float32)
         dc_s[:] = dc_t * f
 
 
@@ -292,7 +298,8 @@ def _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys, interpret: bool = False,
             pltpu.VMEM((bb, H), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(w_hh.T), gates, cs, c_prev, dys)
+    )(jnp.asarray(w_hh.T).astype(cs.dtype) if cs.dtype != jnp.float32
+      else jnp.asarray(w_hh.T), gates, cs, c_prev, dys)
     return dgates[:N0, :B]
 
 
@@ -365,7 +372,9 @@ def _bilstm_fwd_kernel(wf_ref, wb_ref, xgf_ref, xgb_ref,
     H = hidden
 
     def cell(w, g, h, c):
-        g = g + jnp.dot(h, w, preferred_element_type=jnp.float32)
+        # stream-dtype w -> MXU bf16 path in mixed precision (f32 accum)
+        g = g + jnp.dot(h.astype(w.dtype), w,
+                        preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(g[:, :H])
         f = jax.nn.sigmoid(g[:, H:2 * H])
         gg = jnp.tanh(g[:, 2 * H:3 * H])
@@ -427,7 +436,8 @@ def _bilstm_bwd_kernel(wtf_ref, wtb_ref,
             dc_t * i * (1.0 - gg * gg),
             do * o * (1.0 - o),
         ], axis=-1)
-        dh_out = jnp.dot(dgates, wt, preferred_element_type=jnp.float32)
+        dh_out = jnp.dot(dgates.astype(wt.dtype), wt,
+                         preferred_element_type=jnp.float32)
         return dgates, dh_out, dc_t * f
 
     wtf, wtb = wtf_ref[:], wtb_ref[:]
@@ -462,6 +472,8 @@ def _bilstm_fwd_pallas(xgf, xgb, w_f, w_b, interpret: bool = False,
     cols = 2 * ((H4 + 6 * H) if save_residuals else (H4 + H))
     bb, chunk = tile or _tile_plan(
         B, cols, xgf.dtype.itemsize, 2 * w_f.size * w_f.dtype.itemsize)
+    if xgf.dtype != jnp.float32:
+        w_f, w_b = w_f.astype(xgf.dtype), w_b.astype(xgf.dtype)
     xgf_t = _pad_tm(jnp.swapaxes(xgf, 0, 1), chunk, bb)
     xgb_t = _pad_tm(jnp.swapaxes(xgb, 0, 1), chunk, bb)
     N, Bp = xgf_t.shape[0], xgf_t.shape[1]
@@ -557,7 +569,10 @@ def _bilstm_bwd_pallas(w_f, w_b, gf, csf, cpf, dyf, gb, csb, cpb, dyb,
         scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)
                         for _ in range(4)],
         interpret=interpret,
-    )(jnp.asarray(w_f.T), jnp.asarray(w_b.T), gf, csf, cpf, dyf,
+    )(jnp.asarray(w_f.T).astype(csf.dtype) if csf.dtype != jnp.float32
+      else jnp.asarray(w_f.T),
+      jnp.asarray(w_b.T).astype(csf.dtype) if csf.dtype != jnp.float32
+      else jnp.asarray(w_b.T), gf, csf, cpf, dyf,
       gb, csb, cpb, dyb)
     return dgf[:N0, :B], dgb[:N0, :B]
 

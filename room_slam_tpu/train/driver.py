@@ -180,7 +180,7 @@ def train_benchmark_fused(
                 for k, v in val_ds.device_arrays().items()}
 
     t0 = time.time()
-    key = jax.random.key(cfg.train.seed)
+    key = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
     chunks = []
     for lo in range(0, E, seg):
         hi = min(lo + seg, E)  # full segments + at most one remainder shape
@@ -313,7 +313,7 @@ def train_benchmark(
 
     mlog = MetricsLogger(save_dir / "history.jsonl")
 
-    key = jax.random.key(cfg.train.seed)
+    key = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
     best_val = float("inf")
     history = []
     t0 = time.time()
