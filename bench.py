@@ -113,23 +113,29 @@ def bench_headline(profile=None):
         "weight": jnp.ones((B,), jnp.float32),
     }
 
-    key = jax.random.key(0)
-    flops = _step_flops(train_step, state, batch, key)
+    # Step keys in the trainer's default PRNG impl (rbg), pre-split in ONE
+    # dispatch: a per-step jax.random.split in the host loop costs a
+    # separate tunnel round-trip per step (measured ~1.4 ms/step for rbg
+    # keys — it flipped the rbg/threefry ranking at this shape). The real
+    # trainer splits inside the jitted epoch, so pre-splitting is the
+    # faithful harness.
+    n = 30
+    keys = jax.random.split(
+        jax.random.key(0, impl=cfg.train.rng_impl), n + 5)
+    jax.block_until_ready(keys)
+    flops = _step_flops(train_step, state, batch, keys[0])
 
     # --- train throughput ---
     for i in range(5):  # warmup + compile
-        key, sub = jax.random.split(key)
-        state, losses = train_step(state, batch, sub)
+        state, losses = train_step(state, batch, keys[i])
     jax.block_until_ready(losses["total_loss"])
 
-    n = 30
     timer = StepTimer(batch_size=B, skip=0)
     with device_trace(profile):
         t0 = time.perf_counter()
         for i in range(n):
             with timer.step():
-                key, sub = jax.random.split(key)
-                state, losses = train_step(state, batch, sub)
+                state, losses = train_step(state, batch, keys[5 + i])
         jax.block_until_ready(losses["total_loss"])
     train_dt = time.perf_counter() - t0
     train_tps = n * B / train_dt
@@ -249,11 +255,15 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True,
         "rotation_k": jnp.zeros((B,), jnp.int32),
         "weight": jnp.ones((B,), jnp.float32),
     }
-    # rbg PRNG for the step key: augmentation noise + dropout masks over
+    # rbg PRNG for the step keys: augmentation noise + dropout masks over
     # [B, 5000, 512]-sized activations make threefry a measured ~13% of
     # the step (197 -> 170 ms at batch 128); matches train.rng_impl above
-    # so the measured step is exactly what the trainer runs.
-    key = jax.random.key(0, impl=cfg.train.rng_impl)
+    # so the measured step is exactly what the trainer runs. Keys are
+    # pre-split in ONE dispatch (a per-step host-loop split costs a
+    # tunnel round-trip per step).
+    keys = jax.random.split(jax.random.key(0, impl=cfg.train.rng_impl), 14)
+    jax.block_until_ready(keys)
+    key = keys[0]
     if accum > 1:
         # XLA cost analysis counts a lax.scan body ONCE, so the accumulated
         # step's fwd/bwd FLOPs would be undercounted by the accum factor.
@@ -270,15 +280,13 @@ def bench_scaleup(batch: int | None = None, bf16_stream: bool = True,
         flops = accum * f1 if f1 else None
     else:
         flops = _step_flops(train_step, state, batch, key)
-    for _ in range(3):
-        key, sub = jax.random.split(key)
-        state, losses = train_step(state, batch, sub)
+    for i in range(3):
+        state, losses = train_step(state, batch, keys[1 + i])
     jax.block_until_ready(losses["total_loss"])
     n = 10
     t0 = time.perf_counter()
-    for _ in range(n):
-        key, sub = jax.random.split(key)
-        state, losses = train_step(state, batch, sub)
+    for i in range(n):
+        state, losses = train_step(state, batch, keys[4 + i])
     jax.block_until_ready(losses["total_loss"])
     dt = time.perf_counter() - t0
     return {
