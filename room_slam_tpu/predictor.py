@@ -160,7 +160,14 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             nms_threshold=nms_threshold, consensus=consensus, top_k=top_k,
             objectness=obj0, candidate_mask=cand,
             fuse=fuse, return_boxes=True)
-        return boxes_out, keep, labels, conf
+        # ONE stacked output -> ONE device->host fetch. Each np.asarray of
+        # a separate device array costs a full tunnel round-trip (~20-40
+        # ms); four of them dominated single-trace latency.
+        return jnp.concatenate(
+            [boxes_out,
+             keep[:, None].astype(jnp.float32),
+             labels[:, None].astype(jnp.float32),
+             conf[:, None].astype(jnp.float32)], axis=-1)
 
     adapted_once = [False]
 
@@ -205,13 +212,13 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             padded[k, :n] = f
             mask[k, :n] = True
 
-        boxes0, keep, labels, conf = run(
-            params, jnp.asarray(padded), jnp.asarray(mask))
+        stacked = np.asarray(run(
+            params, jnp.asarray(padded), jnp.asarray(mask)))
 
-        keep = np.asarray(keep)
-        boxes = np.asarray(boxes0)
-        labels = np.asarray(labels)
-        conf = np.asarray(conf)
+        boxes = stacked[:, :6]
+        keep = stacked[:, 6] > 0.5
+        labels = stacked[:, 7].astype(np.int64)
+        conf = stacked[:, 8]
         order = np.argsort(-conf * keep)
         return [
             formats.collider_to_dict(boxes[i], labels[i], conf[i])
