@@ -45,6 +45,13 @@ FLOOR_Y = -0.5              # the real room's floor: its LOW boxes span
                             # (dataset/train/colliders.json)
 N_WALL_SLOTS = 8            # box slots reserved for wall segments (4 used by
                             # a plain rectangle, up to 8 by a 2-room layout)
+HUMAN_SPAN = (3.0, 5.5)     # human-mode room side range (m): the walked
+                            # spans of ALL 8 real captures are 2.7-5.2 m, and
+                            # a ~97 s amble at ~0.3 m/s (~30 m of path — the
+                            # val capture walks 32.7 m) can cover rooms of
+                            # this size at the real capture's ~0.8 span
+                            # coverage. Agent mode keeps (3.5, 9.0): its
+                            # minutes-long 2 m/s walks cover any of it.
 
 
 def _log_uniform(key, lo, hi):
@@ -58,8 +65,18 @@ def sample_room(
     max_furniture: int = 8,
     multi_room_prob: float = 0.0,
     wall_adjacent_prob: float = 0.0,
+    span_range: Tuple[float, float] = (3.5, 9.0),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sample one room layout + furniture.
+
+    ``span_range``: (min, max) of each side's length in meters. The default
+    suits the Unity-agent regime (minutes-long 100-380 m walks cover any of
+    it). HUMAN captures are ~90-130 s ambles at ~0.3 m/s — 25-40 m of path —
+    which can only cover rooms near the REAL capture sizes (walked spans
+    2.7-5.2 m across all 8 reference captures); generating human walks in
+    6-9 m rooms makes the task ill-posed (the walker sees half the room;
+    measured: every model scores ~0 mAP on such rooms even when trained on
+    them) — human-mode callers pass HUMAN_SPAN instead.
 
     ``wall_adjacent_prob``: probability that a furniture candidate snaps its
     outer face against a wall (small 0.02-0.2 m gap) instead of free-standing
@@ -85,9 +102,10 @@ def sample_room(
     kw, kh, kn, kf, km = jax.random.split(key, 5)
     M = max_colliders
 
-    width = jax.random.uniform(kw, (), minval=3.5, maxval=9.0)
-    depth = jax.random.uniform(jax.random.fold_in(kw, 1), (), minval=3.5,
-                               maxval=9.0)
+    span_lo, span_hi = span_range
+    width = jax.random.uniform(kw, (), minval=span_lo, maxval=span_hi)
+    depth = jax.random.uniform(jax.random.fold_in(kw, 1), (), minval=span_lo,
+                               maxval=span_hi)
     # real wall heights are 3.4-3.93 (dataset colliders); keep range wide
     wall_h = jax.random.uniform(kh, (), minval=2.6, maxval=4.0)
     wt = WALL_THICKNESS
@@ -374,10 +392,14 @@ def simulate_trace(
             [wall_r, jnp.full((M - N_WALL_SLOTS,), 1.0) * furn_r])
 
         def _pace(k):
-            # log-uniform around the real capture's 0.24 m/s median; floored
-            # at 0.12 so a slow leg still makes progress toward coverage
+            # log-uniform commanded pace. The band is calibrated so the
+            # EFFECTIVE over-ground speed (commanded minus waypoint slack
+            # and blocked ticks) matches the real captures' 0.29-0.34 m/s
+            # (all 4 human recordings; the old [0.12, 0.9] band measured
+            # 0.24 m/s effective). Floored so a slow leg still makes
+            # progress toward coverage.
             return jnp.exp(jax.random.uniform(
-                k, (), minval=math.log(0.12), maxval=math.log(0.9)))
+                k, (), minval=math.log(0.145), maxval=math.log(1.0)))
 
         speed0 = _pace(jax.random.fold_in(kr, 1))
     else:
@@ -501,7 +523,8 @@ def simulate_trace(
 @functools.partial(
     jax.jit,
     static_argnames=("n_rooms", "num_steps", "max_colliders", "hz", "human",
-                     "multi_room_prob", "sim_steps", "wall_adjacent_prob"))
+                     "multi_room_prob", "sim_steps", "wall_adjacent_prob",
+                     "span_range"))
 def generate_rooms_and_traces(
     key: jax.Array,
     n_rooms: int,
@@ -512,6 +535,7 @@ def generate_rooms_and_traces(
     multi_room_prob: float = 0.0,
     sim_steps: int | None = None,
     wall_adjacent_prob: float = 0.0,
+    span_range: Tuple[float, float] | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched datagen: n_rooms layouts, one trace each, in ONE jitted
     dispatch (eager per-primitive dispatch through a remote TPU tunnel costs
@@ -530,12 +554,17 @@ def generate_rooms_and_traces(
     """
     kr, kt = jax.random.split(key)
     S = num_steps if sim_steps is None else max(int(sim_steps), num_steps)
+    if span_range is None:
+        # human walks have a ~hundred-second budget: room sizes must be
+        # coverable at that budget or the task is ill-posed (see HUMAN_SPAN)
+        span_range = HUMAN_SPAN if human else (3.5, 9.0)
 
     def one(k):
         k1, k2 = jax.random.split(k)
         boxes, labels, valid = sample_room(
             k1, max_colliders, multi_room_prob=multi_room_prob,
-            wall_adjacent_prob=wall_adjacent_prob)
+            wall_adjacent_prob=wall_adjacent_prob,
+            span_range=span_range)
         raw = simulate_trace(k2, boxes, valid, S, hz, human)
         if S != num_steps:
             idx = np.linspace(0, S - 1, num_steps).astype(np.int32)
@@ -566,6 +595,7 @@ def write_synthetic_dataset(
     stem_prefix: str = "synthetic",
     sim_steps: int | None = None,
     wall_adjacent_prob: float = 0.0,
+    span_range: Tuple[float, float] | None = None,
 ) -> None:
     """Generate rooms on device and write *_trace.json / *_collider.json pairs
     (pairing pattern 1 of the reference loader, dataloader.py:111-125).
@@ -579,7 +609,7 @@ def write_synthetic_dataset(
             jax.random.key(seed), n_rooms, num_steps,
             max_colliders=max_colliders, hz=hz, human=human,
             multi_room_prob=multi_room_prob, sim_steps=sim_steps,
-            wall_adjacent_prob=wall_adjacent_prob)
+            wall_adjacent_prob=wall_adjacent_prob, span_range=span_range)
     )
     for i in range(n_rooms):
         stem = f"{stem_prefix}_{i:04d}"

@@ -221,12 +221,15 @@ def test_human_walker_covers_room_span():
     RandomMovement.cs:78-89) must visit most of each room's span at the
     real capture's duration ratio — the real human covers ~80% of the room
     span; coverage far below that trains models that walls sit far beyond
-    the visited envelope."""
+    the visited envelope. Human-mode rooms default to HUMAN_SPAN sides
+    (the real walked spans are 2.7-5.2 m): a ~100 s amble physically
+    cannot cover the agent regime's 6-9 m rooms, and models trained on
+    such ill-posed pairs measure ~0 mAP even in-domain."""
     d = synthetic.generate_rooms_and_traces(
         jax.random.key(11), 8, 1000, max_colliders=50, hz=37.0,
         human=True, sim_steps=2400)
     raw, boxes, valid = (np.asarray(d[x]) for x in ("raw", "boxes", "valid"))
-    covs = []
+    covs, spans = [], []
     for i in range(8):
         xy = raw[i][:, [0, 2]]
         ext = xy.max(0) - xy.min(0)
@@ -235,12 +238,15 @@ def test_human_walker_covers_room_span():
         wz = boxes[i][:synthetic.N_WALL_SLOTS, 2][wv]
         covs.append((ext[0] / (wx.max() - wx.min()),
                      ext[1] / (wz.max() - wz.min())))
-    covs = np.array(covs)
-    # this test's walk is ~65 s; at the production 97 s ratio mean coverage
-    # measures ~0.7 (real capture: 0.82). Thresholds scaled accordingly;
-    # a quantile (not min) keeps the seed-dependent tail from flaking.
-    assert covs.mean() > 0.45, covs.mean()
-    assert np.quantile(covs, 0.1) > 0.18, np.quantile(covs, 0.1)
+        spans.extend([wx.max() - wx.min(), wz.max() - wz.min()])
+    covs, spans = np.array(covs), np.array(spans)
+    lo, hi = synthetic.HUMAN_SPAN
+    assert (spans > lo - 0.5).all() and (spans < hi + 0.5).all(), spans
+    # this test's walk is ~65 s (the production ratio is 97 s); coverage
+    # measures ~0.7 mean. A quantile (not min) keeps the seed-dependent
+    # tail from flaking.
+    assert covs.mean() > 0.55, covs.mean()
+    assert np.quantile(covs, 0.1) > 0.3, np.quantile(covs, 0.1)
 
 
 def test_wall_adjacent_furniture_mode():
