@@ -249,6 +249,27 @@ def test_human_walker_covers_room_span():
     assert np.quantile(covs, 0.1) > 0.3, np.quantile(covs, 0.1)
 
 
+def test_human_walker_effective_speed_matches_real_captures():
+    """The human pace band is calibrated on EFFECTIVE over-ground speed —
+    total xz path length / duration, i.e. commanded pace minus waypoint
+    slack and blocked ticks — which measures 0.29-0.34 m/s on all 4 real
+    human recordings. The band itself is log-uniform so per-room speeds
+    spread, but the fleet mean must stay near the real regime (the
+    pre-fix band measured 0.24 effective; post-fix 0.32)."""
+    d = synthetic.generate_rooms_and_traces(
+        jax.random.key(5), 8, 1000, max_colliders=50, hz=37.0,
+        human=True, sim_steps=2400)
+    raw = np.asarray(d["raw"])
+    eff = []
+    for i in range(8):
+        seg = np.linalg.norm(np.diff(raw[i][:, [0, 2]], axis=0), axis=1)
+        eff.append(seg.sum() / (raw[i][-1, 3] - raw[i][0, 3]))
+    eff = np.array(eff)
+    assert 0.24 <= eff.mean() <= 0.45, eff
+    # no room should crawl (ill-posed coverage) or sprint (agent regime)
+    assert eff.min() > 0.10 and eff.max() < 0.9, eff
+
+
 def test_wall_adjacent_furniture_mode():
     """wall_adjacent_prob=1 puts every furniture piece against a wall (the
     real rooms' dominant pattern: 9 of 13 pieces touch a wall); the default
