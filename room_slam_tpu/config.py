@@ -103,6 +103,15 @@ class ModelConfig:
     # single global-attention readout blurs away for small furniture. See
     # models/common.ContactRefineStage.
     refine_stages: int = 0
+    # Condition every refine stage on the trace's XZ extent planes: each
+    # query sees the signed gaps between its current box faces and the
+    # four planes bounding the visited free space (in normalized units —
+    # translation/scale-equivariant). The extent pins boundary walls
+    # model-free (tools/ceiling.py), but a FIXED post-hoc snap prior
+    # cannot express per-side clearance ("touched east, 0.7 m off west" —
+    # PARITY.md round 3 measured four post-processing dead ends); this
+    # lets the refinement stages LEARN it. No-op without refine_stages.
+    extent_features: bool = False
 
 
 @dataclass

@@ -175,6 +175,55 @@ def dense_zeros(x: jnp.ndarray, features: int, name: str) -> jnp.ndarray:
                     bias_init=nn.initializers.zeros, name=name)(x)
 
 
+def trace_extent_planes(norm_coords, mask):
+    """Masked XZ extent planes of the trace, in normalized coordinates.
+
+    Returns ``[B, 4] = (x_min, x_max, z_min, z_max)`` — the four axis-
+    aligned planes bounding the visited free space. A walking trace pins
+    every boundary wall model-free through exactly these planes
+    (tools/ceiling.py measures this: walls sit 0-0.7 m beyond them on the
+    real captures), so they are the decisive conditioning signal for wall
+    regression under domain shift. All-padding rows return zeros.
+    """
+    big = jnp.asarray(1e9, norm_coords.dtype)
+    x, z = norm_coords[..., 0], norm_coords[..., 2]
+    ext = jnp.stack([
+        jnp.min(jnp.where(mask, x, big), axis=-1),
+        jnp.max(jnp.where(mask, x, -big), axis=-1),
+        jnp.min(jnp.where(mask, z, big), axis=-1),
+        jnp.max(jnp.where(mask, z, -big), axis=-1),
+    ], axis=-1)                                            # [B, 4]
+    return jnp.where(mask.any(axis=-1, keepdims=True), ext, 0.0)
+
+
+def extent_gap_features(center_n, size_n, extent):
+    """Per-query extent conditioning: signed gaps from the current box's
+    four XZ faces to the trace extent planes, plus the extent spans.
+
+    All in normalized trace units (translation- and scale-equivariant by
+    construction, composing with center_xz and the decoder's relative
+    parameterization). A wall query's defining property is a near-zero
+    face gap on one side; a fixed post-hoc snap prior cannot express
+    "touched on the east, 0.7 m clearance on the west" (PARITY.md round 3,
+    four measured dead ends) — these features let the REFINEMENT STAGE
+    learn per-side clearance from approach behavior instead.
+
+    Returns ``[B, Q, 6]``: (left gap, right gap, near gap, far gap,
+    x span, z span); positive gaps = face inside the visited extent.
+    """
+    x_min, x_max = extent[:, None, 0], extent[:, None, 1]   # [B, 1]
+    z_min, z_max = extent[:, None, 2], extent[:, None, 3]
+    cx, cz = center_n[..., 0], center_n[..., 2]             # [B, Q]
+    hx, hz = 0.5 * size_n[..., 0], 0.5 * size_n[..., 2]
+    Q = center_n.shape[1]
+    spans = jnp.stack([x_max - x_min, z_max - z_min], axis=-1)  # [B, 1, 2]
+    return jnp.concatenate([
+        jnp.stack([(cx - hx) - x_min, x_max - (cx + hx),
+                   (cz - hz) - z_min, z_max - (cz + hz)], axis=-1),
+        jnp.broadcast_to(spans, (center_n.shape[0], Q, 2)),
+    ], axis=-1)
+
+
 def contact_evidence(center_n, radius, norm_coords, values, mask):
     """Pool per-point trace evidence around each query's current box center.
 
@@ -234,12 +283,19 @@ class ContactRefineStage(nn.Module):
     Operates entirely in normalized trace coordinates, and only on offsets
     relative to the current center — the stage is translation-equivariant
     by construction (composes with model.center_xz).
+
+    With ``extent_features`` (model.extent_features), the stage is also
+    conditioned on the signed gaps between the current box faces and the
+    trace's XZ extent planes (extent_gap_features) — the model-free signal
+    that pins boundary walls, learned instead of snapped.
     """
 
     d_model: int
+    extent_features: bool = False
 
     @nn.compact
-    def __call__(self, decoded, center_n, size_n, norm_coords, values, mask):
+    def __call__(self, decoded, center_n, size_n, norm_coords, values, mask,
+                 extent=None):
         D = self.d_model
         # pooling radius: half the XZ footprint diagonal + learnable slack
         # (slack lets the kernel see approach paths just outside the box)
@@ -253,6 +309,10 @@ class ContactRefineStage(nn.Module):
         feat = jnp.concatenate(
             [decoded, pooled_v, offset, density[..., None], size_n,
              radius[..., None]], axis=-1)
+        if self.extent_features:
+            feat = jnp.concatenate(
+                [feat, extent_gap_features(center_n, size_n, extent)],
+                axis=-1)
         h = nn.relu(dense(feat, D, name="fuse"))
         d_center = dense_zeros(h, 3, name="dcenter")
         d_size = dense_zeros(h, 3, name="dsize")

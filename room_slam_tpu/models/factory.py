@@ -30,6 +30,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             objectness=cfg.objectness,
             center_xz=cfg.center_xz,
             refine_stages=cfg.refine_stages,
+            extent_features=cfg.extent_features,
         )
     if t == "lstm":
         return TraceToColliderLSTM(
@@ -43,6 +44,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             objectness=cfg.objectness,
             center_xz=cfg.center_xz,
             refine_stages=cfg.refine_stages,
+            extent_features=cfg.extent_features,
         )
     if t == "bigru":
         from room_slam_tpu.models.gru import TraceToColliderGRU
@@ -58,6 +60,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             objectness=cfg.objectness,
             center_xz=cfg.center_xz,
             refine_stages=cfg.refine_stages,
+            extent_features=cfg.extent_features,
         )
     if t == "gru":
         from room_slam_tpu.models.legacy_gru import RoomSlamGRU

@@ -109,6 +109,7 @@ class TraceToColliderGRU(nn.Module):
     objectness: bool = False
     center_xz: bool = False
     refine_stages: int = 0
+    extent_features: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -129,6 +130,7 @@ class TraceToColliderGRU(nn.Module):
             num_classes=self.num_classes,
             objectness=self.objectness,
             refine_stages=self.refine_stages,
+            extent_features=self.extent_features,
             compute_dtype=self.compute_dtype,
             name="decoder",
         )(memory, coords, mean, scale, mask)

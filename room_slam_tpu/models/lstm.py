@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from room_slam_tpu.data.features import trace_stats
 from room_slam_tpu.models.common import (MLP, ContactRefineStage,
                                          assemble_output, center_traces_xz,
-                                         dense)
+                                         dense, trace_extent_planes)
 from room_slam_tpu.ops.rnn import lstm_recurrence
 
 
@@ -140,6 +140,11 @@ class SimpleQueryDecoder(nn.Module):
     # single-contact evidence is where the reference's one-shot global
     # attention tops out.
     refine_stages: int = 0
+    # Condition every refine stage on the trace's XZ extent planes (signed
+    # box-face-to-plane gaps, models/common.extent_gap_features): the
+    # model-free signal that pins boundary walls, learned per side instead
+    # of post-hoc snapped. No-op without refine_stages.
+    extent_features: bool = False
     # bfloat16 runs the [B, N, D]-sized projections (k/v over the memory
     # stream) on the MXU bf16 path with bf16 activations; the softmax, the
     # masked statistics, and every output head stay float32.
@@ -208,11 +213,15 @@ class SimpleQueryDecoder(nn.Module):
         if self.refine_stages:
             pool_mask = (mask if mask is not None
                          else jnp.ones(memory.shape[:2], dtype=bool))
+            extent = (trace_extent_planes(norm_coords, pool_mask)
+                      if self.extent_features else None)
             for i in range(self.refine_stages):
                 aux_boxes.append(to_world(center_n, size_norm))
                 decoded, center_n, size_norm = ContactRefineStage(
-                    D, name=f"refine_{i}")(
-                    decoded, center_n, size_norm, norm_coords, v, pool_mask)
+                    D, extent_features=self.extent_features,
+                    name=f"refine_{i}")(
+                    decoded, center_n, size_norm, norm_coords, v, pool_mask,
+                    extent=extent)
 
         boxes = to_world(center_n, size_norm)
         classes = dense(decoded, self.num_classes, name="class_head")
@@ -240,6 +249,7 @@ class TraceToColliderLSTM(nn.Module):
     # default = reference behavior (absolute coords into the encoder).
     center_xz: bool = False
     refine_stages: int = 0
+    extent_features: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -260,6 +270,7 @@ class TraceToColliderLSTM(nn.Module):
             num_classes=self.num_classes,
             objectness=self.objectness,
             refine_stages=self.refine_stages,
+            extent_features=self.extent_features,
             compute_dtype=self.compute_dtype,
             name="decoder",
         )(memory, coords, mean, scale, mask)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from room_slam_tpu.data.features import trace_stats
 from room_slam_tpu.models.common import MLP, ContactRefineStage, \
     MultiHeadAttention, assemble_output, center_traces_xz, dense, \
-    sinusoidal_positions
+    sinusoidal_positions, trace_extent_planes
 
 
 class EncoderLayer(nn.Module):
@@ -122,6 +122,9 @@ class ColliderDecoder(nn.Module):
     objectness: bool = False
     # contact-evidence refinement stages (models/common.ContactRefineStage)
     refine_stages: int = 0
+    # extent-plane conditioning of the refine stages (models/lstm.py
+    # SimpleQueryDecoder docs); no-op without refine_stages
+    extent_features: bool = False
 
     @nn.compact
     def __call__(
@@ -163,11 +166,15 @@ class ColliderDecoder(nn.Module):
         if self.refine_stages:
             pool_mask = (mask if mask is not None
                          else jnp.ones(memory.shape[:2], dtype=bool))
+            extent = (trace_extent_planes(norm_coords, pool_mask)
+                      if self.extent_features else None)
             for i in range(self.refine_stages):
                 aux_boxes.append(to_world(center_n, size_norm))
                 tgt, center_n, size_norm = ContactRefineStage(
-                    D, name=f"refine_{i}")(
-                    tgt, center_n, size_norm, norm_coords, memory, pool_mask)
+                    D, extent_features=self.extent_features,
+                    name=f"refine_{i}")(
+                    tgt, center_n, size_norm, norm_coords, memory, pool_mask,
+                    extent=extent)
 
         boxes = to_world(center_n, size_norm)
         classes = dense(tgt, self.num_classes, name="class_head")
@@ -193,6 +200,7 @@ class TraceToColliderTransformer(nn.Module):
     objectness: bool = False
     center_xz: bool = False
     refine_stages: int = 0
+    extent_features: bool = False
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -217,6 +225,7 @@ class TraceToColliderTransformer(nn.Module):
             num_classes=self.num_classes,
             objectness=self.objectness,
             refine_stages=self.refine_stages,
+            extent_features=self.extent_features,
             name="decoder",
         )(memory, coords, mean, scale, mask, deterministic)
         return assemble_output(outs, offs, self.objectness,

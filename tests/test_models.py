@@ -310,6 +310,71 @@ def test_contact_refine_translation_equivariance(rng):
     np.testing.assert_allclose(da[..., 2], -4.25, atol=1e-3)
 
 
+def test_extent_plane_helpers(rng):
+    """trace_extent_planes respects the mask; extent_gap_features returns
+    signed face-to-plane gaps (zero when a box face sits exactly on its
+    extent plane) and the extent spans."""
+    from room_slam_tpu.models.common import (extent_gap_features,
+                                             trace_extent_planes)
+
+    coords = np.zeros((1, 6, 3), np.float32)
+    coords[0, :, 0] = [0.0, 2.0, -1.0, 0.5, 99.0, -99.0]   # x
+    coords[0, :, 2] = [0.0, 1.0, -3.0, 0.5, 99.0, -99.0]   # z
+    mask = jnp.asarray([[True, True, True, True, False, False]])
+    ext = np.asarray(trace_extent_planes(jnp.asarray(coords), mask))
+    np.testing.assert_allclose(ext[0], [-1.0, 2.0, -3.0, 1.0], atol=1e-6)
+    # all-padding row -> zeros, no infs
+    ext0 = np.asarray(trace_extent_planes(
+        jnp.asarray(coords), jnp.zeros((1, 6), bool)))
+    np.testing.assert_allclose(ext0, 0.0)
+
+    # a box spanning exactly [x_min, x_max] x [z_min, z_max]: all gaps 0
+    center = jnp.asarray([[[0.5, 0.0, -1.0]]])             # [1, 1, 3]
+    size = jnp.asarray([[[3.0, 1.0, 4.0]]])
+    f = np.asarray(extent_gap_features(center, size, jnp.asarray(ext)))
+    np.testing.assert_allclose(f[0, 0, :4], 0.0, atol=1e-6)
+    np.testing.assert_allclose(f[0, 0, 4:], [3.0, 4.0], atol=1e-6)
+    # shrinking the box opens positive gaps on both sides of each axis
+    f2 = np.asarray(extent_gap_features(center, size * 0.5,
+                                        jnp.asarray(ext)))
+    np.testing.assert_allclose(f2[0, 0, :4], [0.75, 0.75, 1.0, 1.0],
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("model_type", ["lstm", "transformer", "bigru"])
+def test_extent_features_flag(model_type, rng):
+    """model.extent_features: identity at init (delta heads stay
+    zero-initialized), and center_xz + extent conditioning remains exactly
+    translation-equivariant (the planes are computed in the normalized
+    frame)."""
+    common = dict(model_type=model_type, d_model=32, num_queries=8,
+                  enc_layers=1, dec_layers=1, dim_feedforward=64,
+                  lstm_layers=1, use_pallas_rnn=False, objectness=True,
+                  center_xz=True, refine_stages=2)
+    cfg0 = ModelConfig(**common)
+    cfgE = ModelConfig(**common, extent_features=True)
+    m0, mE = build_model(cfg0), build_model(cfgE)
+    p0 = init_params(m0, cfg0, seq_len=32)
+    pE = init_params(mE, cfgE, seq_len=32)
+
+    B, N = 2, 32
+    traces = np.asarray(rng.normal(size=(B, N, 11)), np.float32)
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([[24], [32]]))
+    out0 = m0.apply(p0, jnp.asarray(traces), mask, deterministic=True)
+    outE = mE.apply(pE, jnp.asarray(traces), mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(outE["pred_boxes"]),
+                               np.asarray(out0["pred_boxes"]), atol=1e-5)
+
+    shifted = traces.copy()
+    shifted[..., 0] += 7.5
+    shifted[..., 2] -= 4.25
+    outS = mE.apply(pE, jnp.asarray(shifted), mask, deterministic=True)
+    d = np.asarray(outS["pred_boxes"]) - np.asarray(outE["pred_boxes"])
+    np.testing.assert_allclose(d[..., 0], 7.5, atol=1e-3)
+    np.testing.assert_allclose(d[..., 2], -4.25, atol=1e-3)
+    np.testing.assert_allclose(d[..., [1, 3, 4, 5]], 0.0, atol=1e-3)
+
+
 @pytest.mark.parametrize("model_type", ["lstm", "bigru"])
 def test_mixed_precision_matches_f32(model_type, rng):
     """compute_dtype='bfloat16' streams the [B, N, D] activations in bf16
