@@ -47,12 +47,14 @@ def lstm_recurrence_scan(
     Returns:
         hidden states ``[B, N, H]``.
     """
-    B = xg.shape[0]
     H = w_hh.shape[0]
     # Carry stays f32 even for bf16 gate streams (matching the Pallas
     # kernel: streamed tensors inherit xg's dtype, recurrence math is f32).
-    h0 = jnp.zeros((B, H), dtype=jnp.float32)
-    c0 = jnp.zeros((B, H), dtype=jnp.float32)
+    # zeros_like on a slice of xg (not jnp.zeros) so the carry inherits
+    # xg's varying axes under shard_map — required when the recurrence
+    # runs inside a manual-collective region (parallel/pipeline.py).
+    h0 = jnp.zeros_like(xg[:, 0, :H], dtype=jnp.float32)
+    c0 = h0
 
     def step(carry, g):
         h, c = carry
@@ -96,10 +98,10 @@ def gru_recurrence_scan(
         hidden states ``[B, N, H]``; the last valid state is the caller's
         business (take ``[:, -1]`` / ``[:, 0]``).
     """
-    B = xg.shape[0]
     H = w_hh.shape[0]
-    # f32 carry regardless of the gate-stream dtype (see lstm_recurrence_scan)
-    h0 = jnp.zeros((B, H), dtype=jnp.float32)
+    # f32 carry regardless of the gate-stream dtype; zeros_like so the
+    # carry inherits xg's varying axes (see lstm_recurrence_scan)
+    h0 = jnp.zeros_like(xg[:, 0, :H], dtype=jnp.float32)
 
     def step(h, g):
         g = g.astype(jnp.float32)
