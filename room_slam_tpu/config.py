@@ -112,6 +112,11 @@ class ModelConfig:
     # PARITY.md round 3 measured four post-processing dead ends); this
     # lets the refinement stages LEARN it. No-op without refine_stages.
     extent_features: bool = False
+    # Switch-routed Mixture-of-Experts FFN in the transformer encoder
+    # (models/common.MoEFFN): top-1 routing, static shapes, expert weights
+    # sharded over the mesh 'model' axis (expert parallelism). 0 = the
+    # reference's dense FFN exactly. Transformer only.
+    moe_experts: int = 0
 
 
 @dataclass

@@ -111,6 +111,71 @@ class MultiHeadAttention(nn.Module):
         return dense(out, D, name="out_proj")
 
 
+class MoEFFN(nn.Module):
+    """Switch-style Mixture-of-Experts FFN: top-1 routing, static shapes.
+
+    Designed for EXPERT PARALLELISM on a device mesh: the expert weights
+    are stacked ``[E, ...]`` and shard their expert dim over 'model'
+    (parallel/mesh.py adds the partition rule), so XLA splits the expert
+    einsums across devices and psums the partial results — every expert's
+    FLOPs run, but each device runs only ITS experts. Dense dispatch (all
+    experts compute every token, the top-1 one-hot selects) trades E-fold
+    FFN FLOPs for fully static shapes — the TPU-friendly formulation; a
+    capacity-based sparse dispatch saves FLOPs only once E is large
+    enough that the gather/scatter and load-imbalance costs are paid back.
+
+    Routing is differentiable through the selected expert's gate
+    probability (Switch Transformer, arXiv:2101.03961). ``aux_loss`` (the
+    usual load-balance term, mean over tokens of E * f_e * p_e) is sowed
+    under the 'losses' collection for the trainer to pick up.
+    """
+
+    d_model: int
+    dim_feedforward: int
+    num_experts: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        E = self.num_experts
+        gate_logits = dense(x, E, name="gate")            # [B, N, E]
+        probs = nn.softmax(gate_logits, axis=-1)
+        top = jnp.argmax(probs, axis=-1)                  # [B, N]
+        onehot = jax.nn.one_hot(top, E, dtype=x.dtype)    # [B, N, E]
+        # scale by the winning prob: gradients reach the router
+        route = onehot * jnp.take_along_axis(
+            probs, top[..., None], axis=-1)
+
+        bound1 = 1.0 / math.sqrt(self.d_model)
+        bound2 = 1.0 / math.sqrt(self.dim_feedforward)
+
+        def uinit(bound):
+            def init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype,
+                                          minval=-bound, maxval=bound)
+            return init
+
+        w1 = self.param("w1", uinit(bound1),
+                        (E, self.d_model, self.dim_feedforward))
+        b1 = self.param("b1", uinit(bound1), (E, self.dim_feedforward))
+        w2 = self.param("w2", uinit(bound2),
+                        (E, self.dim_feedforward, self.d_model))
+        b2 = self.param("b2", uinit(bound2), (E, self.d_model))
+
+        h = nn.relu(jnp.einsum("bnd,edf->benf", x, w1)
+                    + b1[None, :, None, :])               # [B, E, N, F]
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        y = (jnp.einsum("benf,efd->bend", h, w2)
+             + b2[None, :, None, :])                      # [B, E, N, D]
+        out = jnp.einsum("bend,bne->bnd", y, route)
+
+        # load-balance auxiliary loss (encourages uniform expert usage)
+        frac = onehot.astype(jnp.float32).mean(axis=(0, 1))     # f_e
+        mean_p = probs.astype(jnp.float32).mean(axis=(0, 1))    # p_e
+        self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
+        return out
+
+
 def center_traces_xz(traces, mask):
     """Translate the trace so its masked XZ mean sits at the origin.
 

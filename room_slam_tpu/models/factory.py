@@ -31,6 +31,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             center_xz=cfg.center_xz,
             refine_stages=cfg.refine_stages,
             extent_features=cfg.extent_features,
+            moe_experts=cfg.moe_experts,
         )
     if t == "lstm":
         return TraceToColliderLSTM(

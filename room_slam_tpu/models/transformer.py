@@ -18,18 +18,24 @@ import jax
 import jax.numpy as jnp
 
 from room_slam_tpu.data.features import trace_stats
-from room_slam_tpu.models.common import MLP, ContactRefineStage, \
+from room_slam_tpu.models.common import MLP, ContactRefineStage, MoEFFN, \
     MultiHeadAttention, assemble_output, center_traces_xz, dense, \
     sinusoidal_positions, trace_extent_planes
 
 
 class EncoderLayer(nn.Module):
-    """Post-norm transformer encoder layer (torch default: ReLU FFN)."""
+    """Post-norm transformer encoder layer (torch default: ReLU FFN).
+
+    ``moe_experts > 0`` swaps the dense FFN for a switch-routed
+    Mixture-of-Experts (models/common.MoEFFN) — the expert-parallel
+    scaling direction (expert weights shard over 'model'); 0 = reference
+    architecture exactly."""
 
     d_model: int
     nhead: int
     dim_feedforward: int = 512
     dropout: float = 0.1
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -38,9 +44,15 @@ class EncoderLayer(nn.Module):
             x, x, x, key_padding_mask=mask, deterministic=deterministic)
         x = nn.LayerNorm(name="norm1")(
             x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
-        ff = dense(x, self.dim_feedforward, name="linear1")
-        ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = dense(ff, self.d_model, name="linear2")
+        if self.moe_experts:
+            ff = MoEFFN(self.d_model, self.dim_feedforward,
+                        self.moe_experts, self.dropout, name="moe")(
+                x, deterministic=deterministic)
+        else:
+            ff = dense(x, self.dim_feedforward, name="linear1")
+            ff = nn.Dropout(self.dropout)(nn.relu(ff),
+                                          deterministic=deterministic)
+            ff = dense(ff, self.d_model, name="linear2")
         x = nn.LayerNorm(name="norm2")(
             x + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
         return x
@@ -85,6 +97,7 @@ class TraceEncoder(nn.Module):
     num_layers: int = 3
     dim_feedforward: int = 512
     dropout: float = 0.1
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(
@@ -101,7 +114,8 @@ class TraceEncoder(nn.Module):
         for i in range(self.num_layers):
             x = EncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
-                self.dropout, name=f"layer_{i}")(
+                self.dropout, moe_experts=self.moe_experts,
+                name=f"layer_{i}")(
                 x, mask, deterministic=deterministic)
         return x, coords, mean, scale
 
@@ -201,6 +215,7 @@ class TraceToColliderTransformer(nn.Module):
     center_xz: bool = False
     refine_stages: int = 0
     extent_features: bool = False
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -213,6 +228,7 @@ class TraceToColliderTransformer(nn.Module):
             num_layers=self.num_encoder_layers,
             dim_feedforward=self.dim_feedforward,
             dropout=self.dropout,
+            moe_experts=self.moe_experts,
             name="encoder",
         )(traces, mask, deterministic)
         outs = ColliderDecoder(

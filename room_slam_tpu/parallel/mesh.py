@@ -105,6 +105,14 @@ _TP_RULES = [
     (r".*linear1/kernel", P(None, "model")),
     (r".*linear1/bias", P("model")),
     (r".*linear2/kernel", P("model", None)),
+    # MoE FFN (models/common.MoEFFN): EXPERT parallelism — the stacked
+    # [E, ...] expert weights shard their expert dim over 'model', so each
+    # device computes its own experts and XLA psums the routed outputs.
+    # The router ('gate') stays replicated.
+    (r".*moe/w1", P("model", None, None)),
+    (r".*moe/w2", P("model", None, None)),
+    (r".*moe/b1", P("model", None)),
+    (r".*moe/b2", P("model", None)),
 ]
 
 

@@ -310,6 +310,41 @@ def test_contact_refine_translation_equivariance(rng):
     np.testing.assert_allclose(da[..., 2], -4.25, atol=1e-3)
 
 
+def test_moe_ffn(rng):
+    """MoEFFN: with one expert, routing is the identity (softmax over a
+    single logit = 1.0) and the output equals the plain FFN computed from
+    the same expert weights; with 4 experts the full transformer runs and
+    emits a load-balance aux loss >= 1 (its uniform-routing minimum)."""
+    from room_slam_tpu.models.common import MoEFFN
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    m1 = MoEFFN(32, 64, num_experts=1)
+    p1 = m1.init(jax.random.key(0), x)
+    out = m1.apply(p1, x)
+    w = p1["params"]
+    manual = (jax.nn.relu(x @ w["w1"][0] + w["b1"][0]) @ w["w2"][0]
+              + w["b2"][0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual),
+                               atol=1e-5)
+
+    cfg = ModelConfig(model_type="transformer", d_model=32, nhead=2,
+                      enc_layers=2, dec_layers=1, num_queries=8,
+                      dim_feedforward=64, use_pallas_rnn=False,
+                      moe_experts=4)
+    model = build_model(cfg)
+    params = init_params(model, cfg, seq_len=32)
+    out = model.apply(params, x[..., :11].repeat(1, axis=0),
+                      jnp.ones((2, 16), bool), deterministic=True)
+    assert out["pred_boxes"].shape == (2, 8, 6)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    # the sowed aux loss is reachable when the collection is made mutable
+    m4 = MoEFFN(32, 64, num_experts=4)
+    p4 = m4.init(jax.random.key(1), x)
+    _, aux = m4.apply(p4, x, mutable=["losses"])
+    val = float(aux["losses"]["moe_aux"][0])
+    assert val >= 1.0 - 1e-5
+
+
 def test_extent_plane_helpers(rng):
     """trace_extent_planes respects the mask; extent_gap_features returns
     signed face-to-plane gaps (zero when a box face sits exactly on its

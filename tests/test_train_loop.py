@@ -232,6 +232,47 @@ def test_multidevice_tensor_parallel_step():
     assert n_after == n_sharded
 
 
+def test_multidevice_expert_parallel_step():
+    """MoE transformer train step on a (4, 2) data x model mesh: the
+    stacked expert weights shard their EXPERT dim over 'model'
+    (parallel/mesh.py moe rules), the router stays replicated, and the
+    loss is finite — the expert-parallel path end to end."""
+    from room_slam_tpu.parallel import mesh as mesh_lib
+
+    assert jax.device_count() >= 8
+    cfg = _tiny_config()
+    cfg.model = ModelConfig(model_type="transformer", d_model=32, nhead=2,
+                            enc_layers=2, dec_layers=1, num_queries=10,
+                            dim_feedforward=64, dropout=0.0,
+                            use_pallas_rnn=False, moe_experts=4)
+    cfg.train.batch_size = 8
+    mesh = mesh_lib.make_mesh((4, 2))
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    params = mesh_lib.shard_params(params, mesh, tensor_parallel=True)
+
+    def spec_of(path):
+        leaf = params
+        for k in path:
+            leaf = leaf[k]
+        return leaf.sharding.spec
+
+    enc = params["params"]["encoder"]["layer_0"]
+    assert "moe" in enc, "MoE FFN not built"
+    assert spec_of(("params", "encoder", "layer_0", "moe", "w1"))[0] == \
+        "model", "expert dim not sharded over 'model'"
+    assert not any(
+        spec_of(("params", "encoder", "layer_0", "moe", "gate", "kernel")))
+
+    tx = make_optimizer(cfg)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    step = make_train_step(model, tx, cfg, augment=True)
+    batch = jax.device_get(_synthetic_batch(cfg, batch=8))
+    batch = mesh_lib.shard_batch(batch, mesh)
+    state, losses = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(losses["total_loss"]))
+
+
 def test_multidevice_flagship_pallas_step():
     """The PRODUCTION path under a sharded batch: BiLSTM with the Pallas
     recurrence (interpret mode on CPU), objectness + center_xz + contact
