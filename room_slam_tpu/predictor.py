@@ -225,4 +225,8 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             for i in order if keep[i]
         ]
 
+    # expose the compiled serving program + its view layout for
+    # tools/export.py (StableHLO export of exactly this dispatch)
+    predict_array.run = run
+    predict_array.views = views
     return predict_array
