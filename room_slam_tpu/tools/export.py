@@ -33,8 +33,8 @@ import numpy as np
 
 def export_checkpoint(checkpoint: str, output: str,
                       max_trace_len: int = 3000,
-                      threshold: float = 0.0, nms: float = 0.1,
-                      refine: float | None = 0.55,
+                      threshold: float = 0.05, nms: float = 0.1,
+                      refine: float | None = None,
                       refine_furniture: bool = True,
                       extent: float | None = 1.0,
                       top_k: int | None = 12,
@@ -130,9 +130,11 @@ def main():
     p.add_argument("--checkpoint", help="checkpoint to export")
     p.add_argument("--output", default="model.shlo")
     p.add_argument("--max_trace_len", type=int, default=3000)
-    p.add_argument("--threshold", type=float, default=0.0)
+    # defaults = the calibration-selected detection cell (PARITY.md
+    # round 3: refine snapping OFF — it destroys memorized walls)
+    p.add_argument("--threshold", type=float, default=0.05)
     p.add_argument("--nms", type=float, default=0.1)
-    p.add_argument("--refine", type=float, default=0.55)
+    p.add_argument("--refine", type=float, default=None)
     p.add_argument("--no_refine", action="store_true")
     p.add_argument("--extent", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=12)
