@@ -275,8 +275,10 @@ def main():
                         "ops/refine.py outside_extent_mask)")
     p.add_argument("--refine", type=float, default=None, metavar="CLEARANCE",
                    help="trace-informed wall refinement before NMS, with "
-                        "this walker-clearance prior in meters (agent: 0.3, "
-                        "human: ~0.55); see room_slam_tpu/ops/refine.py")
+                        "this walker-clearance prior in meters; off by "
+                        "default — calibration selects NO snap for well-"
+                        "trained models (PARITY.md round 3). See "
+                        "room_slam_tpu/ops/refine.py")
     p.add_argument("--refine_furniture", action="store_true",
                    help="with --refine: where predicted furniture lines a "
                         "side of the visited envelope, place the wall "

@@ -66,8 +66,10 @@ def main():
     parser.add_argument("--refine", type=float, default=None,
                         metavar="CLEARANCE",
                         help="trace-informed wall refinement with this "
-                             "walker-clearance prior in meters (agent: 0.3, "
-                             "human: ~0.55)")
+                             "walker-clearance prior in meters. Off by "
+                             "default: calibration selects NO snap for "
+                             "well-trained models (PARITY.md round 3 — "
+                             "a wrong prior zeroes thin-wall IoU)")
     parser.add_argument("--refine_trust", type=float, default=0.4,
                         metavar="METERS",
                         help="with --refine: max distance a wall "
