@@ -273,6 +273,31 @@ def make_train_step(
     return jax.jit(_step_impl(model, tx, cfg, augment), donate_argnums=(0,))
 
 
+def make_train_steps(
+    model, tx: optax.GradientTransformation, cfg: ExperimentConfig,
+    augment: bool = True,
+) -> Callable:
+    """Build a jitted MULTI-step runner: (state, batch, keys[N]) ->
+    (state, total_loss[N]) — N train steps on one repeated batch as a
+    single ``lax.scan`` dispatch.
+
+    This is the production dispatch granularity (the fused-run driver
+    scans whole epochs on device); bench.py times the headline with it so
+    the measurement is per-step-round-trip-free — through the remote axon
+    tunnel a host-driven step loop pays ~2-10 ms of tunnel latency per
+    step (infra-weather dependent), which at the flagship's ~6 ms step
+    swings the number 2x while the chip does identical work."""
+    step = _step_impl(model, tx, cfg, augment)
+
+    def run(state, batch, keys):
+        def body(st, k):
+            st, losses = step(st, batch, k)
+            return st, losses["total_loss"]
+        return jax.lax.scan(body, state, keys)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
 def _batch_constrainer(mesh):
     """Shard a gathered batch over the 'data' axis inside jit (no-op
     without a mesh)."""

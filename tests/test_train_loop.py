@@ -232,6 +232,44 @@ def test_multidevice_tensor_parallel_step():
     assert n_after == n_sharded
 
 
+def test_train_steps_scan_matches_sequential():
+    """make_train_steps (the bench/fused dispatch granularity) follows the
+    same optimization trajectory as N make_train_step calls with the same
+    key sequence. Not bit-identical: the scan body compiles to a different
+    XLA program (different fusion/reassociation rounding), and Adam's
+    normalization amplifies an ulp-level gradient difference to O(lr) per
+    step — so params are compared to a few-lr tolerance."""
+    import jax.numpy as jnp
+
+    from room_slam_tpu.train.loop import make_train_steps
+
+    cfg = _tiny_config()
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    tx = make_optimizer(cfg)
+    batch = _synthetic_batch(cfg, batch=cfg.train.batch_size)
+    keys = jax.random.split(jax.random.key(7), 3)
+
+    s1 = TrainState(params, tx.init(params), jnp.asarray(0))
+    step = make_train_step(model, tx, cfg, augment=True)
+    seq_losses = []
+    for k in keys:
+        s1, losses = step(s1, batch, k)
+        seq_losses.append(float(losses["total_loss"]))
+
+    params2 = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    s2 = TrainState(params2, tx.init(params2), jnp.asarray(0))
+    run = make_train_steps(model, tx, cfg, augment=True)
+    s2, tl = run(s2, batch, keys)
+    np.testing.assert_allclose(np.asarray(tl), np.asarray(seq_losses),
+                               rtol=1e-4)
+    lr = cfg.train.lr
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=10 * lr)
+
+
 def test_multidevice_expert_parallel_step():
     """MoE transformer train step on a (4, 2) data x model mesh: the
     stacked expert weights shard their EXPERT dim over 'model'
