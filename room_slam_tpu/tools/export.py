@@ -139,7 +139,8 @@ def main():
     p.add_argument("--extent", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=12)
     p.add_argument("--tta", action="store_true")
-    p.add_argument("--fuse", action="store_true", default=True)
+    p.add_argument("--fuse", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--platforms", default="",
                    help="comma list, e.g. cpu,tpu (default: current)")
     p.add_argument("--run", help="smoke-test an existing artifact instead")
