@@ -144,14 +144,15 @@ class TrainConfig:
     # final_model / periodic checkpoints.
     ema_decay: float = 0.0
     # PRNG implementation for the per-step stochasticity (augmentation
-    # noise + dropout masks). "rbg" (XLA RngBitGenerator, the default) is
-    # ~13% faster per step at the seq=5000 scale-up shape (threefry's VPU
-    # cost over [B, N, D]-sized masks is real) and deterministic per key
-    # on a given backend; "threefry2x32" (JAX's default) remains
-    # available. Dataset generation and param init stay threefry
-    # regardless, so the DATA of a seeded run is identical under either
-    # choice.
-    rng_impl: str = "rbg"
+    # noise + dropout masks). "threefry2x32" (JAX's default, and ours) is
+    # deterministic across backends, so a seeded run reproduces anywhere.
+    # "rbg" (XLA RngBitGenerator) is ~13-23% faster per step at the
+    # benchmark shapes (threefry's VPU cost over [B, N, D]-sized masks is
+    # real) but deterministic only per backend; the performance configs
+    # (bench.py, configs/flagship_v15.json) opt into it explicitly.
+    # Dataset generation and param init stay threefry regardless, so the
+    # DATA of a seeded run is identical under either choice.
+    rng_impl: str = "threefry2x32"
     seed: int = 0
     save_dir: str = "./checkpoints"
     # class_loss / l1_loss / giou_loss weights (ref: train.py:433-437)
@@ -169,6 +170,11 @@ class TrainConfig:
     # scale-relative |log(pred_size/gt_size)| weight (0.0 = reference loss
     # exactly); absolute L1 under-penalizes small-furniture size errors
     size_log_weight: float = 0.0
+    # weight of the switch-MoE load-balance auxiliary loss when
+    # model.moe_experts > 0 (Switch Transformer's alpha, arXiv:2101.03961
+    # uses 0.01); the trainer collects the per-layer sowed terms via
+    # mutable=['losses'] and adds moe_aux_weight * mean-over-layers
+    moe_aux_weight: float = 0.01
     # weight of the auxiliary per-stage box losses when model.refine_stages
     # > 0: each intermediate box gets the same L1+GIoU supervision as the
     # final one (shared Hungarian assignment), scaled by this factor —

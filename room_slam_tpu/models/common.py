@@ -126,8 +126,11 @@ class MoEFFN(nn.Module):
 
     Routing is differentiable through the selected expert's gate
     probability (Switch Transformer, arXiv:2101.03961). ``aux_loss`` (the
-    usual load-balance term, mean over tokens of E * f_e * p_e) is sowed
-    under the 'losses' collection for the trainer to pick up.
+    usual load-balance term, E * sum_e f_e * p_e over VALID tokens —
+    ``mask`` excludes padding positions from the statistics so short
+    traces in a fixed-L batch don't skew them) is sowed under the
+    'losses' collection; train/loop.py applies it with
+    ``train.moe_aux_weight`` via ``mutable=['losses']``.
     """
 
     d_model: int
@@ -136,7 +139,8 @@ class MoEFFN(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):
         E = self.num_experts
         gate_logits = dense(x, E, name="gate")            # [B, N, E]
         probs = nn.softmax(gate_logits, axis=-1)
@@ -169,9 +173,17 @@ class MoEFFN(nn.Module):
              + b2[None, :, None, :])                      # [B, E, N, D]
         out = jnp.einsum("bend,bne->bnd", y, route)
 
-        # load-balance auxiliary loss (encourages uniform expert usage)
-        frac = onehot.astype(jnp.float32).mean(axis=(0, 1))     # f_e
-        mean_p = probs.astype(jnp.float32).mean(axis=(0, 1))    # p_e
+        # load-balance auxiliary loss (encourages uniform expert usage);
+        # statistics over valid tokens only — padding rows neither vote in
+        # f_e/p_e nor count in the denominator
+        if mask is None:
+            frac = onehot.astype(jnp.float32).mean(axis=(0, 1))     # f_e
+            mean_p = probs.astype(jnp.float32).mean(axis=(0, 1))    # p_e
+        else:
+            m = mask.astype(jnp.float32)[..., None]                 # [B,N,1]
+            denom = jnp.maximum(m.sum(), 1.0)
+            frac = (onehot.astype(jnp.float32) * m).sum(axis=(0, 1)) / denom
+            mean_p = (probs.astype(jnp.float32) * m).sum(axis=(0, 1)) / denom
         self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
         return out
 

@@ -95,7 +95,12 @@ def init_params(model: nn.Module, cfg: ModelConfig, seed: int = 0,
 
     @jax.jit
     def init(key):
-        return model.init({"params": key}, traces, mask, deterministic=True)
+        variables = model.init({"params": key}, traces, mask,
+                               deterministic=True)
+        # keep ONLY the trainable collection: init also materializes sowed
+        # collections (e.g. MoEFFN's 'losses'), which must not leak into
+        # the optimizer/checkpoint pytree as if they were parameters
+        return {"params": variables["params"]}
 
     return init(jax.random.key(seed))
 

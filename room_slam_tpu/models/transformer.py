@@ -47,7 +47,7 @@ class EncoderLayer(nn.Module):
         if self.moe_experts:
             ff = MoEFFN(self.d_model, self.dim_feedforward,
                         self.moe_experts, self.dropout, name="moe")(
-                x, deterministic=deterministic)
+                x, deterministic=deterministic, mask=mask)
         else:
             ff = dense(x, self.dim_feedforward, name="linear1")
             ff = nn.Dropout(self.dropout)(nn.relu(ff),

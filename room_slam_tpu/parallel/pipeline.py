@@ -95,6 +95,14 @@ def pipeline_apply(
     """
     S = mesh.shape["stage"]
     M = num_microbatches
+    S_params = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if S_params != S:
+        # without this, shard_map would hand each device a [S_params/S, ...]
+        # shard and body's p[0] would silently run only the first layer of
+        # each shard — wrong results instead of a loud failure
+        raise ValueError(
+            f"stacked_params has {S_params} stages but the mesh 'stage' "
+            f"axis has {S} devices; they must match (one layer per device)")
 
     def body(params, xs):
         # local views: params [1, ...] (this stage's layer), xs the local

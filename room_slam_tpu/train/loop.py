@@ -199,6 +199,11 @@ def _step_impl(model, tx, cfg: ExperimentConfig, augment: bool):
     """Un-jitted single-step body shared by the per-step and per-epoch APIs."""
     aug_fn = make_augment_batch(cfg.data) if augment else None
     lw = _loss_weight_dict(cfg)
+    # switch-MoE load-balance term: only MoE models sow under 'losses'
+    # (models/common.MoEFFN); the non-MoE path keeps the plain apply so
+    # the flagship's training program is bit-identical
+    moe_w = (cfg.train.moe_aux_weight
+             if getattr(cfg.model, "moe_experts", 0) else 0.0)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
              key: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -214,10 +219,23 @@ def _step_impl(model, tx, cfg: ExperimentConfig, augment: bool):
         }
 
         def loss_fn(params, feats, mask, targets, weight, dkey):
-            out = model.apply(
-                params, feats, mask, deterministic=False,
-                rngs={"dropout": dkey})
-            losses = set_criterion(out, targets, weight, lw)
+            if moe_w:
+                out, mut = model.apply(
+                    params, feats, mask, deterministic=False,
+                    rngs={"dropout": dkey}, mutable=["losses"])
+                losses = set_criterion(out, targets, weight, lw)
+                # mean over the per-layer sowed terms so the weight is
+                # independent of encoder depth
+                leaves = jax.tree_util.tree_leaves(mut.get("losses", {}))
+                aux = (sum(jnp.sum(v) for v in leaves) / len(leaves)
+                       if leaves else jnp.float32(0.0))
+                losses["moe_aux"] = aux
+                losses["total_loss"] = losses["total_loss"] + moe_w * aux
+            else:
+                out = model.apply(
+                    params, feats, mask, deterministic=False,
+                    rngs={"dropout": dkey})
+                losses = set_criterion(out, targets, weight, lw)
             return losses["total_loss"], losses
 
         A = max(1, int(cfg.train.grad_accum))

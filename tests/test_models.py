@@ -342,7 +342,11 @@ def test_moe_ffn(rng):
     p4 = m4.init(jax.random.key(1), x)
     _, aux = m4.apply(p4, x, mutable=["losses"])
     val = float(aux["losses"]["moe_aux"][0])
-    assert val >= 1.0 - 1e-5
+    # E * sum(f_e * p_e) sits NEAR 1.0 for a near-uniform router but 1.0 is
+    # not a hard lower bound (f from argmax can undershoot p); the draw
+    # depends on the session rng fixture's position, so assert the
+    # ballpark, not the boundary
+    assert 0.5 < val < 2.0
 
 
 def test_extent_plane_helpers(rng):
@@ -451,3 +455,32 @@ def test_mixed_precision_matches_f32(model_type, rng):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(x.dtype == jnp.float32 for x in leaves)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+
+
+def test_moe_ffn_masked_stats(rng):
+    """The load-balance statistics must ignore padding: with a key-padding
+    mask, changing the CONTENT of padded rows must not move the sowed aux
+    loss (ADVICE round 3 — padded positions used to vote in f_e/p_e)."""
+    from room_slam_tpu.models.common import MoEFFN
+
+    m = MoEFFN(32, 64, num_experts=4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    # keep ONLY params: init also returns the sowed 'losses' collection,
+    # and passing it back into apply would make sow APPEND after the stale
+    # init-time value (index [0] would then be init's aux, not this call's)
+    p = {"params": m.init(jax.random.key(0), x)["params"]}
+    mask = jnp.asarray(np.arange(16)[None, :] < np.array([[9], [13]]))
+
+    def aux_with_padding(fill):
+        xf = jnp.where(mask[..., None], x, fill)
+        _, a = m.apply(p, xf, mask=mask, mutable=["losses"])
+        return float(a["losses"]["moe_aux"][0])
+
+    a1 = aux_with_padding(0.0)
+    a2 = aux_with_padding(37.0)
+    np.testing.assert_allclose(a1, a2, rtol=1e-6)
+    assert a1 > 0.0
+    # and masked stats differ from unmasked ones when padding is extreme
+    _, a_nomask = m.apply(p, jnp.where(mask[..., None], x, 37.0),
+                          mutable=["losses"])
+    assert abs(float(a_nomask["losses"]["moe_aux"][0]) - a1) > 1e-6

@@ -70,3 +70,16 @@ def test_stack_stage_params_roundtrip():
     stacked = stack_stage_params(trees)
     assert stacked["w"].shape == (3, 2, 3)
     np.testing.assert_allclose(np.asarray(stacked["b"][2]), -2.0)
+
+
+def test_pipeline_stage_count_mismatch_raises():
+    """ADVICE round 3: 8 stacked layers on a 4-stage mesh must fail loudly
+    — shard_map would otherwise hand each device a 2-layer shard of which
+    body() silently uses only the first (wrong results, no error)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_pipeline_mesh((1, 4))
+    params = init_bilstm_stage_params(jax.random.key(0), 8, 8)
+    x = jnp.zeros((8, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="stage"):
+        pipeline_apply(bilstm_stage_fn, params, x, mesh, 4)

@@ -504,3 +504,42 @@ def test_fused_run_with_ema_and_accum(tmp_path):
     assert all(np.isfinite(r["val_loss"]) for r in res["history"])
     assert (tmp_path / "best_model.msgpack").exists()
     assert (tmp_path / "final_model.msgpack").exists()
+
+
+def test_moe_aux_loss_reaches_total_loss():
+    """ADVICE round 3 (medium): the switch-MoE load-balance term sowed by
+    MoEFFN must actually land in the training objective. Two train steps
+    from identical state/batch/key, differing ONLY in moe_aux_weight, must
+    differ in total_loss by exactly (w2 - w1) * moe_aux; and init_params
+    must return ONLY the 'params' collection (the sowed 'losses' must not
+    leak into the optimizer/checkpoint pytree)."""
+    cfg = _tiny_config()
+    cfg.model = ModelConfig(model_type="transformer", d_model=32, nhead=2,
+                            enc_layers=2, dec_layers=1, num_queries=10,
+                            dim_feedforward=64, dropout=0.0,
+                            use_pallas_rnn=False, moe_experts=4)
+    model = build_model(cfg.model)
+    params = init_params(model, cfg.model, seq_len=cfg.data.max_trace_len)
+    assert set(params.keys()) == {"params"}, (
+        "init_params leaked non-param collections: "
+        f"{sorted(params.keys())}")
+
+    batch = _synthetic_batch(cfg)
+    key = jax.random.key(7)
+    totals, auxes = {}, {}
+    for w in (0.5, 1.0):
+        cfg.train.moe_aux_weight = w
+        tx = make_optimizer(cfg)
+        # the step donates its state; give each run its own param buffers
+        p = jax.tree_util.tree_map(jnp.array, params)
+        state = TrainState(p, tx.init(p), jnp.asarray(0))
+        step = make_train_step(model, tx, cfg, augment=False)
+        _, losses = step(state, batch, key)
+        assert "moe_aux" in losses, "moe_aux not surfaced in loss dict"
+        totals[w] = float(losses["total_loss"])
+        auxes[w] = float(losses["moe_aux"])
+    # the sowed statistic is state-independent here (same params/batch/key)
+    assert abs(auxes[0.5] - auxes[1.0]) < 1e-5
+    assert auxes[1.0] > 0.0
+    np.testing.assert_allclose(totals[1.0] - totals[0.5],
+                               0.5 * auxes[1.0], rtol=1e-3)

@@ -1,0 +1,102 @@
+"""Test-time trace-consistency adaptation (ops/ttopt.py): the physics
+losses must move boxes the way the constraints say — and leave physically
+consistent boxes alone."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from room_slam_tpu.ops.ttopt import TTOptParams, adapt_boxes
+
+
+def _grid_trace(span=2.0, n=60, y=1.0):
+    """A serpentine trace covering [-span, span]^2 in XZ at sensor height
+    ``y`` — the walker visited the whole floor. n=60 gives ~7 cm point
+    spacing, the same order as real captures (~2 cm after decimation):
+    the physics terms assume trace spacing << box width."""
+    xs = np.linspace(-span, span, n)
+    zs = np.linspace(-span, span, n)
+    pts = np.array([(x, y, z) for z in zs for x in xs], np.float32)
+    t = np.arange(len(pts), dtype=np.float32)[:, None] * 0.033
+    raw = np.concatenate([pts, t], axis=1)
+    return jnp.asarray(raw), jnp.asarray(len(pts), jnp.int32)
+
+
+def test_penetrated_wall_pushed_out():
+    """A thin wall regressed INWARD of the envelope edge (the trace walks
+    through it) is plowed back out until its body-inflated inner face sits
+    at the outermost trace point — the touched-wall-plane recovery of
+    tools/ceiling.py's 'contacted' class. A wall correctly placed just
+    outside the envelope stays put, and a wall DEEP inside walked space
+    (no local direction signal) stays bounded near its estimate instead
+    of being yanked to a wrong plane."""
+    raw, length = _grid_trace(span=2.0)
+    boxes = jnp.asarray([
+        [1.9, 1.25, 0.0, 0.15, 2.5, 4.0],   # inward-regressed edge wall
+        [2.3, 1.25, 0.0, 0.15, 2.5, 4.0],   # consistent wall, outside
+        [1.2, 1.25, 0.0, 0.15, 2.5, 4.0],   # deep inside walked space
+    ], jnp.float32)
+    p = TTOptParams(steps=300)
+    out = np.asarray(adapt_boxes(boxes, raw, length, p))
+    # the edge wall moved out; its inflated inner face reached the
+    # envelope boundary (outermost trace x = 2.0)
+    assert out[0, 0] > 2.1, out[0]
+    face = out[0, 0] - out[0, 3] / 2 - p.body_radius
+    assert 1.93 < face < 2.15, out[0]
+    # the good wall barely moved
+    np.testing.assert_allclose(out[1], np.asarray(boxes)[1], atol=0.05)
+    # the deep wall stayed near its estimate (shrink allowed, |dc| small)
+    assert abs(out[2, 0] - 1.2) < 0.25, out[2]
+    # y untouched for all
+    np.testing.assert_allclose(out[:, [1, 4]],
+                               np.asarray(boxes)[:, [1, 4]], atol=1e-6)
+
+
+def test_phantom_box_pulled_to_envelope():
+    """A hallucinated box far outside the envelope is pulled back toward
+    the plausible region (the soft twin of outside_extent_mask)."""
+    raw, length = _grid_trace(span=2.0)
+    boxes = jnp.asarray([[8.0, 0.5, 8.0, 1.0, 1.0, 1.0]], jnp.float32)
+    p = TTOptParams(steps=300, w_env=1.0)
+    out = np.asarray(adapt_boxes(boxes, raw, length, p))
+    d0 = np.hypot(8.0 - 2.0, 8.0 - 2.0)
+    d1 = np.hypot(max(out[0, 0] - out[0, 3] / 2 - 2.0, 0),
+                  max(out[0, 2] - out[0, 5] / 2 - 2.0, 0))
+    assert d1 < 0.75 * d0, (d0, d1, out)
+
+
+def test_ygate_excludes_overhead_boxes():
+    """A box entirely ABOVE the walker's body column (e.g. a ceiling
+    fixture the trace passes under) must not register penetration."""
+    raw, length = _grid_trace(span=2.0, y=1.0)
+    boxes = jnp.asarray([[0.0, 2.0, 0.0, 1.0, 0.4, 1.0]], jnp.float32)
+    out = np.asarray(adapt_boxes(boxes, raw, length))
+    np.testing.assert_allclose(out[0], np.asarray(boxes)[0], atol=0.02)
+
+
+def test_degenerate_trace_is_safe():
+    """length=0 must not produce NaNs (empty captures happen in padded
+    batches)."""
+    raw = jnp.zeros((16, 4), jnp.float32)
+    boxes = jnp.asarray([[0.5, 1.0, 0.5, 1.0, 2.0, 1.0]], jnp.float32)
+    out = np.asarray(adapt_boxes(boxes, raw, jnp.asarray(0, jnp.int32)))
+    assert np.isfinite(out).all()
+
+
+def test_vmap_over_captures():
+    """The adaptation composes under vmap (the realbench batch path)."""
+    raw, length = _grid_trace(span=2.0)
+    boxes = jnp.asarray([
+        [1.9, 1.25, 0.0, 0.15, 2.5, 4.0],
+        [2.3, 1.25, 0.0, 0.15, 2.5, 4.0],
+    ], jnp.float32)
+    b = jnp.stack([boxes, boxes])
+    r = jnp.stack([raw, raw])
+    n = jnp.stack([length, length])
+    p = TTOptParams(steps=150)
+    out = jax.jit(jax.vmap(lambda bb, rr, nn: adapt_boxes(bb, rr, nn, p)))(
+        b, r, n)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0], out[1], atol=1e-6)
+    assert out[0, 0, 0] > 2.0
