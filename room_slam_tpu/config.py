@@ -203,8 +203,16 @@ class MeshConfig:
 
     data_axis: str = "data"
     model_axis: str = "model"
-    # (n_data, n_model); (0, 1) means use all devices on the data axis
-    mesh_shape: Tuple[int, int] = (0, 1)
+    # (n_data, n_model) for a 2-axis ('data', 'model') mesh — (0, 1) means
+    # all devices on the data axis — or (n_data, n_seq, n_model) for the
+    # 3-axis ('data', 'seq', 'model') mesh (sequence parallelism: the raw
+    # trace's L dim shards over 'seq'; parallel/mesh.make_mesh3). Set from
+    # the CLI with e.g. --set mesh.mesh_shape=[2,2,2]. Sequence
+    # parallelism is for the attention/scan encoders (the transformer
+    # variant and the scale-up configs); the fused Pallas recurrence
+    # kernel expects the full sequence per device, so use
+    # model.use_pallas_rnn=false with a 'seq' axis > 1.
+    mesh_shape: Tuple[int, ...] = (0, 1)
 
 
 @dataclass

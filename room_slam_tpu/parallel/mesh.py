@@ -45,6 +45,21 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_mesh_from_config(mesh_shape: Tuple[int, ...],
+                          devices: Optional[Sequence[jax.Device]] = None
+                          ) -> Mesh:
+    """Dispatch on the configured shape: 2-tuple -> ('data', 'model'),
+    3-tuple -> ('data', 'seq', 'model'). The trainers call this so
+    ``--set mesh.mesh_shape=[2,2,2]`` reaches sequence parallelism from
+    the CLI (train.py)."""
+    if len(mesh_shape) == 3:
+        return make_mesh3(tuple(mesh_shape), devices)
+    if len(mesh_shape) == 2:
+        return make_mesh(tuple(mesh_shape), devices)
+    raise ValueError(
+        f"mesh.mesh_shape must have 2 or 3 entries, got {mesh_shape!r}")
+
+
 def make_mesh3(
     mesh_shape: Tuple[int, int, int] = (0, 1, 1),
     devices: Optional[Sequence[jax.Device]] = None,

@@ -173,8 +173,9 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
           extent_vals=(None,), consensus_vals=(False,), top_k_vals=(None,),
           iou_thresholds=(0.5, 0.25), refine_furniture: bool = False,
           trust_vals=(0.4,), synth_vals=(False,),
-          fuse_vals=(False,)) -> list:
-    """Score every (threshold, nms, refine, trust, synth, extent,
+          fuse_vals=(False,), ttopt_vals=(False,),
+          ttopt_params=None) -> list:
+    """Score every (threshold, nms, refine, trust, synth, ttopt, extent,
     consensus, top_k, fuse) cell from cached forwards.
 
     ``trust_vals`` sweeps refine_walls' max snap distance — under domain
@@ -183,14 +184,21 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     an operating-point choice. ``synth_vals`` sweeps extent-implied wall
     candidate injection (ops/refine.synthesize_walls). ``fuse_vals``
     sweeps weighted box fusion (ops/nms.nms_3d_fused) — each kept box
-    becomes its NMS cluster's score-weighted mean."""
+    becomes its NMS cluster's score-weighted mean. ``ttopt_vals`` sweeps
+    test-time trace-consistency adaptation (ops/ttopt.adapt_boxes),
+    applied to the candidate boxes after refine/synth and before the
+    extent mask / NMS."""
     import jax
     import jax.numpy as jnp
 
     from room_slam_tpu.ops.nms import post_process
     from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
                                           synthesize_walls)
+    from room_slam_tpu.ops.ttopt import TTOptParams, adapt_boxes
     from room_slam_tpu.train.metrics import average_precision_3d
+
+    if ttopt_params is None:
+        ttopt_params = TTOptParams()
 
     pred_labels_all = np.argmax(cached["pred_logits"], -1)
 
@@ -228,7 +236,14 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             candidate_mask=cm, fuse=fuse, return_boxes=True)
         )(boxes, logits, obj, cand)
 
-    # (refine, trust, synth) -> (boxes, logits, objectness, base_valid)
+    @jax.jit
+    def _ttopt_all(boxes, raw, length):
+        return jax.vmap(
+            lambda b, r, n: adapt_boxes(b, r, n, ttopt_params)
+        )(boxes, raw, length)
+
+    # (refine, trust, synth, ttopt) -> (boxes, logits, objectness,
+    # base_valid)
     variants = {}
     for rf in refine_vals:
         for tr in (trust_vals if rf is not None else (trust_vals[0],)):
@@ -243,19 +258,26 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
                     jnp.float32(rf), jnp.float32(tr)))
             for sy in synth_vals:
                 if not sy:
-                    variants[rf, tr, sy] = (
-                        boxes, cached["pred_logits"], obj_all,
-                        np.ones(boxes.shape[:2], dtype=bool))
-                    continue
-                obj_in = (jnp.zeros(boxes.shape[:2]) if obj_all is None
-                          else jnp.asarray(obj_all))
-                sb, sl, so, sv = (np.asarray(a) for a in _synth_all(
-                    jnp.asarray(boxes), jnp.asarray(cached["pred_logits"]),
-                    obj_in, jnp.asarray(cached["raw"]),
-                    jnp.asarray(cached["length"]),
-                    jnp.float32(rf if rf is not None else 0.3)))
-                variants[rf, tr, sy] = (
-                    sb, sl, so if obj_all is not None else None, sv)
+                    sb, sl, so, sv = (boxes, cached["pred_logits"], obj_all,
+                                      np.ones(boxes.shape[:2], dtype=bool))
+                else:
+                    obj_in = (jnp.zeros(boxes.shape[:2]) if obj_all is None
+                              else jnp.asarray(obj_all))
+                    sb, sl, so, sv = (np.asarray(a) for a in _synth_all(
+                        jnp.asarray(boxes),
+                        jnp.asarray(cached["pred_logits"]),
+                        obj_in, jnp.asarray(cached["raw"]),
+                        jnp.asarray(cached["length"]),
+                        jnp.float32(rf if rf is not None else 0.3)))
+                    if obj_all is None:
+                        so = None
+                for tt in ttopt_vals:
+                    tb = sb
+                    if tt:
+                        tb = np.asarray(_ttopt_all(
+                            jnp.asarray(sb), jnp.asarray(cached["raw"]),
+                            jnp.asarray(cached["length"])))
+                    variants[rf, tr, sy, tt] = (tb, sl, so, sv)
 
     n_img = cached["pred_boxes"].shape[0]
     gt_rows = [(cached["gt_boxes"][i][cached["gt_valid"][i]],
@@ -272,10 +294,10 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         )(boxes, raw, length)
 
     results = []
-    for (rf, tr, sy), thr, nm, ext, cns, tk, fu in itertools.product(
+    for (rf, tr, sy, tt), thr, nm, ext, cns, tk, fu in itertools.product(
             variants, thresholds, nms_vals, extent_vals,
             consensus_vals, top_k_vals, fuse_vals):
-        boxes, logits, obj, base_valid = variants[rf, tr, sy]
+        boxes, logits, obj, base_valid = variants[rf, tr, sy, tt]
         if ext is None:
             cand = jnp.asarray(base_valid)
         else:
@@ -291,8 +313,9 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             cand=cand, has_obj=obj is not None, fuse=fu))
         img_ids, flat = np.nonzero(keep)
         cell = {"threshold": thr, "nms": nm, "refine": rf, "trust": tr,
-                "synth": sy, "extent": ext, "consensus": cns, "top_k": tk,
-                "fuse": fu, "num_predictions": int(keep.sum())}
+                "synth": sy, "ttopt": tt, "extent": ext, "consensus": cns,
+                "top_k": tk, "fuse": fu,
+                "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
                 mAP, aps = average_precision_3d(
@@ -348,6 +371,12 @@ def main():
                         "weighted box fusion — kept boxes become their "
                         "NMS cluster's score-weighted mean "
                         "(ops/nms.nms_3d_fused)")
+    p.add_argument("--ttopt", default="off",
+                   help="'off', 'on', or 'off,on' (alias 'both'): sweep "
+                        "test-time trace-consistency adaptation — "
+                        "per-capture differentiable refinement of the "
+                        "candidate boxes against non-penetration / "
+                        "envelope physics (ops/ttopt.py)")
     p.add_argument("--refine_furniture", action="store_true",
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
@@ -403,6 +432,10 @@ def main():
         fuse_vals = [False, True]
     else:
         fuse_vals = [x == "on" for x in args.fuse.split(",")]
+    if args.ttopt == "both":
+        ttopt_vals = [False, True]
+    else:
+        ttopt_vals = [x == "on" for x in args.ttopt.split(",")]
 
     tta_scales = tuple(float(x) for x in args.tta_scales.split(",") if x)
     cached = _forward_val_set(args.checkpoint, args.data_dir,
@@ -414,12 +447,13 @@ def main():
                     consensus_vals, top_k_vals,
                     refine_furniture=args.refine_furniture,
                     trust_vals=trust_vals, synth_vals=synth_vals,
-                    fuse_vals=fuse_vals)
+                    fuse_vals=fuse_vals, ttopt_vals=ttopt_vals)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
               f"refine={c['refine']} trust={c['trust']} "
-              f"synth={int(c['synth'])} extent={c['extent']} "
+              f"synth={int(c['synth'])} tt={int(c['ttopt'])} "
+              f"extent={c['extent']} "
               f"cns={int(c['consensus'])} k={c['top_k']} "
               f"fuse={int(c['fuse'])} "
               f"preds={c['num_predictions']:4d} "
@@ -441,7 +475,8 @@ def main():
                          refine_furniture=args.refine_furniture,
                          trust_vals=[best.get("trust", 0.4)],
                          synth_vals=[best.get("synth", False)],
-                         fuse_vals=[best.get("fuse", False)])[0]
+                         fuse_vals=[best.get("fuse", False)],
+                         ttopt_vals=[best.get("ttopt", False)])[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir
         print("held-out:", json.dumps(held_out, default=float))

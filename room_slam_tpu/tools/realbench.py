@@ -69,6 +69,7 @@ def apply_operating_point(cached: dict, cell: dict,
     from room_slam_tpu.ops.nms import post_process
     from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
                                           synthesize_walls)
+    from room_slam_tpu.ops.ttopt import TTOptParams, adapt_boxes
 
     boxes = cached["pred_boxes"]
     logits = cached["pred_logits"]
@@ -98,6 +99,16 @@ def apply_operating_point(cached: dict, cell: dict,
           jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
         if obj is not None:
             obj = so
+
+    if cell.get("ttopt"):
+        # test-time trace-consistency adaptation of the candidate boxes
+        # (after refine/synth, before the extent mask — ops/ttopt.py)
+        tp = TTOptParams(**cell["ttopt"]) if isinstance(
+            cell.get("ttopt"), dict) else TTOptParams()
+        boxes = np.asarray(jax.jit(jax.vmap(
+            lambda b, r, n: adapt_boxes(b, r, n, tp)
+        ))(jnp.asarray(boxes), jnp.asarray(cached["raw"]),
+           jnp.asarray(cached["length"])))
 
     ext = cell.get("extent")
     if ext is None:
@@ -313,8 +324,8 @@ def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
     cells.sort(key=lambda c: (-c[select], -c["mAP@0.5"]))
     best = cells[0]
     return {k: best[k] for k in
-            ("threshold", "nms", "refine", "trust", "synth", "extent",
-             "consensus", "top_k")}
+            ("threshold", "nms", "refine", "trust", "synth", "ttopt",
+             "extent", "consensus", "top_k")}
 
 
 def main():
@@ -344,6 +355,10 @@ def main():
     p.add_argument("--fuse", action="store_true",
                    help="weighted box fusion: kept boxes become their NMS "
                         "cluster's score-weighted mean (ops/nms)")
+    p.add_argument("--ttopt", action="store_true",
+                   help="test-time trace-consistency adaptation of the "
+                        "candidate boxes against non-penetration / "
+                        "envelope physics (ops/ttopt.py)")
     p.add_argument("--refine_furniture", action="store_true")
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
@@ -382,6 +397,8 @@ def main():
                            tta_scales=tta_scales)
         cell["calibrated_on"] = args.calib_dir
         cell.setdefault("fuse", args.fuse)
+        if args.ttopt:
+            cell["ttopt"] = True
         print(f"operating point from {args.calib_dir}: {cell}")
     else:
         cell = {"threshold": args.threshold, "nms": args.nms,
@@ -393,7 +410,8 @@ def main():
                 else float(args.extent),
                 "consensus": args.consensus,
                 "top_k": args.top_k,
-                "fuse": args.fuse}
+                "fuse": args.fuse,
+                "ttopt": args.ttopt}
     cell["tta"] = args.tta
     cell["tta_reflect"] = args.tta_reflect
     if tta_scales:

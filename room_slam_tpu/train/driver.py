@@ -137,7 +137,7 @@ def train_benchmark_fused(
                       cfg.train.matmul_precision)
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
-        mesh = mesh_lib.make_mesh(cfg.mesh.mesh_shape)
+        mesh = mesh_lib.make_mesh_from_config(cfg.mesh.mesh_shape)
 
     if train_ds is None:
         train_ds = TraceColliderArrays(cfg.data.data_dir, cfg.data,
@@ -272,7 +272,7 @@ def train_benchmark(
                       cfg.train.matmul_precision)
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
-        mesh = mesh_lib.make_mesh(cfg.mesh.mesh_shape)
+        mesh = mesh_lib.make_mesh_from_config(cfg.mesh.mesh_shape)
         if verbose:
             print(f"Mesh: {dict(mesh.shape)}")
 

@@ -318,17 +318,24 @@ def make_train_steps(
 
 def _batch_constrainer(mesh):
     """Shard a gathered batch over the 'data' axis inside jit (no-op
-    without a mesh)."""
+    without a mesh). On a mesh with a 'seq' axis > 1, the raw trace
+    [B, L, 4] additionally shards its sequence dim (sequence parallelism
+    — mirrors parallel/mesh.shard_batch; featurize's neighbor diffs
+    become XLA halo exchanges)."""
     if mesh is None:
         return lambda batch: batch
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    seq = "seq" in mesh.axis_names and mesh.shape["seq"] > 1
+
     def constrain(batch):
-        return {
-            k: jax.lax.with_sharding_constraint(
-                v, NamedSharding(mesh, P("data")))
-            for k, v in batch.items()
-        }
+        out = {}
+        for k, v in batch.items():
+            spec = (P("data", "seq", None) if seq and k == "raw"
+                    else P("data"))
+            out[k] = jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, spec))
+        return out
 
     return constrain
 
