@@ -520,11 +520,40 @@ def simulate_trace(
     return jnp.stack([path[:, 0], y, path[:, 1], t], axis=-1)
 
 
+def box_evidence_mask(
+    raw: jnp.ndarray,            # [T, 4] one trace
+    boxes: jnp.ndarray,          # [M, 6]
+    labels: jnp.ndarray,         # [M]
+    valid: jnp.ndarray,          # [M] bool
+    wall_margin: float = 0.8,
+    furniture_margin: float = 0.5,
+) -> jnp.ndarray:
+    """True for boxes the TRACE carries evidence for: some point approaches
+    the box's XZ footprint within a per-class margin (walls get the wider
+    one — a perimeter pass pins a wall plane from further away than a
+    single furniture contact does).
+
+    The jit twin of tools/ceiling.py's contacted/plane-inferable split, for
+    use at DATAGEN time: a low-coverage walk cannot resolve the room's
+    unvisited half, and supervising those boxes teaches the model that
+    short traces imply unpredictable far geometry (the round-3 HUMAN_SPAN
+    diagnosis, PARITY.md — this masks the residual unanswerable targets
+    that survive even well-posed room sizes)."""
+    px, pz = raw[:, 0], raw[:, 2]
+    cx, cz = boxes[:, 0], boxes[:, 2]
+    hx, hz = boxes[:, 3] / 2, boxes[:, 5] / 2
+    ax = jax.nn.relu(jnp.abs(px[None, :] - cx[:, None]) - hx[:, None])
+    az = jax.nn.relu(jnp.abs(pz[None, :] - cz[:, None]) - hz[:, None])
+    d = jnp.sqrt(ax ** 2 + az ** 2 + 1e-12)               # [M, T]
+    margin = jnp.where(labels == 0, wall_margin, furniture_margin)
+    return valid & (jnp.min(d, axis=1) < margin)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_rooms", "num_steps", "max_colliders", "hz", "human",
                      "multi_room_prob", "sim_steps", "wall_adjacent_prob",
-                     "span_range"))
+                     "span_range", "captures_per_room", "evidence_mask"))
 def generate_rooms_and_traces(
     key: jax.Array,
     n_rooms: int,
@@ -536,10 +565,12 @@ def generate_rooms_and_traces(
     sim_steps: int | None = None,
     wall_adjacent_prob: float = 0.0,
     span_range: Tuple[float, float] | None = None,
+    captures_per_room: int = 1,
+    evidence_mask: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Batched datagen: n_rooms layouts, one trace each, in ONE jitted
-    dispatch (eager per-primitive dispatch through a remote TPU tunnel costs
-    minutes; this compiles once per shape).
+    """Batched datagen: n_rooms SAMPLES, in ONE jitted dispatch (eager
+    per-primitive dispatch through a remote TPU tunnel costs minutes; this
+    compiles once per shape).
 
     ``sim_steps`` decouples WALK DURATION from emitted points: the physics
     runs sim_steps ticks at ``hz`` and the trace is uniform-downsampled to
@@ -548,6 +579,16 @@ def generate_rooms_and_traces(
     capture is ~97 s at 37 Hz = 3587 points downsampled to 1500 — a
     num_steps-tick walk (~40 s) covers far less of the room than the real
     capture, which starves training coverage at realistic ambling paces.
+
+    ``captures_per_room`` > 1 emits that many INDEPENDENT walks of each
+    sampled layout as separate samples (n_rooms stays the SAMPLE count;
+    the layout count becomes n_rooms // captures_per_room) — the
+    reference's own dataset ships 3-4 captures per room
+    (dataset/train/: 4 agent + 3 human walks of one room), and several
+    partial views of one room teach what a single short walk leaves
+    ambiguous. ``evidence_mask`` drops GT boxes the walk carries no
+    evidence for from the valid mask (box_evidence_mask) so unanswerable
+    targets never supervise.
 
     Returns dict of raw [n, T, 4], length [n], boxes [n, M, 6],
     labels [n, M], valid [n, M].
@@ -558,6 +599,8 @@ def generate_rooms_and_traces(
         # human walks have a ~hundred-second budget: room sizes must be
         # coverable at that budget or the task is ill-posed (see HUMAN_SPAN)
         span_range = HUMAN_SPAN if human else (3.5, 9.0)
+    K = max(int(captures_per_room), 1)
+    n_layouts = max(n_rooms // K, 1)
 
     def one(k):
         k1, k2 = jax.random.split(k)
@@ -565,15 +608,31 @@ def generate_rooms_and_traces(
             k1, max_colliders, multi_room_prob=multi_room_prob,
             wall_adjacent_prob=wall_adjacent_prob,
             span_range=span_range)
-        raw = simulate_trace(k2, boxes, valid, S, hz, human)
-        if S != num_steps:
-            idx = np.linspace(0, S - 1, num_steps).astype(np.int32)
-            raw = raw[idx]
-        return raw, boxes, labels, valid
 
-    keys = jax.random.split(kr, n_rooms)
-    raw, boxes, labels, valid = jax.vmap(one)(keys)
-    length = jnp.full((n_rooms,), num_steps, dtype=jnp.int32)
+        def walk(kk):
+            raw = simulate_trace(kk, boxes, valid, S, hz, human)
+            if S != num_steps:
+                idx = np.linspace(0, S - 1, num_steps).astype(np.int32)
+                raw = raw[idx]
+            v = (box_evidence_mask(raw, boxes, labels, valid)
+                 if evidence_mask else valid)
+            return raw, v
+
+        # K=1 keeps the walker key stream bit-identical to prior rounds
+        # (seeded datasets are compared across code versions)
+        wkeys = k2[None] if K == 1 else jax.random.split(k2, K)
+        raws, vs = jax.vmap(walk)(wkeys)                    # [K, T, 4]
+        return raws, boxes, labels, vs
+
+    keys = jax.random.split(kr, n_layouts)
+    raw, boxes, labels, valid = jax.vmap(one)(keys)         # [R, K, ...]
+    M = boxes.shape[-2]
+    n_out = n_layouts * K
+    raw = raw.reshape(n_out, num_steps, 4)
+    valid = valid.reshape(n_out, M)
+    boxes = jnp.repeat(boxes, K, axis=0)
+    labels = jnp.repeat(labels, K, axis=0)
+    length = jnp.full((n_out,), num_steps, dtype=jnp.int32)
     return {
         "raw": raw,
         "length": length,

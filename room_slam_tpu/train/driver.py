@@ -58,7 +58,9 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
                             seed: int = 0, mode: str = "agent",
                             multi_room_prob: float = 0.0,
                             sim_factor: float | None = None,
-                            wall_adjacent_prob: float = 0.0):
+                            wall_adjacent_prob: float = 0.0,
+                            captures_per_room: int = 1,
+                            evidence_mask: bool = False):
     """On-device synthetic train/val datasets (val = n_rooms // 8 + 1 extra
     rooms from an independent seed).
 
@@ -71,6 +73,11 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
     matching the real recordings: human 2.4 (dataset/val is 3587 points
     -> 1500) and agent 4.0 (the Unity robot records minutes-long runs,
     dataset/train reaches 41k points).
+    captures_per_room / evidence_mask: see
+    synthetic.generate_rooms_and_traces (multi-capture rooms, the
+    reference dataset's own structure; evidence-gated supervision).
+    Both apply to the TRAIN split only — val keeps one full-GT walk per
+    room so val metrics stay comparable across these settings.
     """
     from room_slam_tpu.data import synthetic
 
@@ -86,7 +93,7 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
             HUMAN_SIM if human else AGENT_SIM)
         return int(round(L * f))
 
-    def gen(key, n):
+    def gen(key, n, cpr, emask):
         if mode == "mixed":
             k1, k2 = jax.random.split(key)
             a = synthetic.generate_rooms_and_traces(
@@ -94,13 +101,15 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
                 max_colliders=cfg.data.max_colliders, hz=AGENT_HZ,
                 human=False, multi_room_prob=multi_room_prob,
                 sim_steps=steps(False),
-                wall_adjacent_prob=wall_adjacent_prob)
+                wall_adjacent_prob=wall_adjacent_prob,
+                captures_per_room=cpr, evidence_mask=emask)
             b = synthetic.generate_rooms_and_traces(
                 k2, n - n // 2, L,
                 max_colliders=cfg.data.max_colliders, hz=HUMAN_HZ,
                 human=True, multi_room_prob=multi_room_prob,
                 sim_steps=steps(True),
-                wall_adjacent_prob=wall_adjacent_prob)
+                wall_adjacent_prob=wall_adjacent_prob,
+                captures_per_room=cpr, evidence_mask=emask)
             return {k: np.concatenate(
                 [np.asarray(a[k]), np.asarray(b[k])]) for k in a}
         human = mode == "human"
@@ -109,11 +118,13 @@ def make_synthetic_datasets(cfg: ExperimentConfig, n_rooms: int,
             max_colliders=cfg.data.max_colliders,
             hz=HUMAN_HZ if human else AGENT_HZ, human=human,
             multi_room_prob=multi_room_prob, sim_steps=steps(human),
-            wall_adjacent_prob=wall_adjacent_prob))
+            wall_adjacent_prob=wall_adjacent_prob,
+            captures_per_room=cpr, evidence_mask=emask))
 
     n_val = max(n_rooms // 8, 4)
-    train = gen(jax.random.key(seed), n_rooms)
-    val = gen(jax.random.key(seed + 10_000), n_val)
+    train = gen(jax.random.key(seed), n_rooms, captures_per_room,
+                evidence_mask)
+    val = gen(jax.random.key(seed + 10_000), n_val, 1, False)
     return (TraceColliderArrays.from_arrays(train, cfg.data, augment=True),
             TraceColliderArrays.from_arrays(val, cfg.data, augment=False))
 

@@ -319,3 +319,43 @@ def test_wall_adjacent_furniture_mode():
             np.abs(raw[:, 2] - boxes[j, 2]) < boxes[j, 5] / 2)
         assert not inside.any(), j
     assert raw[:, 0].std() > 0.3 and raw[:, 2].std() > 0.3
+
+
+def test_multi_capture_rooms_share_layout():
+    """captures_per_room=K emits K independent walks per layout as
+    separate samples (the reference dataset's own structure: 3-4 captures
+    of one room), sharing boxes/labels; K=1 keeps the legacy shape."""
+    d = synthetic.generate_rooms_and_traces(
+        jax.random.key(3), 8, 128, max_colliders=16, captures_per_room=2)
+    assert d["raw"].shape == (8, 128, 4)
+    b = np.asarray(d["boxes"])
+    r = np.asarray(d["raw"])
+    for i in range(0, 8, 2):
+        np.testing.assert_array_equal(b[i], b[i + 1])   # same layout
+        assert not np.allclose(r[i], r[i + 1])          # different walk
+    assert not np.allclose(b[0], b[2])                  # layouts differ
+
+
+def test_evidence_mask_drops_unvisited_boxes():
+    """box_evidence_mask keeps boxes the trace approaches and drops boxes
+    it never comes near."""
+    from room_slam_tpu.data.synthetic import box_evidence_mask
+
+    # trace loops in a 2x2 patch around the origin
+    t = np.linspace(0, 2 * np.pi, 200)
+    raw = np.stack([np.cos(t), np.full_like(t, 1.0), np.sin(t), t],
+                   axis=-1).astype(np.float32)
+    boxes = jnp.asarray([
+        [1.2, 0.5, 0.0, 0.4, 1.0, 0.4],    # near the loop -> kept
+        [8.0, 0.5, 8.0, 0.4, 1.0, 0.4],    # far away -> dropped
+        [0.0, 1.25, 1.55, 0.15, 2.5, 3.0]  # wall 0.55 m off the loop ->
+    ], jnp.float32)                         # kept via the wall margin
+    labels = jnp.asarray([1, 1, 0])
+    valid = jnp.ones((3,), bool)
+    m = np.asarray(box_evidence_mask(jnp.asarray(raw), boxes, labels,
+                                     valid))
+    assert m.tolist() == [True, False, True], m
+    # an already-invalid slot stays invalid
+    m2 = np.asarray(box_evidence_mask(
+        jnp.asarray(raw), boxes, labels, jnp.asarray([True, True, False])))
+    assert not m2[2]

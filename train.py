@@ -69,6 +69,15 @@ def main():
                         "max_trace_len ticks, downsampled back like real "
                         "captures (default: human 2.4 / agent 4.0, matching "
                         "the real recordings; 1.0 = old behavior)")
+    p.add_argument("--captures_per_room", type=int, default=1,
+                   help="with --synthetic: emit this many independent "
+                        "walks of each sampled layout as separate samples "
+                        "(the reference dataset ships 3-4 captures per "
+                        "room); N stays the SAMPLE count")
+    p.add_argument("--evidence_mask", action="store_true",
+                   help="with --synthetic: drop GT boxes the walk carries "
+                        "no evidence for from supervision "
+                        "(data/synthetic.box_evidence_mask)")
     p.add_argument("--mix_real", type=str, default=None, metavar="DIR",
                    help="with --synthetic: also fold the real trace/collider "
                         "pairs from DIR into the training set (the val "
@@ -168,7 +177,9 @@ def main():
             cfg, args.synthetic, cfg.train.seed, mode=args.synthetic_mode,
             multi_room_prob=args.multi_room_prob,
             sim_factor=args.sim_factor,
-            wall_adjacent_prob=args.wall_adjacent_prob)
+            wall_adjacent_prob=args.wall_adjacent_prob,
+            captures_per_room=args.captures_per_room,
+            evidence_mask=args.evidence_mask)
         if args.mix_real:
             from room_slam_tpu.data.dataset import TraceColliderArrays
 
