@@ -33,7 +33,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             tta_rotations: bool = False,
             tta_reflect: bool = False,
             tta_scales: tuple = (),
-            fuse: bool = False):
+            fuse: bool = False,
+            ttopt: bool = False):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
     room_slam_tpu.predictor.build_predictor (shared with the live UDP
@@ -46,7 +47,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         synth_walls=synth_walls,
         extent_slack=extent_slack, consensus=consensus, top_k=top_k,
         tta_rotations=tta_rotations, tta_reflect=tta_reflect,
-        tta_scales=tta_scales, fuse=fuse)
+        tta_scales=tta_scales, fuse=fuse, ttopt=ttopt)
     return predict_array(formats.load_trace_json(traces_file))
 
 
@@ -109,6 +110,10 @@ def main():
                         help="comma list of extra uniform scales to "
                              "forward every TTA view at (boxes exactly "
                              "unscaled before pooling)")
+    parser.add_argument("--ttopt", action="store_true",
+                        help="test-time trace-consistency adaptation of "
+                             "the candidate boxes against the capture's "
+                             "physics (ops/ttopt.py)")
     parser.add_argument("--fuse", action="store_true",
                         help="weighted box fusion: each kept detection "
                              "becomes its NMS cluster's score-weighted "
@@ -131,7 +136,7 @@ def main():
         top_k=args.top_k, tta_rotations=args.tta,
         tta_reflect=args.tta_reflect,
         tta_scales=tuple(float(x) for x in args.tta_scales.split(",") if x),
-        fuse=args.fuse)
+        fuse=args.fuse, ttopt=args.ttopt)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

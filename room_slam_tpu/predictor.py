@@ -59,6 +59,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     tta_reflect: bool = False,
                     tta_scales: tuple = (),
                     fuse: bool = False,
+                    ttopt: bool = False,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
 
@@ -79,7 +80,10 @@ def build_predictor(model, params, max_trace_len: int = 3000,
     without. ``tta_scales`` (e.g. ``(0.9, 1.1)``) forwards every view at
     those extra uniform scales, boxes exactly unscaled before pooling.
     ``fuse`` replaces each kept box with its NMS cluster's score-weighted
-    mean (weighted box fusion, ops/nms.nms_3d_fused)."""
+    mean (weighted box fusion, ops/nms.nms_3d_fused). ``ttopt`` runs
+    test-time trace-consistency adaptation of the candidate boxes against
+    the capture's own physics (non-penetration / envelope — ops/ttopt.py)
+    before the extent mask and NMS."""
     import jax
 
     from room_slam_tpu.data.augment import unreflect_boxes, unrotate_boxes
@@ -146,6 +150,12 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                 furniture_aware=refine_furniture)
             if obj is None:
                 obj0 = None
+        if ttopt and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.ttopt import adapt_boxes
+
+            boxes0 = adapt_boxes(
+                boxes0, traces[0, :, :4],
+                jnp.sum(mask[0].astype(jnp.int32)))
         if extent_slack is not None and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import outside_extent_mask
 
