@@ -377,6 +377,12 @@ def main():
                         "per-capture differentiable refinement of the "
                         "candidate boxes against non-penetration / "
                         "envelope physics (ops/ttopt.py)")
+    p.add_argument("--ttopt_params", default=None,
+                   help="JSON dict of TTOptParams overrides for the "
+                        "ttopt=on cells (e.g. '{\"steps\": 300, "
+                        "\"w_env\": 0.5}') — lets the adaptation "
+                        "hyperparameters themselves be chosen on "
+                        "calibration splits")
     p.add_argument("--refine_furniture", action="store_true",
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
@@ -436,6 +442,11 @@ def main():
         ttopt_vals = [False, True]
     else:
         ttopt_vals = [x == "on" for x in args.ttopt.split(",")]
+    ttopt_params = None
+    if args.ttopt_params:
+        from room_slam_tpu.ops.ttopt import TTOptParams
+
+        ttopt_params = TTOptParams(**json.loads(args.ttopt_params))
 
     tta_scales = tuple(float(x) for x in args.tta_scales.split(",") if x)
     cached = _forward_val_set(args.checkpoint, args.data_dir,
@@ -447,7 +458,8 @@ def main():
                     consensus_vals, top_k_vals,
                     refine_furniture=args.refine_furniture,
                     trust_vals=trust_vals, synth_vals=synth_vals,
-                    fuse_vals=fuse_vals, ttopt_vals=ttopt_vals)
+                    fuse_vals=fuse_vals, ttopt_vals=ttopt_vals,
+                    ttopt_params=ttopt_params)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
@@ -476,9 +488,12 @@ def main():
                          trust_vals=[best.get("trust", 0.4)],
                          synth_vals=[best.get("synth", False)],
                          fuse_vals=[best.get("fuse", False)],
-                         ttopt_vals=[best.get("ttopt", False)])[0]
+                         ttopt_vals=[best.get("ttopt", False)],
+                         ttopt_params=ttopt_params)[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir
+        if args.ttopt_params:
+            held_out["ttopt_params"] = json.loads(args.ttopt_params)
         print("held-out:", json.dumps(held_out, default=float))
         best = held_out
     if args.output:
