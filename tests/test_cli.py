@@ -155,3 +155,22 @@ def test_realbench_and_honest_calibration_cli(tmp_path):
     cal = json.loads((tmp_path / "cal.json").read_text())
     assert cal["best"]["scored_on"] == str(tmp_path / "b")
     assert cal["best"]["calibrated_on"] == str(tmp_path / "calib")
+
+    # per-GT zero-shot failure decomposition on the untouched dir: every GT
+    # box gets a ceiling class, a best-IoU row, and the miss buckets add up
+    r = run_cli("-m", "room_slam_tpu.tools.diagnose_zeroshot",
+                "--checkpoint", str(ckpt_dir / "best_model"),
+                "--zero_shot_dir", str(tmp_path / "b"),
+                "--nms", "0.3", "--fuse",
+                "--output", str(tmp_path / "diag.json"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    diag = json.loads((tmp_path / "diag.json").read_text())
+    assert len(diag["captures"]) == 2
+    agg = diag["aggregate"]["all"]
+    assert agg["n"] == sum(len(c["boxes"]) for c in diag["captures"])
+    assert agg["hit@0.25"] + agg["near_miss"] + agg["no_candidate"] == agg["n"]
+    for c in diag["captures"]:
+        for row in c["boxes"]:
+            assert row["ceiling"] in ("contacted", "plane_inferable",
+                                      "unrecoverable")
+            assert 0.0 <= row["best_iou"] <= row["best_iou_anyclass"] + 1e-9
