@@ -103,6 +103,8 @@ def post_process(
     candidate_mask: jnp.ndarray | None = None,
     fuse: bool = False,
     return_boxes: bool = False,
+    support: float | None = None,
+    conf_scale: jnp.ndarray | None = None,
 ):
     """Confidence filter + per-class NMS (ref: inference.py:130-170).
 
@@ -114,6 +116,22 @@ def post_process(
             saturates at 1.0 for every query. Keep/labels are unchanged;
             only the returned confidences (and hence downstream ranking /
             thresholding) differ.
+        support: if set, support-ordered NMS — BEFORE the greedy sweep,
+            each candidate's ranking confidence is multiplied by the
+            fraction of same-class confidence mass that agrees with it
+            (candidates whose IoU >= ``support``). With pooled multi-view
+            (TTA) / multi-checkpoint candidates, a box many views agree on
+            outranks a lone confident outlier, so greedy NMS keeps cluster
+            centers instead of letting one wrong high-confidence box
+            suppress the agreed-on one. Differs from ``consensus`` (which
+            rescales AFTER NMS and cannot change what survives). The
+            absolute ``confidence_threshold`` still gates on the raw
+            confidence; ``support`` only reranks.
+        conf_scale: optional [Q] multiplier on the ranking confidence
+            (applied with ``support``, i.e. after thresholding) — e.g.
+            physics rescoring ``exp(-pen_beta * penetration_depth)``
+            (ops/ttopt.penetration_depth): a box the walker walked
+            through is wrong no matter how confident the decoder is.
         objectness: optional [Q] no-object logits (models trained with
             model.objectness=True). Confidence becomes
             ``softmax maxprob * sigmoid(objectness)`` — the trained ranking
@@ -152,6 +170,22 @@ def post_process(
     passed = conf > confidence_threshold
     if candidate_mask is not None:
         passed = passed & candidate_mask
+
+    # ranking-only rescoring: the absolute threshold above gates on the
+    # raw confidence; everything downstream (NMS order, top_k, the
+    # emitted ranking) uses the rescored one
+    if conf_scale is not None:
+        conf = conf * conf_scale
+    if support is not None:
+        iou = pairwise_iou_3d(pred_boxes, pred_boxes)
+        votes = ((iou >= support)
+                 & (labels[None, :] == labels[:, None])
+                 & passed[None, :]).astype(conf.dtype)
+        mass = jnp.where(passed, conf, 0.0)
+        agree = votes @ mass                              # [Q]
+        total = (labels[None, :] == labels[:, None]).astype(
+            conf.dtype) @ mass
+        conf = conf * agree / jnp.maximum(total, 1e-12)
 
     def per_class(c):
         return nms_3d_fused(

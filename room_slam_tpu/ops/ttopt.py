@@ -133,6 +133,48 @@ def _physics_loss(dc, dls, boxes0, px, pz, valid, ygate, extent,
 
 
 @partial(jax.jit, static_argnames=("params",))
+def penetration_depth(
+    boxes: jnp.ndarray,          # [Q, 6] (cx, cy, cz, sx, sy, sz)
+    raw: jnp.ndarray,            # [L, 4] the input trace (x, y, z, t)
+    length: jnp.ndarray,         # [] valid length
+    params: TTOptParams = TTOptParams(),
+) -> jnp.ndarray:
+    """Mean in-body penetration depth (metres) of the trace into each box.
+
+    The measurement half of the non-penetration physics (same geometry as
+    ``_physics_loss``): for every trace point inside a box's body-inflated
+    footprint (and overlapping the walker's body column in y), the depth is
+    the smallest axis distance to an XZ face — how far the box would have
+    to retreat for that point to exit. Averaged over penetrated points, 0
+    for boxes the walk never crosses.
+
+    Used for PHYSICS RESCORING at post-process time: a candidate the
+    walker walked through is geometrically wrong no matter how confident
+    the decoder is, so ranking can demote it (``pen_beta`` operating-point
+    dimension, ops/nms.post_process ``conf_scale``). The reference's
+    post-process has no physics term at all (src/benchmark/
+    inference.py:130-197).
+    """
+    L = raw.shape[0]
+    valid = (jnp.arange(L) < length).astype(jnp.float32)
+    px, pz, py = raw[:, 0], raw[:, 2], raw[:, 1]
+
+    cx, cz = boxes[:, 0], boxes[:, 2]
+    hx, hz = 0.5 * boxes[:, 3], 0.5 * boxes[:, 5]
+    by_lo = boxes[:, 1] - 0.5 * boxes[:, 4]
+    by_hi = boxes[:, 1] + 0.5 * boxes[:, 4]
+    ygate = ((by_lo[:, None] < py[None, :] + params.body_above)
+             & (by_hi[:, None] > py[None, :] - params.body_below))
+    w_pt = valid[None, :] * ygate.astype(jnp.float32)     # [Q, L]
+
+    dx_in = (hx[:, None] + params.body_radius) - jnp.abs(px[None, :] - cx[:, None])
+    dz_in = (hz[:, None] + params.body_radius) - jnp.abs(pz[None, :] - cz[:, None])
+    pen = jax.nn.relu(jnp.minimum(dx_in, dz_in)) * w_pt   # [Q, L]
+    n_pen = jnp.sum(pen > 0, axis=1).astype(pen.dtype)
+    return jnp.sum(pen, axis=1) / jnp.maximum(n_pen, 1.0)
+
+
+@partial(jax.jit, static_argnames=("params",))
 def adapt_boxes(
     boxes: jnp.ndarray,          # [Q, 6] (cx, cy, cz, sx, sy, sz)
     raw: jnp.ndarray,            # [L, 4] the input trace (x, y, z, t)

@@ -174,9 +174,10 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
           iou_thresholds=(0.5, 0.25), refine_furniture: bool = False,
           trust_vals=(0.4,), synth_vals=(False,),
           fuse_vals=(False,), ttopt_vals=(False,),
-          ttopt_params=None) -> list:
+          ttopt_params=None, support_vals=(None,),
+          pen_vals=(None,)) -> list:
     """Score every (threshold, nms, refine, trust, synth, ttopt, extent,
-    consensus, top_k, fuse) cell from cached forwards.
+    consensus, top_k, fuse, support, pen_beta) cell from cached forwards.
 
     ``trust_vals`` sweeps refine_walls' max snap distance — under domain
     shift wall predictions drift well past the in-domain 0.4 m default
@@ -187,14 +188,18 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     becomes its NMS cluster's score-weighted mean. ``ttopt_vals`` sweeps
     test-time trace-consistency adaptation (ops/ttopt.adapt_boxes),
     applied to the candidate boxes after refine/synth and before the
-    extent mask / NMS."""
+    extent mask / NMS. ``support_vals`` sweeps support-ordered NMS (vote
+    IoU threshold; ops/nms.post_process) and ``pen_vals`` physics
+    rescoring strength (ops/ttopt.penetration_depth) — both rerank
+    candidates BEFORE the greedy NMS sweep."""
     import jax
     import jax.numpy as jnp
 
     from room_slam_tpu.ops.nms import post_process
     from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
                                           synthesize_walls)
-    from room_slam_tpu.ops.ttopt import TTOptParams, adapt_boxes
+    from room_slam_tpu.ops.ttopt import (TTOptParams, adapt_boxes,
+                                         penetration_depth)
     from room_slam_tpu.train.metrics import average_precision_3d
 
     if ttopt_params is None:
@@ -221,20 +226,28 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         )(boxes, logits, obj, raw, length)
 
     @functools.partial(jax.jit, static_argnames=("consensus", "top_k",
-                                                 "has_obj", "fuse"))
+                                                 "has_obj", "fuse",
+                                                 "support"))
     def _post_all(boxes, logits, obj, thr, nms_thr, consensus=False,
-                  top_k=None, cand=None, has_obj=True, fuse=False):
+                  top_k=None, cand=None, has_obj=True, fuse=False,
+                  support=None, conf_scale=None):
         if not has_obj:
-            return jax.vmap(lambda b, lg, cm: post_process(
+            return jax.vmap(lambda b, lg, cm, cs: post_process(
                 b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
                 consensus=consensus, top_k=top_k, candidate_mask=cm,
-                fuse=fuse, return_boxes=True)
-            )(boxes, logits, cand)
-        return jax.vmap(lambda b, lg, o, cm: post_process(
+                fuse=fuse, return_boxes=True, support=support,
+                conf_scale=cs)
+            )(boxes, logits, cand, conf_scale)
+        return jax.vmap(lambda b, lg, o, cm, cs: post_process(
             b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
             consensus=consensus, top_k=top_k, objectness=o,
-            candidate_mask=cm, fuse=fuse, return_boxes=True)
-        )(boxes, logits, obj, cand)
+            candidate_mask=cm, fuse=fuse, return_boxes=True,
+            support=support, conf_scale=cs)
+        )(boxes, logits, obj, cand, conf_scale)
+
+    @jax.jit
+    def _pen_depth_all(boxes, raw, length):
+        return jax.vmap(penetration_depth)(boxes, raw, length)
 
     @jax.jit
     def _ttopt_all(boxes, raw, length):
@@ -293,10 +306,15 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             lambda b, r, n: outside_extent_mask(b, r, n, slack=slack)
         )(boxes, raw, length)
 
+    # penetration depths depend only on the variant's boxes, not the cell
+    pen_cache = {}
+
     results = []
-    for (rf, tr, sy, tt), thr, nm, ext, cns, tk, fu in itertools.product(
-            variants, thresholds, nms_vals, extent_vals,
-            consensus_vals, top_k_vals, fuse_vals):
+    for (rf, tr, sy, tt), thr, nm, ext, cns, tk, fu, sp, pb in (
+            itertools.product(
+                variants, thresholds, nms_vals, extent_vals,
+                consensus_vals, top_k_vals, fuse_vals, support_vals,
+                pen_vals)):
         boxes, logits, obj, base_valid = variants[rf, tr, sy, tt]
         if ext is None:
             cand = jnp.asarray(base_valid)
@@ -306,15 +324,25 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             cand = jnp.asarray(base_valid) & ~_outside_all(
                 jnp.asarray(boxes), jnp.asarray(cached["raw"]),
                 jnp.asarray(cached["length"]), jnp.float32(ext))
+        if pb is None:
+            cs = jnp.ones(boxes.shape[:2], dtype=jnp.float32)
+        else:
+            vkey = (rf, tr, sy, tt)
+            if vkey not in pen_cache:
+                pen_cache[vkey] = _pen_depth_all(
+                    jnp.asarray(boxes), jnp.asarray(cached["raw"]),
+                    jnp.asarray(cached["length"]))
+            cs = jnp.exp(-jnp.float32(pb) * pen_cache[vkey])
         keep, labels, conf, boxes = (np.asarray(a) for a in _post_all(
             jnp.asarray(boxes), jnp.asarray(logits),
             None if obj is None else jnp.asarray(obj),
             jnp.float32(thr), jnp.float32(nm), consensus=cns, top_k=tk,
-            cand=cand, has_obj=obj is not None, fuse=fu))
+            cand=cand, has_obj=obj is not None, fuse=fu, support=sp,
+            conf_scale=cs))
         img_ids, flat = np.nonzero(keep)
         cell = {"threshold": thr, "nms": nm, "refine": rf, "trust": tr,
                 "synth": sy, "ttopt": tt, "extent": ext, "consensus": cns,
-                "top_k": tk, "fuse": fu,
+                "top_k": tk, "fuse": fu, "support": sp, "pen_beta": pb,
                 "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
@@ -383,6 +411,16 @@ def main():
                         "\"w_env\": 0.5}') — lets the adaptation "
                         "hyperparameters themselves be chosen on "
                         "calibration splits")
+    p.add_argument("--support", default="none",
+                   help="comma list of support-ordered-NMS vote IoU "
+                        "thresholds (e.g. 'none,0.25'): candidates are "
+                        "reranked by same-class multi-view agreement "
+                        "BEFORE the greedy sweep (ops/nms.post_process)")
+    p.add_argument("--pen_beta", default="none",
+                   help="comma list of physics-rescoring strengths (e.g. "
+                        "'none,3'): ranking confidence scaled by "
+                        "exp(-beta * mean penetration depth) "
+                        "(ops/ttopt.penetration_depth)")
     p.add_argument("--refine_furniture", action="store_true",
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
@@ -447,6 +485,10 @@ def main():
         from room_slam_tpu.ops.ttopt import TTOptParams
 
         ttopt_params = TTOptParams(**json.loads(args.ttopt_params))
+    support_vals = [None if x == "none" else float(x)
+                    for x in args.support.split(",")]
+    pen_vals = [None if x == "none" else float(x)
+                for x in args.pen_beta.split(",")]
 
     tta_scales = tuple(float(x) for x in args.tta_scales.split(",") if x)
     cached = _forward_val_set(args.checkpoint, args.data_dir,
@@ -459,7 +501,8 @@ def main():
                     refine_furniture=args.refine_furniture,
                     trust_vals=trust_vals, synth_vals=synth_vals,
                     fuse_vals=fuse_vals, ttopt_vals=ttopt_vals,
-                    ttopt_params=ttopt_params)
+                    ttopt_params=ttopt_params, support_vals=support_vals,
+                    pen_vals=pen_vals)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
@@ -468,6 +511,7 @@ def main():
               f"extent={c['extent']} "
               f"cns={int(c['consensus'])} k={c['top_k']} "
               f"fuse={int(c['fuse'])} "
+              f"sup={c['support']} pen={c['pen_beta']} "
               f"preds={c['num_predictions']:4d} "
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
     best = results[0]
@@ -489,7 +533,9 @@ def main():
                          synth_vals=[best.get("synth", False)],
                          fuse_vals=[best.get("fuse", False)],
                          ttopt_vals=[best.get("ttopt", False)],
-                         ttopt_params=ttopt_params)[0]
+                         ttopt_params=ttopt_params,
+                         support_vals=[best.get("support")],
+                         pen_vals=[best.get("pen_beta")])[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir
         if args.ttopt_params:

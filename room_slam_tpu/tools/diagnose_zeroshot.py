@@ -146,6 +146,8 @@ def main():
     ap.add_argument("--fuse", action="store_true")
     ap.add_argument("--tta", action="store_true")
     ap.add_argument("--ttopt", action="store_true")
+    ap.add_argument("--support", type=float, default=None)
+    ap.add_argument("--pen_beta", type=float, default=None)
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -153,7 +155,8 @@ def main():
             "refine": None, "trust": args.trust, "synth": False,
             "extent": args.extent, "consensus": False,
             "top_k": args.top_k, "fuse": args.fuse,
-            "ttopt": args.ttopt}
+            "ttopt": args.ttopt, "support": args.support,
+            "pen_beta": args.pen_beta}
     rep = diagnose(args.checkpoint, args.zero_shot_dir, cell, tta=args.tta)
     print(f"{'capture':48s} hits  near  blind")
     for c in rep["captures"]:

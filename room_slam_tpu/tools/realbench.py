@@ -69,7 +69,8 @@ def apply_operating_point(cached: dict, cell: dict,
     from room_slam_tpu.ops.nms import post_process
     from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
                                           synthesize_walls)
-    from room_slam_tpu.ops.ttopt import TTOptParams, adapt_boxes
+    from room_slam_tpu.ops.ttopt import (TTOptParams, adapt_boxes,
+                                         penetration_depth)
 
     boxes = cached["pred_boxes"]
     logits = cached["pred_logits"]
@@ -121,22 +122,33 @@ def apply_operating_point(cached: dict, cell: dict,
         ))(jnp.asarray(boxes), jnp.asarray(cached["raw"]),
            jnp.asarray(cached["length"]))
 
-    def _post(b, lg, o, cm):
+    pen_beta = cell.get("pen_beta")
+    if pen_beta is not None:
+        # physics rescoring: demote candidates the trace walks through
+        depth = jax.jit(jax.vmap(penetration_depth))(
+            jnp.asarray(boxes), jnp.asarray(cached["raw"]),
+            jnp.asarray(cached["length"]))
+        conf_scale = jnp.exp(-jnp.float32(pen_beta) * depth)
+    else:
+        conf_scale = jnp.ones(boxes.shape[:2], dtype=jnp.float32)
+
+    def _post(b, lg, o, cm, cs):
         k, lb, cf, ob = post_process(
             b, lg, confidence_threshold=cell["threshold"],
             nms_threshold=cell["nms"], consensus=cell.get("consensus", False),
             top_k=cell.get("top_k"), objectness=o, candidate_mask=cm,
-            fuse=cell.get("fuse", False), return_boxes=True)
+            fuse=cell.get("fuse", False), return_boxes=True,
+            support=cell.get("support"), conf_scale=cs)
         return k, lb, cf, ob
 
     if obj is None:
         keep, labels, conf, boxes = (np.asarray(a) for a in jax.jit(
-            jax.vmap(lambda b, lg, cm: _post(b, lg, None, cm)))(
-                jnp.asarray(boxes), jnp.asarray(logits), cand))
+            jax.vmap(lambda b, lg, cm, cs: _post(b, lg, None, cm, cs)))(
+                jnp.asarray(boxes), jnp.asarray(logits), cand, conf_scale))
     else:
         keep, labels, conf, boxes = (np.asarray(a) for a in jax.jit(
             jax.vmap(_post))(jnp.asarray(boxes), jnp.asarray(logits),
-                             jnp.asarray(obj), cand))
+                             jnp.asarray(obj), cand, conf_scale))
     img, flat = np.nonzero(keep)
     return {"boxes": boxes[img, flat], "labels": labels[img, flat],
             "conf": conf[img, flat], "img": img}
@@ -323,9 +335,9 @@ def choose_cell(checkpoint: str, calib_dir: str, select: str = "mAP@0.25",
                   trust_vals=(0.4, 0.8), synth_vals=(False, True))
     cells.sort(key=lambda c: (-c[select], -c["mAP@0.5"]))
     best = cells[0]
-    return {k: best[k] for k in
+    return {k: best.get(k) for k in
             ("threshold", "nms", "refine", "trust", "synth", "ttopt",
-             "extent", "consensus", "top_k")}
+             "extent", "consensus", "top_k", "support", "pen_beta")}
 
 
 def main():
@@ -359,6 +371,15 @@ def main():
                    help="test-time trace-consistency adaptation of the "
                         "candidate boxes against non-penetration / "
                         "envelope physics (ops/ttopt.py)")
+    p.add_argument("--support", default="none",
+                   help="support-ordered NMS: vote IoU threshold (e.g. "
+                        "0.25) — candidates are reranked by same-class "
+                        "multi-view agreement BEFORE the greedy sweep "
+                        "(ops/nms.post_process support)")
+    p.add_argument("--pen_beta", default="none",
+                   help="physics rescoring strength: ranking confidence "
+                        "is scaled by exp(-beta * mean penetration depth) "
+                        "(ops/ttopt.penetration_depth)")
     p.add_argument("--refine_furniture", action="store_true")
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
@@ -411,7 +432,11 @@ def main():
                 "consensus": args.consensus,
                 "top_k": args.top_k,
                 "fuse": args.fuse,
-                "ttopt": args.ttopt}
+                "ttopt": args.ttopt,
+                "support": None if args.support == "none"
+                else float(args.support),
+                "pen_beta": None if args.pen_beta == "none"
+                else float(args.pen_beta)}
     cell["tta"] = args.tta
     cell["tta_reflect"] = args.tta_reflect
     if tta_scales:

@@ -227,3 +227,61 @@ def test_weighted_box_fusion():
                                atol=1e-6)
     with pytest.raises(ValueError):
         post_process(boxes, logits, fuse=True)
+
+
+def test_support_ordered_nms_rescues_agreed_cluster():
+    """A lone high-confidence wrong box overlapping a multi-view-supported
+    cluster must NOT suppress it when support ordering is on (the zero-shot
+    post-process failure measured in results/r4_B_zeroshot_diagnosis_*)."""
+    # 4 near-identical "views" of the true box + 1 confident outlier that
+    # overlaps them enough for nms 0.1 to pick one winner for the group
+    true = [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]
+    jitter = [[dx, 0, 0, 1, 1, 1] for dx in (0.0, 0.05, -0.05, 0.02)]
+    outlier = [0.8, 0.0, 0.0, 1.4, 1.0, 1.4]  # overlaps the cluster
+    boxes = jnp.asarray(jitter + [outlier], dtype=jnp.float32)
+    # logits: all same class, outlier most confident
+    logits = jnp.asarray([[2.0, 0.0]] * 4 + [[6.0, 0.0]])
+
+    keep_plain, _, _ = post_process(
+        boxes, logits, confidence_threshold=0.0, nms_threshold=0.1)
+    # plain: the outlier wins its overlap group
+    assert bool(keep_plain[4])
+
+    keep_sup, _, conf_sup = post_process(
+        boxes, logits, confidence_threshold=0.0, nms_threshold=0.1,
+        support=0.5)
+    # support: the agreed-on cluster outranks the loner, which now
+    # gets suppressed by the kept cluster representative
+    kept = np.nonzero(np.asarray(keep_sup))[0]
+    assert all(k < 4 for k in kept), kept
+    # and the kept box's ranking confidence reflects the vote
+    assert float(conf_sup[kept[0]]) > float(conf_sup[4])
+
+
+def test_support_none_is_identity():
+    rng = np.random.default_rng(0)
+    boxes = jnp.asarray(rng.uniform(-2, 2, (12, 6)).astype(np.float32))
+    boxes = boxes.at[:, 3:].set(jnp.abs(boxes[:, 3:]) + 0.3)
+    logits = jnp.asarray(rng.normal(size=(12, 3)).astype(np.float32))
+    a = post_process(boxes, logits, confidence_threshold=0.1,
+                     nms_threshold=0.3)
+    b = post_process(boxes, logits, confidence_threshold=0.1,
+                     nms_threshold=0.3, support=None)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_conf_scale_demotes_for_ranking_not_threshold():
+    """conf_scale reranks but must not change what passes the absolute
+    confidence threshold (physics rescoring is ranking-only)."""
+    boxes = jnp.asarray([[0, 0, 0, 1, 1, 1],
+                         [5, 0, 0, 1, 1, 1]], dtype=jnp.float32)
+    logits = jnp.asarray([[4.0, 0.0], [2.0, 0.0]])
+    scale = jnp.asarray([1e-3, 1.0])  # demote box 0 hard
+    keep, labels, conf = post_process(
+        boxes, logits, confidence_threshold=0.5, nms_threshold=0.3,
+        conf_scale=scale)
+    # box 0 still passes the threshold (raw conf gates) ...
+    assert bool(keep[0]) and bool(keep[1])
+    # ... but now ranks below box 1
+    assert float(conf[0]) < float(conf[1])

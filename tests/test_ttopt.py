@@ -100,3 +100,22 @@ def test_vmap_over_captures():
     out = np.asarray(out)
     np.testing.assert_allclose(out[0], out[1], atol=1e-6)
     assert out[0, 0, 0] > 2.0
+
+
+def test_penetration_depth_measures_crossing():
+    from room_slam_tpu.ops.ttopt import penetration_depth
+
+    # walker walks straight through box 0; box 1 is far away
+    L = 50
+    xs = jnp.linspace(-2.0, 2.0, L)
+    raw = jnp.stack([xs, jnp.full((L,), 1.0), jnp.zeros(L),
+                     jnp.linspace(0, 5, L)], axis=-1)
+    boxes = jnp.asarray([[0, 1, 0, 1.0, 2.0, 1.0],
+                         [10, 1, 0, 1.0, 2.0, 1.0]], dtype=jnp.float32)
+    d = penetration_depth(boxes, raw, jnp.int32(L))
+    assert float(d[0]) > 0.1
+    assert float(d[1]) == 0.0
+    # overhead box (above the walker's body column) feels nothing
+    boxes_hi = boxes.at[0, 1].set(5.0)
+    d_hi = penetration_depth(boxes_hi, raw, jnp.int32(L))
+    assert float(d_hi[0]) == 0.0
