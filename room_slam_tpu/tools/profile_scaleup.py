@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timeit(fn, args_fn, n=10, warmup=3):
+def _timeit(fn, args_fn, n=10, warmup=3, label=""):
     """Median-free simple mean over n timed reps; args_fn(i) must return
     FRESH inputs (tunnel memoization) and fn must return an array whose
     first element we read back (tunnel sync)."""
@@ -56,7 +56,10 @@ def _timeit(fn, args_fn, n=10, warmup=3):
     for i in range(warmup, warmup + n):
         out = fn(*args_fn(i))
         _ = float(jnp.ravel(out[0] if isinstance(out, tuple) else out)[0])
-    return (time.perf_counter() - t0) / n * 1000.0  # ms
+    ms = (time.perf_counter() - t0) / n * 1000.0  # ms
+    if label:
+        print(f"  {label}: {ms:.2f} ms", flush=True)
+    return ms
 
 
 def main():
@@ -128,7 +131,7 @@ def main():
         return losses["total_loss"]
 
     rows["full_step_ms"] = _timeit(
-        lambda k: run_step(k), lambda i: (keys[i],), n=args.reps)
+        lambda k: run_step(k), lambda i: (keys[i],), n=args.reps, label="full_step")
 
     # --- forward + criterion only (no backward, no optimizer)
     aug_fn = make_augment_batch(cfg.data)
@@ -151,7 +154,7 @@ def main():
     params_live = st[0].params
     rows["fwd_loss_ms"] = _timeit(
         lambda k: fwd_loss(params_live, batch, k),
-        lambda i: (keys[args.reps + 3 + i],), n=args.reps)
+        lambda i: (keys[args.reps + 3 + i],), n=args.reps, label="fwd_loss")
 
     # --- augmentation + featurize front end only
     @jax.jit
@@ -162,7 +165,7 @@ def main():
 
     rows["aug_featurize_ms"] = _timeit(
         lambda k: front(batch, k),
-        lambda i: (keys[2 * (args.reps + 3) + i],), n=args.reps)
+        lambda i: (keys[2 * (args.reps + 3) + i],), n=args.reps, label="aug_featurize")
 
     # --- criterion (Hungarian + losses) on frozen outputs; key-salted
     # boxes defeat memoization
@@ -183,14 +186,15 @@ def main():
 
     rows["criterion_ms"] = _timeit(
         lambda k: crit(out0, k),
-        lambda i: (keys[3 * (args.reps + 3) + i],), n=args.reps)
+        lambda i: (keys[3 * (args.reps + 3) + i],), n=args.reps, label="criterion")
 
     # --- recurrence kernel walks at the exact layer shape.
     # Fresh inputs per call via a runtime scalar multiply; its HBM pass is
     # measured separately (elementwise_pass) and reported alongside.
     H3 = 3 * H
-    xg0 = jnp.asarray(
-        rng.normal(size=(B, L, H3)) * 0.1, jnp.bfloat16)
+    xg0 = jax.jit(lambda k: 0.1 * jax.random.normal(
+        k, (B, L, H3), jnp.bfloat16))(jax.random.key(7))
+    jax.block_until_ready(xg0)
     w_hh = jnp.asarray(rng.normal(size=(H, H3)) * 0.05, jnp.float32)
     b_hh = jnp.zeros((H3,), jnp.float32)
     cs = jnp.linspace(0.99, 1.01, n_keys)
@@ -200,7 +204,7 @@ def main():
         return xg0 * c
 
     rows["elementwise_pass_ms"] = _timeit(
-        ew_pass, lambda i: (cs[i],), n=args.reps)
+        ew_pass, lambda i: (cs[i],), n=args.reps, label="elementwise_pass")
 
     @jax.jit
     def k_fwd_res(c):
@@ -211,7 +215,7 @@ def main():
         return ysf
 
     rows["bigru_fwd_res_ms"] = _timeit(
-        k_fwd_res, lambda i: (cs[i],), n=args.reps)
+        k_fwd_res, lambda i: (cs[i],), n=args.reps, label="bigru_fwd_res")
 
     @jax.jit
     def k_fwd_nores(c):
@@ -222,7 +226,7 @@ def main():
         return ysf
 
     rows["bigru_fwd_nores_ms"] = _timeit(
-        k_fwd_nores, lambda i: (cs[i],), n=args.reps)
+        k_fwd_nores, lambda i: (cs[i],), n=args.reps, label="bigru_fwd_nores")
 
     @jax.jit
     def k_fwdbwd(c):
@@ -237,10 +241,11 @@ def main():
         return g[0]
 
     rows["bigru_fwdbwd_ms"] = _timeit(
-        k_fwdbwd, lambda i: (cs[i],), n=args.reps)
+        k_fwdbwd, lambda i: (cs[i],), n=args.reps, label="bigru_fwdbwd")
 
     # --- one input-side gate projection at the production shape
-    xin = jnp.asarray(rng.normal(size=(B * L, D)) * 0.1, jnp.bfloat16)
+    xin = jax.jit(lambda k: 0.1 * jax.random.normal(
+        k, (B * L, D), jnp.bfloat16))(jax.random.key(8))
     w_in = jnp.asarray(rng.normal(size=(D, H3)) * 0.05, jnp.bfloat16)
 
     @jax.jit
@@ -249,7 +254,7 @@ def main():
                        preferred_element_type=jnp.float32)
 
     rows["gate_matmul_ms"] = _timeit(gate_mm, lambda i: (cs[i],),
-                                     n=args.reps)
+                                     n=args.reps, label="gate_matmul")
 
     # --- derived decomposition
     ew = rows["elementwise_pass_ms"]
