@@ -91,6 +91,67 @@ def nms_3d_fused(
     return keep, counts, fused
 
 
+def soft_nms_3d_fused(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    mask: jnp.ndarray,
+    dup_threshold: float = 0.5,
+    sigma: float = 0.25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS (Gaussian rescoring) with tight-cluster fusion.
+
+    The round-4 zero-shot diagnosis (PARITY.md "NMS destroys 13 of 33
+    achievable hits"): under domain shift a lone wrong-but-confident box
+    HARD-suppresses a multi-view-agreed correct one at the aggressive
+    calibrated IoU (0.1), and reranking (support / physics) cannot demote
+    the suppressor. Soft-NMS removes the death sentence: only
+    near-identical candidates (IoU >= ``dup_threshold``) are absorbed
+    into the winner's fused cluster; everything else survives with its
+    score DECAYED by ``exp(-iou^2 / sigma)`` against each kept box, so a
+    wrongly-placed confident box costs the correct one rank, not
+    existence. Greedy over the CURRENT (decayed) scores, so the sweep
+    order itself adapts — ``fori_loop`` with an argmax per step instead
+    of a precomputed order.
+
+    Returns (keep, cluster counts, fused boxes, rescored confidences);
+    every masked candidate is eventually kept or absorbed, and the
+    rescored confidence of a kept box is its score at keep time (all
+    decays applied). Downstream threshold / top-K gates do the pruning
+    that hard NMS used to.
+    """
+    Q = boxes.shape[0]
+    iou = pairwise_iou_3d(boxes, boxes)
+    neg_inf = jnp.finfo(scores.dtype).min
+
+    def body(_, carry):
+        cur, keep, absorbed, counts, fused = carry
+        avail = mask & ~keep & ~absorbed
+        s = jnp.where(avail, cur, neg_inf)
+        idx = jnp.argmax(s)
+        alive = s[idx] > neg_inf
+        chosen = jnp.zeros((Q,), bool).at[idx].set(alive)
+        keep = keep | chosen
+        dup = (iou[idx] >= dup_threshold) & avail & alive & ~chosen
+        wsel = chosen | dup
+        w = jnp.where(wsel, jnp.maximum(cur, 1e-12), 0.0)
+        mean = (w @ boxes) / jnp.maximum(w.sum(), 1e-12)
+        fused = fused.at[idx].set(jnp.where(alive, mean, fused[idx]))
+        counts = counts.at[idx].set(
+            jnp.where(alive, wsel.sum(), counts[idx]).astype(jnp.int32))
+        absorbed = absorbed | dup
+        decay = jnp.exp(-(iou[idx] ** 2) / sigma)
+        cur = jnp.where(avail & ~wsel & alive, cur * decay, cur)
+        return cur, keep, absorbed, counts, fused
+
+    cur = scores.astype(jnp.float32)
+    keep = jnp.zeros((Q,), bool)
+    absorbed = jnp.zeros((Q,), bool)
+    counts = jnp.zeros((Q,), jnp.int32)
+    cur, keep, _, counts, fused = jax.lax.fori_loop(
+        0, Q, body, (cur, keep, absorbed, counts, boxes))
+    return keep, counts, fused, cur
+
+
 def post_process(
     pred_boxes: jnp.ndarray,
     pred_logits: jnp.ndarray,
@@ -105,6 +166,7 @@ def post_process(
     return_boxes: bool = False,
     support: float | None = None,
     conf_scale: jnp.ndarray | None = None,
+    soft_sigma: float | None = None,
 ):
     """Confidence filter + per-class NMS (ref: inference.py:130-170).
 
@@ -132,6 +194,14 @@ def post_process(
             physics rescoring ``exp(-pen_beta * penetration_depth)``
             (ops/ttopt.penetration_depth): a box the walker walked
             through is wrong no matter how confident the decoder is.
+        soft_sigma: if set, the per-class sweep is SOFT-NMS
+            (soft_nms_3d_fused): ``nms_threshold`` becomes the
+            tight-duplicate absorb/fusion threshold (pair it with a HIGH
+            value like 0.5, not the hard sweep's 0.1) and loosely
+            overlapping candidates survive with Gaussian-decayed
+            confidence instead of being suppressed. The emitted
+            confidences are the decayed ones, so consensus / top_k /
+            downstream ranking all see the rescoring.
         objectness: optional [Q] no-object logits (models trained with
             model.objectness=True). Confidence becomes
             ``softmax maxprob * sigmoid(objectness)`` — the trained ranking
@@ -187,12 +257,26 @@ def post_process(
             conf.dtype) @ mass
         conf = conf * agree / jnp.maximum(total, 1e-12)
 
-    def per_class(c):
-        return nms_3d_fused(
-            pred_boxes, conf, passed & (labels == c), nms_threshold)
+    if soft_sigma is None:
+        def per_class(c):
+            return nms_3d_fused(
+                pred_boxes, conf, passed & (labels == c), nms_threshold)
 
-    keep_per_class, counts_per_class, fused_per_class = jax.vmap(per_class)(
-        jnp.arange(num_classes))  # [C, Q], [C, Q], [C, Q, 6]
+        keep_per_class, counts_per_class, fused_per_class = jax.vmap(
+            per_class)(jnp.arange(num_classes))  # [C, Q], [C, Q], [C, Q, 6]
+    else:
+        def per_class_soft(c):
+            return soft_nms_3d_fused(
+                pred_boxes, conf, passed & (labels == c), nms_threshold,
+                soft_sigma)
+
+        keep_per_class, counts_per_class, fused_per_class, conf_per_class = \
+            jax.vmap(per_class_soft)(jnp.arange(num_classes))
+        # a box can only be kept by its own class's pass; adopt that
+        # pass's decayed confidence as the ranking signal
+        qi = jnp.arange(labels.shape[0])
+        keep_soft = jnp.any(keep_per_class, axis=0)
+        conf = jnp.where(keep_soft, conf_per_class[labels, qi], conf)
     keep = jnp.any(keep_per_class, axis=0)
     out_boxes = pred_boxes
     if fuse:

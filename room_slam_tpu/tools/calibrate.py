@@ -175,7 +175,7 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
           trust_vals=(0.4,), synth_vals=(False,),
           fuse_vals=(False,), ttopt_vals=(False,),
           ttopt_params=None, support_vals=(None,),
-          pen_vals=(None,)) -> list:
+          pen_vals=(None,), soft_vals=(None,)) -> list:
     """Score every (threshold, nms, refine, trust, synth, ttopt, extent,
     consensus, top_k, fuse, support, pen_beta) cell from cached forwards.
 
@@ -191,7 +191,10 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     extent mask / NMS. ``support_vals`` sweeps support-ordered NMS (vote
     IoU threshold; ops/nms.post_process) and ``pen_vals`` physics
     rescoring strength (ops/ttopt.penetration_depth) — both rerank
-    candidates BEFORE the greedy NMS sweep."""
+    candidates BEFORE the greedy NMS sweep. ``soft_vals`` sweeps soft-NMS
+    Gaussian sigma (ops/nms.soft_nms_3d_fused): loose overlaps decay
+    instead of dying, and the cell's ``nms`` value becomes the
+    tight-duplicate fusion threshold."""
     import jax
     import jax.numpy as jnp
 
@@ -227,22 +230,22 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
 
     @functools.partial(jax.jit, static_argnames=("consensus", "top_k",
                                                  "has_obj", "fuse",
-                                                 "support"))
+                                                 "support", "soft_sigma"))
     def _post_all(boxes, logits, obj, thr, nms_thr, consensus=False,
                   top_k=None, cand=None, has_obj=True, fuse=False,
-                  support=None, conf_scale=None):
+                  support=None, conf_scale=None, soft_sigma=None):
         if not has_obj:
             return jax.vmap(lambda b, lg, cm, cs: post_process(
                 b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
                 consensus=consensus, top_k=top_k, candidate_mask=cm,
                 fuse=fuse, return_boxes=True, support=support,
-                conf_scale=cs)
+                conf_scale=cs, soft_sigma=soft_sigma)
             )(boxes, logits, cand, conf_scale)
         return jax.vmap(lambda b, lg, o, cm, cs: post_process(
             b, lg, confidence_threshold=thr, nms_threshold=nms_thr,
             consensus=consensus, top_k=top_k, objectness=o,
             candidate_mask=cm, fuse=fuse, return_boxes=True,
-            support=support, conf_scale=cs)
+            support=support, conf_scale=cs, soft_sigma=soft_sigma)
         )(boxes, logits, obj, cand, conf_scale)
 
     @jax.jit
@@ -310,11 +313,11 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     pen_cache = {}
 
     results = []
-    for (rf, tr, sy, tt), thr, nm, ext, cns, tk, fu, sp, pb in (
+    for (rf, tr, sy, tt), thr, nm, ext, cns, tk, fu, sp, pb, so in (
             itertools.product(
                 variants, thresholds, nms_vals, extent_vals,
                 consensus_vals, top_k_vals, fuse_vals, support_vals,
-                pen_vals)):
+                pen_vals, soft_vals)):
         boxes, logits, obj, base_valid = variants[rf, tr, sy, tt]
         if ext is None:
             cand = jnp.asarray(base_valid)
@@ -338,12 +341,12 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             None if obj is None else jnp.asarray(obj),
             jnp.float32(thr), jnp.float32(nm), consensus=cns, top_k=tk,
             cand=cand, has_obj=obj is not None, fuse=fu, support=sp,
-            conf_scale=cs))
+            conf_scale=cs, soft_sigma=so))
         img_ids, flat = np.nonzero(keep)
         cell = {"threshold": thr, "nms": nm, "refine": rf, "trust": tr,
                 "synth": sy, "ttopt": tt, "extent": ext, "consensus": cns,
                 "top_k": tk, "fuse": fu, "support": sp, "pen_beta": pb,
-                "num_predictions": int(keep.sum())}
+                "soft": so, "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
                 mAP, aps = average_precision_3d(
@@ -421,6 +424,12 @@ def main():
                         "'none,3'): ranking confidence scaled by "
                         "exp(-beta * mean penetration depth) "
                         "(ops/ttopt.penetration_depth)")
+    p.add_argument("--soft", default="none",
+                   help="comma list of soft-NMS Gaussian sigmas (e.g. "
+                        "'none,0.25,0.5'): loose overlaps decay instead "
+                        "of dying; the cell's nms value becomes the "
+                        "tight-duplicate fusion threshold "
+                        "(ops/nms.soft_nms_3d_fused)")
     p.add_argument("--refine_furniture", action="store_true",
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
@@ -489,6 +498,8 @@ def main():
                     for x in args.support.split(",")]
     pen_vals = [None if x == "none" else float(x)
                 for x in args.pen_beta.split(",")]
+    soft_vals = [None if x == "none" else float(x)
+                 for x in args.soft.split(",")]
 
     tta_scales = tuple(float(x) for x in args.tta_scales.split(",") if x)
     cached = _forward_val_set(args.checkpoint, args.data_dir,
@@ -502,7 +513,7 @@ def main():
                     trust_vals=trust_vals, synth_vals=synth_vals,
                     fuse_vals=fuse_vals, ttopt_vals=ttopt_vals,
                     ttopt_params=ttopt_params, support_vals=support_vals,
-                    pen_vals=pen_vals)
+                    pen_vals=pen_vals, soft_vals=soft_vals)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
@@ -512,6 +523,7 @@ def main():
               f"cns={int(c['consensus'])} k={c['top_k']} "
               f"fuse={int(c['fuse'])} "
               f"sup={c['support']} pen={c['pen_beta']} "
+              f"soft={c['soft']} "
               f"preds={c['num_predictions']:4d} "
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
     best = results[0]
@@ -535,7 +547,8 @@ def main():
                          ttopt_vals=[best.get("ttopt", False)],
                          ttopt_params=ttopt_params,
                          support_vals=[best.get("support")],
-                         pen_vals=[best.get("pen_beta")])[0]
+                         pen_vals=[best.get("pen_beta")],
+                         soft_vals=[best.get("soft")])[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir
         if args.ttopt_params:

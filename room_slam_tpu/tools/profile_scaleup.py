@@ -199,38 +199,42 @@ def main():
     b_hh = jnp.zeros((H3,), jnp.float32)
     cs = jnp.linspace(0.99, 1.01, n_keys)
 
+    # NOTE: the big activations (xg0 ~1 GB, xin ~0.7 GB) must be jit
+    # ARGUMENTS, not closure captures — a closed-over concrete array is
+    # inlined into the HLO as a literal and the axon remote-compile
+    # endpoint rejects the >1 GB request body (HTTP 413).
     @jax.jit
-    def ew_pass(c):
-        return xg0 * c
+    def ew_pass(xg, c):
+        return xg * c
 
     rows["elementwise_pass_ms"] = _timeit(
-        ew_pass, lambda i: (cs[i],), n=args.reps, label="elementwise_pass")
+        ew_pass, lambda i: (xg0, cs[i]), n=args.reps, label="elementwise_pass")
 
     @jax.jit
-    def k_fwd_res(c):
-        x = xg0 * c
+    def k_fwd_res(xg, c):
+        x = xg * c
         ysf, ysb, gf, hnf, gb, hnb = _bigru_fwd_pallas(
             x, x, w_hh, b_hh, w_hh, b_hh, interpret=interp,
             save_residuals=True)
         return ysf
 
     rows["bigru_fwd_res_ms"] = _timeit(
-        k_fwd_res, lambda i: (cs[i],), n=args.reps, label="bigru_fwd_res")
+        k_fwd_res, lambda i: (xg0, cs[i]), n=args.reps, label="bigru_fwd_res")
 
     @jax.jit
-    def k_fwd_nores(c):
-        x = xg0 * c
+    def k_fwd_nores(xg, c):
+        x = xg * c
         ysf, ysb, *_ = _bigru_fwd_pallas(
             x, x, w_hh, b_hh, w_hh, b_hh, interpret=interp,
             save_residuals=False)
         return ysf
 
     rows["bigru_fwd_nores_ms"] = _timeit(
-        k_fwd_nores, lambda i: (cs[i],), n=args.reps, label="bigru_fwd_nores")
+        k_fwd_nores, lambda i: (xg0, cs[i]), n=args.reps, label="bigru_fwd_nores")
 
     @jax.jit
-    def k_fwdbwd(c):
-        x = xg0 * c
+    def k_fwdbwd(xg, c):
+        x = xg * c
 
         def f(xf, xb, w1, bb1, w2, bb2):
             ysf, ysb = _bigru_core(xf, xb, w1, bb1, w2, bb2, interp)
@@ -241,7 +245,7 @@ def main():
         return g[0]
 
     rows["bigru_fwdbwd_ms"] = _timeit(
-        k_fwdbwd, lambda i: (cs[i],), n=args.reps, label="bigru_fwdbwd")
+        k_fwdbwd, lambda i: (xg0, cs[i]), n=args.reps, label="bigru_fwdbwd")
 
     # --- one input-side gate projection at the production shape
     xin = jax.jit(lambda k: 0.1 * jax.random.normal(
@@ -249,11 +253,11 @@ def main():
     w_in = jnp.asarray(rng.normal(size=(D, H3)) * 0.05, jnp.bfloat16)
 
     @jax.jit
-    def gate_mm(c):
-        return jnp.dot(xin * c, w_in,
+    def gate_mm(xi, c):
+        return jnp.dot(xi * c, w_in,
                        preferred_element_type=jnp.float32)
 
-    rows["gate_matmul_ms"] = _timeit(gate_mm, lambda i: (cs[i],),
+    rows["gate_matmul_ms"] = _timeit(gate_mm, lambda i: (xin, cs[i]),
                                      n=args.reps, label="gate_matmul")
 
     # --- derived decomposition
@@ -261,7 +265,7 @@ def main():
     fwd_res = rows["bigru_fwd_res_ms"] - ew
     fwd_nores = rows["bigru_fwd_nores_ms"] - ew
     fwdbwd = rows["bigru_fwdbwd_ms"] - ew
-    mm = max(rows["gate_matmul_ms"] - ew, 1e-9)
+    mm = rows["gate_matmul_ms"] - ew
     gate_flops = 2.0 * B * L * D * H3
     derived = {
         # per-walk times net of the perturbation pass
@@ -273,7 +277,10 @@ def main():
         "recurrence_total_2layers_ms": round(2 * fwdbwd, 2),
         "backward_etc_ms": round(
             rows["full_step_ms"] - rows["fwd_loss_ms"], 2),
-        "gate_matmul_tflops": round(gate_flops / (mm / 1e3) / 1e12, 1),
+        # None when the matmul is cheaper than the perturbation pass —
+        # i.e. unmeasurable under the tunnel round-trip noise floor
+        "gate_matmul_tflops": (round(gate_flops / (mm / 1e3) / 1e12, 1)
+                               if mm > 0.5 else None),
         "per_kernel_timestep_us": {
             "fwd": round(fwd_res / L * 1e3, 3),
             "fwd_nores": round(fwd_nores / L * 1e3, 3),

@@ -138,7 +138,8 @@ def apply_operating_point(cached: dict, cell: dict,
             nms_threshold=cell["nms"], consensus=cell.get("consensus", False),
             top_k=cell.get("top_k"), objectness=o, candidate_mask=cm,
             fuse=cell.get("fuse", False), return_boxes=True,
-            support=cell.get("support"), conf_scale=cs)
+            support=cell.get("support"), conf_scale=cs,
+            soft_sigma=cell.get("soft"))
         return k, lb, cf, ob
 
     if obj is None:
@@ -380,6 +381,11 @@ def main():
                    help="physics rescoring strength: ranking confidence "
                         "is scaled by exp(-beta * mean penetration depth) "
                         "(ops/ttopt.penetration_depth)")
+    p.add_argument("--soft", default="none",
+                   help="soft-NMS Gaussian sigma: loose overlaps are "
+                        "decayed instead of suppressed; --nms becomes the "
+                        "tight-duplicate fusion threshold (pair with a "
+                        "HIGH value like 0.5) — ops/nms.soft_nms_3d_fused")
     p.add_argument("--refine_furniture", action="store_true")
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
@@ -436,7 +442,9 @@ def main():
                 "support": None if args.support == "none"
                 else float(args.support),
                 "pen_beta": None if args.pen_beta == "none"
-                else float(args.pen_beta)}
+                else float(args.pen_beta),
+                "soft": None if args.soft == "none"
+                else float(args.soft)}
     cell["tta"] = args.tta
     cell["tta_reflect"] = args.tta_reflect
     if tta_scales:

@@ -285,3 +285,70 @@ def test_conf_scale_demotes_for_ranking_not_threshold():
     assert bool(keep[0]) and bool(keep[1])
     # ... but now ranks below box 1
     assert float(conf[0]) < float(conf[1])
+
+
+def test_soft_nms_survivor_and_dup_absorption():
+    """The motivating zero-shot failure (PARITY round 4): a lone
+    wrong-but-confident box loosely overlaps a multi-view-agreed cluster.
+    Hard NMS at IoU 0.1 kills the cluster; soft-NMS keeps it (decayed) and
+    still absorbs the cluster's near-identical duplicates."""
+    from room_slam_tpu.ops.nms import soft_nms_3d_fused
+
+    boxes = np.array([
+        [0.0, 0.0, 0.0, 2.0, 1.0, 2.0],    # wrong, confident
+        [0.8, 0.0, 0.8, 2.0, 1.0, 2.0],    # correct cluster member A
+        [0.82, 0.0, 0.82, 2.0, 1.0, 2.0],  # near-identical duplicate of A
+        [9.0, 0.0, 9.0, 1.0, 1.0, 1.0],    # far box, untouched
+    ], np.float32)
+    scores = np.array([0.9, 0.5, 0.45, 0.3], np.float32)
+    keep, counts, fused, conf = (np.asarray(a) for a in soft_nms_3d_fused(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(4, bool),
+        dup_threshold=0.5, sigma=0.25))
+    # the loosely-overlapped correct box SURVIVES (hard NMS at 0.1 kills it)
+    hard = np.asarray(nms_3d_mask(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(4, bool), 0.1))
+    assert not hard[1]
+    assert keep[0] and keep[1] and keep[3]
+    # ...but its duplicate is absorbed into its fused cluster
+    assert not keep[2]
+    assert counts[1] == 2
+    # fusion weights are the DECAYED scores at keep time (= emitted conf)
+    np.testing.assert_allclose(
+        fused[1],
+        (conf[1] * boxes[1] + conf[2] * boxes[2]) / (conf[1] + conf[2]),
+        rtol=1e-4)
+    # decay ordering: the survivor is demoted below its raw score, the
+    # far box is untouched
+    assert 0 < conf[1] < 0.5
+    assert conf[3] == 0.3 and conf[0] == 0.9
+
+
+def test_soft_nms_zero_overlap_is_identity():
+    from room_slam_tpu.ops.nms import soft_nms_3d_fused
+
+    boxes = np.array([[i * 10.0, 0, 0, 1, 1, 1] for i in range(5)],
+                     np.float32)
+    scores = np.linspace(0.9, 0.1, 5).astype(np.float32)
+    keep, counts, fused, conf = (np.asarray(a) for a in soft_nms_3d_fused(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(5, bool)))
+    assert keep.all() and (counts == 1).all()
+    np.testing.assert_allclose(conf, scores, rtol=1e-6)
+    np.testing.assert_allclose(fused, boxes, rtol=1e-6)
+
+
+def test_post_process_soft_sigma_reranks_and_fuses(rng):
+    Q = 24
+    boxes = np.concatenate([rng.normal(size=(Q, 3)) * 0.5,
+                            rng.uniform(0.8, 2.0, size=(Q, 3))],
+                           axis=1).astype(np.float32)
+    logits = rng.normal(size=(Q, 4)).astype(np.float32)
+    keep, labels, conf, out = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits), confidence_threshold=0.0,
+        nms_threshold=0.5, soft_sigma=0.25, fuse=True, return_boxes=True)
+    keep, conf = np.asarray(keep), np.asarray(conf)
+    # soft mode keeps at least as many as hard NMS at the same threshold
+    hkeep, _, _ = post_process(
+        jnp.asarray(boxes), jnp.asarray(logits), confidence_threshold=0.0,
+        nms_threshold=0.5)
+    assert keep.sum() >= np.asarray(hkeep).sum()
+    assert np.isfinite(conf[keep]).all() and (conf[keep] > 0).all()
