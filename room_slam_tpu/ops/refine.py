@@ -275,6 +275,177 @@ def synthesize_walls(
     return out_boxes, out_logits, out_obj, valid
 
 
+def synthesize_furniture(
+    boxes: jnp.ndarray,          # [Q, 6] (post-refine) predictions
+    logits: jnp.ndarray,         # [Q, C] class logits
+    objectness: jnp.ndarray | None,  # [Q] no-object logits, or None
+    raw: jnp.ndarray,            # [L, 4] the input trace
+    length: jnp.ndarray,         # [] valid length
+    k_new: int = 6,
+    grid: int = 40,
+    min_area: float = 0.05,      # m^2: smaller holes are walk jitter
+    max_area: float = 2.5,       # m^2: bigger holes are unexplored space
+    dup_dist: float = 0.35,
+    min_span: float = 1.5,
+    low_mid_split: float = 0.55,  # footprint side above this -> MID
+):
+    """Append up to ``k_new`` hole-implied furniture candidates.
+
+    The round-4 zero-shot diagnosis: 34/56 unseen-room furniture GT draw
+    NO model candidate at all (tools/diagnose_zeroshot.py) — a recall
+    failure no reranking can fix. The trace itself carries a model-free
+    furniture signal: a walker cannot pass through solids, so
+    floor-standing furniture shows up as INTERIOR HOLES of the visited
+    region (measured on synthetic eval rooms: 58% of LOW/MID GT centers
+    lie in an interior unvisited cell vs 14% of random envelope points —
+    4x enrichment; dwell hotspots, by contrast, measured at random level
+    and are NOT used). Like synthesize_walls, model predictions are
+    untouched: candidates are appended, each gated by hole area, a
+    duplicate-distance check against existing furniture predictions, and
+    the trace-span sanity gate.
+
+    Hole extraction is fully jittable at fixed shapes: rasterize visited
+    XZ cells on a ``grid`` x ``grid`` envelope raster, dilate one cell
+    (walker body), flood-fill outside-connected unvisited space by
+    iterated 3x3 dilation, and label the remaining hole components by
+    iterated max-propagation of cell ids; the ``k_new`` largest
+    components become candidates. Footprint = component extent (+1
+    cell); class = LOW when the larger side < ``low_mid_split`` m else
+    MID; y-center/height inherit from the model's best same-class
+    prediction (the model's learned floor datum), cascading to its best
+    furniture row, then to fixed priors. Logits reuse the source row
+    with the chosen class's logit raised to the row max and a 0.99 decay
+    so the model's own rows win ties (synthesize_walls' convention).
+
+    Returns (boxes [Q+k,6], logits [Q+k,C], objectness [Q+k] or None,
+    valid [Q+k] bool).
+    """
+    Q = boxes.shape[0]
+    G = grid
+    x_min, x_max, z_min, z_max = trace_extent(raw, length)
+    extent_ok = ((x_max - x_min) > min_span) & ((z_max - z_min) > min_span)
+    dx = (x_max - x_min) / G
+    dz = (z_max - z_min) / G
+    cell_area = dx * dz
+
+    # --- visited raster over the envelope (masked by length)
+    idx = jnp.arange(raw.shape[0])
+    pmask = idx < length
+    ix = jnp.clip(((raw[:, 0] - x_min) / jnp.maximum(dx, 1e-6)).astype(
+        jnp.int32), 0, G - 1)
+    iz = jnp.clip(((raw[:, 2] - z_min) / jnp.maximum(dz, 1e-6)).astype(
+        jnp.int32), 0, G - 1)
+    visited = jnp.zeros((G, G), jnp.float32).at[ix, iz].max(
+        jnp.where(pmask, 1.0, 0.0))
+
+    def dilate(a):
+        return jax.lax.reduce_window(
+            a, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+
+    visited = dilate(visited)                      # walker body radius
+    unvisited = visited < 0.5
+
+    # --- outside-connected flood fill
+    border = jnp.zeros((G, G), bool).at[0, :].set(True).at[-1, :].set(
+        True).at[:, 0].set(True).at[:, -1].set(True)
+    outside0 = (border & unvisited).astype(jnp.float32)
+
+    def flood(_, o):
+        return jnp.where(unvisited, dilate(o), 0.0)
+
+    outside = jax.lax.fori_loop(0, 2 * G, flood, outside0) > 0.5
+    hole = unvisited & ~outside
+
+    # --- component labeling by max-propagation of cell ids
+    ids = jnp.arange(1, G * G + 1, dtype=jnp.float32).reshape(G, G)
+    lab0 = jnp.where(hole, ids, 0.0)
+
+    def prop(_, l):
+        return jnp.where(hole, dilate(l), 0.0)
+
+    lab = jax.lax.fori_loop(0, 2 * G, prop, lab0).astype(jnp.int32)  # [G,G]
+
+    # --- per-component stats via segment ops (segment 0 = non-hole)
+    flat = lab.ravel()
+    ones = hole.ravel().astype(jnp.float32)
+    n_seg = G * G + 1
+    area = jax.ops.segment_sum(ones, flat, num_segments=n_seg)
+    cxs = x_min + (jnp.arange(G, dtype=jnp.float32) + 0.5) * dx
+    czs = z_min + (jnp.arange(G, dtype=jnp.float32) + 0.5) * dz
+    cell_x = jnp.broadcast_to(cxs[:, None], (G, G)).ravel()
+    cell_z = jnp.broadcast_to(czs[None, :], (G, G)).ravel()
+    sum_x = jax.ops.segment_sum(ones * cell_x, flat, num_segments=n_seg)
+    sum_z = jax.ops.segment_sum(ones * cell_z, flat, num_segments=n_seg)
+    min_x = jax.ops.segment_min(
+        jnp.where(ones > 0, cell_x, jnp.inf), flat, num_segments=n_seg)
+    max_x = jax.ops.segment_max(
+        jnp.where(ones > 0, cell_x, -jnp.inf), flat, num_segments=n_seg)
+    min_z = jax.ops.segment_min(
+        jnp.where(ones > 0, cell_z, jnp.inf), flat, num_segments=n_seg)
+    max_z = jax.ops.segment_max(
+        jnp.where(ones > 0, cell_z, -jnp.inf), flat, num_segments=n_seg)
+    area = area.at[0].set(0.0)                     # kill the background
+
+    top_area, top_seg = jax.lax.top_k(area, k_new)
+    area_m2 = top_area * cell_area
+    n_cells = jnp.maximum(top_area, 1.0)
+    c_x = sum_x[top_seg] / n_cells
+    c_z = sum_z[top_seg] / n_cells
+    s_x = jnp.clip(max_x[top_seg] - min_x[top_seg] + dx, 0.2, 1.8)
+    s_z = jnp.clip(max_z[top_seg] - min_z[top_seg] + dz, 0.2, 1.8)
+    is_low = jnp.maximum(s_x, s_z) < low_mid_split  # [k]
+
+    # --- y/height + logits from the model's own rows (datum inheritance)
+    labels = jnp.argmax(logits, -1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    if objectness is not None:
+        conf = conf * jax.nn.sigmoid(objectness)
+
+    def pick(cls):
+        def best(m):
+            return jnp.argmax(jnp.where(m, conf, -jnp.inf)), jnp.any(m)
+
+        i_cls, has_cls = best(labels == cls)
+        i_furn, has_furn = best((labels == 1) | (labels == 2))
+        i_all = jnp.argmax(conf)
+        return (jnp.where(has_cls, i_cls,
+                          jnp.where(has_furn, i_furn, i_all)),
+                has_cls | has_furn)
+
+    i_low, has_low = pick(1)
+    i_mid, has_mid = pick(2)
+    cy_low = jnp.where(has_low, boxes[i_low, 1], 0.2)
+    sy_low = jnp.where(has_low, boxes[i_low, 4], 0.4)
+    cy_mid = jnp.where(has_mid, boxes[i_mid, 1], 0.5)
+    sy_mid = jnp.where(has_mid, boxes[i_mid, 4], 1.0)
+    c_y = jnp.where(is_low, cy_low, cy_mid)
+    s_y = jnp.where(is_low, sy_low, sy_mid)
+
+    new_boxes = jnp.stack([c_x, c_y, c_z, s_x, s_y, s_z], axis=-1)  # [k,6]
+    srcs = jnp.where(is_low, i_low, i_mid)
+    cls = jnp.where(is_low, 1, 2)
+    src_logits = logits[srcs] * 0.99
+    src_logits = jnp.where(
+        jax.nn.one_hot(cls, logits.shape[-1], dtype=bool),
+        jnp.max(src_logits, axis=-1, keepdims=True) + 0.01, src_logits)
+
+    # --- gates: hole size band + no nearby existing furniture prediction
+    furn_rows = (labels == 1) | (labels == 2)
+    d2 = ((boxes[None, :, 0] - c_x[:, None]) ** 2
+          + (boxes[None, :, 2] - c_z[:, None]) ** 2)      # [k, Q]
+    dup = jnp.any((d2 < dup_dist ** 2) & furn_rows[None, :], axis=1)
+    ok = ((area_m2 >= min_area) & (area_m2 <= max_area) & ~dup
+          & jnp.broadcast_to(extent_ok, (k_new,)))
+
+    out_boxes = jnp.concatenate([boxes, new_boxes])
+    out_logits = jnp.concatenate([logits, src_logits])
+    out_obj = (None if objectness is None
+               else jnp.concatenate([objectness, objectness[srcs]]))
+    valid = jnp.concatenate([jnp.ones((Q,), bool), ok])
+    return out_boxes, out_logits, out_obj, valid
+
+
 def outside_extent_mask(
     boxes: jnp.ndarray,         # [Q, 6] (cx, cy, cz, sx, sy, sz)
     raw: jnp.ndarray,           # [L, 4] the input trace

@@ -175,7 +175,8 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
           trust_vals=(0.4,), synth_vals=(False,),
           fuse_vals=(False,), ttopt_vals=(False,),
           ttopt_params=None, support_vals=(None,),
-          pen_vals=(None,), soft_vals=(None,)) -> list:
+          pen_vals=(None,), soft_vals=(None,),
+          synthf_vals=(False,)) -> list:
     """Score every (threshold, nms, refine, trust, synth, ttopt, extent,
     consensus, top_k, fuse, support, pen_beta) cell from cached forwards.
 
@@ -194,12 +195,15 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     candidates BEFORE the greedy NMS sweep. ``soft_vals`` sweeps soft-NMS
     Gaussian sigma (ops/nms.soft_nms_3d_fused): loose overlaps decay
     instead of dying, and the cell's ``nms`` value becomes the
-    tight-duplicate fusion threshold."""
+    tight-duplicate fusion threshold. ``synthf_vals`` sweeps
+    hole-implied furniture candidate injection
+    (ops/refine.synthesize_furniture)."""
     import jax
     import jax.numpy as jnp
 
     from room_slam_tpu.ops.nms import post_process
     from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
+                                          synthesize_furniture,
                                           synthesize_walls)
     from room_slam_tpu.ops.ttopt import (TTOptParams, adapt_boxes,
                                          penetration_depth)
@@ -249,6 +253,18 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         )(boxes, logits, obj, cand, conf_scale)
 
     @jax.jit
+    def _synthf_all(boxes, logits, obj, raw, length):
+        return jax.vmap(
+            lambda b, lg, o, r, n: synthesize_furniture(b, lg, o, r, n)
+        )(boxes, logits, obj, raw, length)
+
+    @jax.jit
+    def _synthf_all_noobj(boxes, logits, raw, length):
+        return jax.vmap(
+            lambda b, lg, r, n: synthesize_furniture(b, lg, None, r, n)
+        )(boxes, logits, raw, length)
+
+    @jax.jit
     def _pen_depth_all(boxes, raw, length):
         return jax.vmap(penetration_depth)(boxes, raw, length)
 
@@ -287,13 +303,34 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
                         jnp.float32(rf if rf is not None else 0.3)))
                     if obj_all is None:
                         so = None
-                for tt in ttopt_vals:
-                    tb = sb
-                    if tt:
-                        tb = np.asarray(_ttopt_all(
-                            jnp.asarray(sb), jnp.asarray(cached["raw"]),
-                            jnp.asarray(cached["length"])))
-                    variants[rf, tr, sy, tt] = (tb, sl, so, sv)
+                for sf in synthf_vals:
+                    if not sf:
+                        fb, fl, fo, fv = sb, sl, so, sv
+                    else:
+                        Qb = sb.shape[1]
+                        if so is None:
+                            fb, fl, _, nv = _synthf_all_noobj(
+                                jnp.asarray(sb), jnp.asarray(sl),
+                                jnp.asarray(cached["raw"]),
+                                jnp.asarray(cached["length"]))
+                            fo = None
+                        else:
+                            fb, fl, fo, nv = _synthf_all(
+                                jnp.asarray(sb), jnp.asarray(sl),
+                                jnp.asarray(so),
+                                jnp.asarray(cached["raw"]),
+                                jnp.asarray(cached["length"]))
+                            fo = np.asarray(fo)
+                        fb, fl, nv = (np.asarray(a) for a in (fb, fl, nv))
+                        fv = np.concatenate([sv, nv[:, Qb:]], axis=1)
+                    for tt in ttopt_vals:
+                        tb = fb
+                        if tt:
+                            tb = np.asarray(_ttopt_all(
+                                jnp.asarray(fb),
+                                jnp.asarray(cached["raw"]),
+                                jnp.asarray(cached["length"])))
+                        variants[rf, tr, sy, sf, tt] = (tb, fl, fo, fv)
 
     n_img = cached["pred_boxes"].shape[0]
     gt_rows = [(cached["gt_boxes"][i][cached["gt_valid"][i]],
@@ -313,12 +350,12 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     pen_cache = {}
 
     results = []
-    for (rf, tr, sy, tt), thr, nm, ext, cns, tk, fu, sp, pb, so in (
+    for (rf, tr, sy, sf, tt), thr, nm, ext, cns, tk, fu, sp, pb, so in (
             itertools.product(
                 variants, thresholds, nms_vals, extent_vals,
                 consensus_vals, top_k_vals, fuse_vals, support_vals,
                 pen_vals, soft_vals)):
-        boxes, logits, obj, base_valid = variants[rf, tr, sy, tt]
+        boxes, logits, obj, base_valid = variants[rf, tr, sy, sf, tt]
         if ext is None:
             cand = jnp.asarray(base_valid)
         else:
@@ -330,7 +367,7 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         if pb is None:
             cs = jnp.ones(boxes.shape[:2], dtype=jnp.float32)
         else:
-            vkey = (rf, tr, sy, tt)
+            vkey = (rf, tr, sy, sf, tt)
             if vkey not in pen_cache:
                 pen_cache[vkey] = _pen_depth_all(
                     jnp.asarray(boxes), jnp.asarray(cached["raw"]),
@@ -344,9 +381,10 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             conf_scale=cs, soft_sigma=so))
         img_ids, flat = np.nonzero(keep)
         cell = {"threshold": thr, "nms": nm, "refine": rf, "trust": tr,
-                "synth": sy, "ttopt": tt, "extent": ext, "consensus": cns,
-                "top_k": tk, "fuse": fu, "support": sp, "pen_beta": pb,
-                "soft": so, "num_predictions": int(keep.sum())}
+                "synth": sy, "synthf": sf, "ttopt": tt, "extent": ext,
+                "consensus": cns, "top_k": tk, "fuse": fu, "support": sp,
+                "pen_beta": pb, "soft": so,
+                "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
                 mAP, aps = average_precision_3d(
@@ -430,6 +468,12 @@ def main():
                         "of dying; the cell's nms value becomes the "
                         "tight-duplicate fusion threshold "
                         "(ops/nms.soft_nms_3d_fused)")
+    p.add_argument("--synthf", default="off",
+                   help="'off', 'on' or 'both': sweep hole-implied "
+                        "furniture candidate injection — interior "
+                        "unvisited components of the walk raster become "
+                        "extra LOW/MID candidates "
+                        "(ops/refine.synthesize_furniture)")
     p.add_argument("--refine_furniture", action="store_true",
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
@@ -500,6 +544,10 @@ def main():
                 for x in args.pen_beta.split(",")]
     soft_vals = [None if x == "none" else float(x)
                  for x in args.soft.split(",")]
+    if args.synthf == "both":
+        synthf_vals = [False, True]
+    else:
+        synthf_vals = [x == "on" for x in args.synthf.split(",")]
 
     tta_scales = tuple(float(x) for x in args.tta_scales.split(",") if x)
     cached = _forward_val_set(args.checkpoint, args.data_dir,
@@ -513,12 +561,14 @@ def main():
                     trust_vals=trust_vals, synth_vals=synth_vals,
                     fuse_vals=fuse_vals, ttopt_vals=ttopt_vals,
                     ttopt_params=ttopt_params, support_vals=support_vals,
-                    pen_vals=pen_vals, soft_vals=soft_vals)
+                    pen_vals=pen_vals, soft_vals=soft_vals,
+                    synthf_vals=synthf_vals)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
               f"refine={c['refine']} trust={c['trust']} "
-              f"synth={int(c['synth'])} tt={int(c['ttopt'])} "
+              f"synth={int(c['synth'])} sf={int(c['synthf'])} "
+              f"tt={int(c['ttopt'])} "
               f"extent={c['extent']} "
               f"cns={int(c['consensus'])} k={c['top_k']} "
               f"fuse={int(c['fuse'])} "
@@ -548,7 +598,8 @@ def main():
                          ttopt_params=ttopt_params,
                          support_vals=[best.get("support")],
                          pen_vals=[best.get("pen_beta")],
-                         soft_vals=[best.get("soft")])[0]
+                         soft_vals=[best.get("soft")],
+                         synthf_vals=[best.get("synthf", False)])[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir
         if args.ttopt_params:

@@ -68,6 +68,7 @@ def apply_operating_point(cached: dict, cell: dict,
 
     from room_slam_tpu.ops.nms import post_process
     from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
+                                          synthesize_furniture,
                                           synthesize_walls)
     from room_slam_tpu.ops.ttopt import (TTOptParams, adapt_boxes,
                                          penetration_depth)
@@ -100,6 +101,23 @@ def apply_operating_point(cached: dict, cell: dict,
           jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
         if obj is not None:
             obj = so
+
+    if cell.get("synthf"):
+        Qb = boxes.shape[1]
+        if obj is None:
+            boxes, logits, _, nv = (np.asarray(a) if a is not None else None
+                                    for a in jax.jit(jax.vmap(
+                lambda b, lg, r, n: synthesize_furniture(b, lg, None, r, n))
+            )(jnp.asarray(boxes), jnp.asarray(logits),
+              jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
+        else:
+            boxes, logits, obj, nv = (np.asarray(a) for a in jax.jit(
+                jax.vmap(lambda b, lg, o, r, n: synthesize_furniture(
+                    b, lg, o, r, n))
+            )(jnp.asarray(boxes), jnp.asarray(logits), jnp.asarray(obj),
+              jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
+        base_valid = np.concatenate([base_valid, np.asarray(nv)[:, Qb:]],
+                                    axis=1)
 
     if cell.get("ttopt"):
         # test-time trace-consistency adaptation of the candidate boxes
@@ -386,6 +404,11 @@ def main():
                         "decayed instead of suppressed; --nms becomes the "
                         "tight-duplicate fusion threshold (pair with a "
                         "HIGH value like 0.5) — ops/nms.soft_nms_3d_fused")
+    p.add_argument("--synthf", action="store_true",
+                   help="inject hole-implied furniture candidates: "
+                        "interior unvisited components of the walk "
+                        "raster become extra LOW/MID candidates "
+                        "(ops/refine.synthesize_furniture)")
     p.add_argument("--refine_furniture", action="store_true")
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
@@ -444,7 +467,8 @@ def main():
                 "pen_beta": None if args.pen_beta == "none"
                 else float(args.pen_beta),
                 "soft": None if args.soft == "none"
-                else float(args.soft)}
+                else float(args.soft),
+                "synthf": args.synthf}
     cell["tta"] = args.tta
     cell["tta_reflect"] = args.tta_reflect
     if tta_scales:

@@ -225,3 +225,81 @@ def test_synthesize_walls_candidates():
         boxes, logits, obj, jnp.asarray(short), ln, clearance=cl,
         wall_thickness=wt)
     assert bool(jnp.all(valid_deg[:3])) and not bool(jnp.any(valid_deg[3:]))
+
+
+def _ring_trace(hole_cx=1.0, hole_cz=1.0, hole_r=0.55, span=4.0, step=0.06):
+    """Serpentine walk covering a [0,span]^2 room except a disc around
+    the hole center — the footprint an unwalkable solid leaves."""
+    pts = []
+    t = 0.0
+    z = 0.0
+    direction = 1
+    while z <= span:
+        xs = np.arange(0.0, span + 1e-6, step)[::direction]
+        for x in xs:
+            if np.hypot(x - hole_cx, z - hole_cz) > hole_r:
+                pts.append([x, 1.5, z, t])
+                t += 0.05
+        z += step
+        direction *= -1
+    return np.asarray(pts, np.float32)
+
+
+def test_synthesize_furniture_finds_the_hole():
+    from room_slam_tpu.ops.refine import synthesize_furniture
+
+    raw = _ring_trace()
+    Q = 4
+    boxes = np.zeros((Q, 6), np.float32)
+    boxes[:, :3] = [[3.5, 0.5, 3.5]] * Q      # far from the hole
+    boxes[:, 3:] = 0.4
+    logits = np.full((Q, 4), -2.0, np.float32)
+    logits[0, 2] = 2.0                         # one MID row: the datum source
+    boxes[0, 1], boxes[0, 4] = 0.45, 0.9
+    logits[1:, 0] = 2.0
+    obj = np.zeros((Q,), np.float32)
+
+    ob, ol, oo, ov = synthesize_furniture(
+        jnp.asarray(boxes), jnp.asarray(logits), jnp.asarray(obj),
+        jnp.asarray(raw), jnp.asarray(raw.shape[0]))
+    ob, ol, ov = np.asarray(ob), np.asarray(ol), np.asarray(ov)
+    assert ov[:Q].all()
+    new = np.where(ov[Q:])[0] + Q
+    assert len(new) >= 1
+    d = np.hypot(ob[new, 0] - 1.0, ob[new, 2] - 1.0)
+    i = new[np.argmin(d)]
+    # a candidate sits on the unwalked hole...
+    assert d.min() < 0.35, ob[new]
+    # ...sized like the hole, classified MID (footprint > 0.55 m)...
+    assert 0.5 <= ob[i, 3] <= 1.8 and 0.5 <= ob[i, 5] <= 1.8
+    assert np.argmax(ol[i]) == 2
+    # ...and inheriting the model's MID datum
+    np.testing.assert_allclose([ob[i, 1], ob[i, 4]], [0.45, 0.9], atol=1e-5)
+
+
+def test_synthesize_furniture_dup_gate_and_no_hole():
+    from room_slam_tpu.ops.refine import synthesize_furniture
+
+    raw = _ring_trace()
+    Q = 2
+    boxes = np.zeros((Q, 6), np.float32)
+    logits = np.full((Q, 4), -2.0, np.float32)
+    # an existing MID prediction ON the hole -> candidate must be gated
+    boxes[0] = [1.0, 0.5, 1.0, 0.6, 1.0, 0.6]
+    logits[0, 2] = 2.0
+    boxes[1] = [3.5, 1.0, 3.5, 0.3, 2.0, 0.3]
+    logits[1, 0] = 2.0
+    ob, ol, oo, ov = synthesize_furniture(
+        jnp.asarray(boxes), jnp.asarray(logits), None,
+        jnp.asarray(raw), jnp.asarray(raw.shape[0]))
+    ob, ov = np.asarray(ob), np.asarray(ov)
+    new = np.where(ov[Q:])[0] + Q
+    d_hole = np.hypot(ob[new, 0] - 1.0, ob[new, 2] - 1.0) if len(new) else []
+    assert len(new) == 0 or min(d_hole) > 0.35
+
+    # a fully-covered room (no hole) synthesizes nothing
+    full = _ring_trace(hole_r=0.0)
+    _, _, _, ov2 = synthesize_furniture(
+        jnp.asarray(boxes), jnp.asarray(logits), None,
+        jnp.asarray(full), jnp.asarray(full.shape[0]))
+    assert not np.asarray(ov2)[Q:].any()
