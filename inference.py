@@ -34,7 +34,9 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             tta_reflect: bool = False,
             tta_scales: tuple = (),
             fuse: bool = False,
-            ttopt: bool = False):
+            ttopt: bool = False,
+            soft_sigma: float | None = None,
+            synth_furniture: bool = False):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
     room_slam_tpu.predictor.build_predictor (shared with the live UDP
@@ -47,7 +49,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         synth_walls=synth_walls,
         extent_slack=extent_slack, consensus=consensus, top_k=top_k,
         tta_rotations=tta_rotations, tta_reflect=tta_reflect,
-        tta_scales=tta_scales, fuse=fuse, ttopt=ttopt)
+        tta_scales=tta_scales, fuse=fuse, ttopt=ttopt,
+        soft_sigma=soft_sigma, synth_furniture=synth_furniture)
     return predict_array(formats.load_trace_json(traces_file))
 
 
@@ -119,6 +122,14 @@ def main():
                              "becomes its NMS cluster's score-weighted "
                              "mean (best with --tta/--tta_reflect or "
                              "ensemble pooling)")
+    parser.add_argument("--soft", type=float, default=None,
+                        help="soft-NMS Gaussian sigma: loose overlaps "
+                             "decay instead of dying; pair --nms 0.5 — "
+                             "the unseen-room recall recipe (FINAL.md)")
+    parser.add_argument("--synth_furniture", action="store_true",
+                        help="inject hole-implied furniture candidates "
+                             "(interior unvisited components of the walk "
+                             "raster; ops/refine.synthesize_furniture)")
     args = parser.parse_args()
 
     print(f"Loading model from {args.checkpoint}")
@@ -136,7 +147,8 @@ def main():
         top_k=args.top_k, tta_rotations=args.tta,
         tta_reflect=args.tta_reflect,
         tta_scales=tuple(float(x) for x in args.tta_scales.split(",") if x),
-        fuse=args.fuse, ttopt=args.ttopt)
+        fuse=args.fuse, ttopt=args.ttopt, soft_sigma=args.soft,
+        synth_furniture=args.synth_furniture)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

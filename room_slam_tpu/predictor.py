@@ -60,6 +60,8 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     tta_scales: tuple = (),
                     fuse: bool = False,
                     ttopt: bool = False,
+                    soft_sigma: float | None = None,
+                    synth_furniture: bool = False,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
 
@@ -83,7 +85,11 @@ def build_predictor(model, params, max_trace_len: int = 3000,
     mean (weighted box fusion, ops/nms.nms_3d_fused). ``ttopt`` runs
     test-time trace-consistency adaptation of the candidate boxes against
     the capture's own physics (non-penetration / envelope — ops/ttopt.py)
-    before the extent mask and NMS."""
+    before the extent mask and NMS. ``soft_sigma`` switches the NMS sweep
+    to soft-NMS (loose overlaps decay instead of dying; pair
+    ``nms_threshold`` ~0.5 — the unseen-room recall recipe, FINAL.md).
+    ``synth_furniture`` injects hole-implied furniture candidates
+    (ops/refine.synthesize_furniture)."""
     import jax
 
     from room_slam_tpu.data.augment import unreflect_boxes, unrotate_boxes
@@ -150,6 +156,15 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                 furniture_aware=refine_furniture)
             if obj is None:
                 obj0 = None
+        if synth_furniture and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.refine import synthesize_furniture
+
+            Qb = boxes0.shape[0]
+            boxes0, logits0, obj0, nv = synthesize_furniture(
+                boxes0, logits0, obj0, traces[0, :, :4],
+                jnp.sum(mask[0].astype(jnp.int32)))
+            cand = (nv if cand is None
+                    else jnp.concatenate([cand, nv[Qb:]]))
         if ttopt and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.ttopt import adapt_boxes
 
@@ -169,7 +184,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             confidence_threshold=confidence_threshold,
             nms_threshold=nms_threshold, consensus=consensus, top_k=top_k,
             objectness=obj0, candidate_mask=cand,
-            fuse=fuse, return_boxes=True)
+            fuse=fuse, return_boxes=True, soft_sigma=soft_sigma)
         # ONE stacked output -> ONE device->host fetch. Each np.asarray of
         # a separate device array costs a full tunnel round-trip (~20-40
         # ms); four of them dominated single-trace latency.
