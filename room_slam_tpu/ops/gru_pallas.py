@@ -102,12 +102,16 @@ def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "save_residuals", "tile"))
+    jax.jit,
+    static_argnames=("interpret", "save_residuals", "tile",
+                     "ys_time_major"))
 def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
                     save_residuals: bool = True,
-                    tile: Optional[Tuple[int, int]] = None):
-    """xg [B, N, 3H] -> ys [B, N, H]; residuals (gates, hn) TIME-MAJOR
-    [N, B, *] (consumed only by the BPTT kernel / dW einsum)."""
+                    tile: Optional[Tuple[int, int]] = None,
+                    ys_time_major: bool = False):
+    """xg [B, N, 3H] -> ys [B, N, H] ([N, B, H] when ``ys_time_major``);
+    residuals (gates, hn) TIME-MAJOR [N, B, *] (consumed only by the
+    BPTT kernel / dW einsum)."""
     B, N0, H3 = xg.shape
     H = H3 // 3
     cols = (2 * H3 + 2 * H) if save_residuals else (H3 + H)
@@ -152,6 +156,8 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
             scratch_shapes=scratch,
             interpret=interpret,
         )(w_in, b2d, xg_t)
+        if ys_time_major:
+            return ys[:N0, :B], gates[:N0, :B], hn[:N0, :B]
         return (jnp.swapaxes(ys[:N0, :B], 0, 1), gates[:N0, :B],
                 hn[:N0, :B])
 
@@ -167,6 +173,8 @@ def _gru_fwd_pallas(xg, w_hh, b_hh, interpret: bool = False,
         scratch_shapes=scratch,
         interpret=interpret,
     )(w_in, b2d, xg_t)
+    if ys_time_major:
+        return ys[:N0, :B], None, None
     return jnp.swapaxes(ys[:N0, :B], 0, 1), None, None
 
 
@@ -223,27 +231,33 @@ def _gru_core(xg, w_hh, b_hh, interpret: bool = False):
 
 
 def _gru_core_fwd(xg, w_hh, b_hh, interpret):
-    ys, gates, hn = _gru_fwd_pallas(xg, w_hh, b_hh, interpret,
-                                    save_residuals=True)
-    return ys, (w_hh, ys, gates, hn)
+    # time-major ys residual: the whole BPTT path is time-major, so
+    # saving the public batch-major output costs two [N,B,H] transposes
+    ys_t, gates, hn = _gru_fwd_pallas(xg, w_hh, b_hh, interpret,
+                                      save_residuals=True,
+                                      ys_time_major=True)
+    return jnp.swapaxes(ys_t, 0, 1), (w_hh, ys_t, gates, hn)
 
 
 def _gru_core_bwd(interpret, res, dys):
-    w_hh, ys, gates, hn = res
-    B, N, H = ys.shape
-    # ys is the public (batch-major) output; residuals are time-major
-    ys_t = jnp.swapaxes(ys, 0, 1)
+    w_hh, ys_t, gates, hn = res
+    N, B, H = ys_t.shape
     h_prev = jnp.concatenate(
-        [jnp.zeros((1, B, H), ys.dtype), ys_t[:-1]], axis=0)
+        [jnp.zeros((1, B, H), ys_t.dtype), ys_t[:-1]], axis=0)
     dxg_t, dhn = _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys,
                                  interpret=interpret)
-    # hidden-side gate grads: [dr_pre, dz_pre, d(hn_part)]; f32 accumulation
-    # even when activations stream in bf16
-    dgates_hh = jnp.concatenate([dxg_t[..., : 2 * H], dhn], axis=-1)
-    dw = jnp.einsum("nbh,nbg->hg", h_prev, dgates_hh,
-                    preferred_element_type=jnp.float32).astype(w_hh.dtype)
-    db = jnp.sum(dgates_hh.astype(jnp.float32),
-                 axis=(0, 1)).astype(w_hh.dtype)
+    # hidden-side gate grads [dr_pre, dz_pre, d(hn_part)] as two einsums
+    # (no [N,B,3H] concat materialization); f32 accumulation even when
+    # activations stream in bf16
+    dw2 = jnp.einsum("nbh,nbg->hg", h_prev, dxg_t[..., : 2 * H],
+                     preferred_element_type=jnp.float32)
+    dwn = jnp.einsum("nbh,nbg->hg", h_prev, dhn,
+                     preferred_element_type=jnp.float32)
+    dw = jnp.concatenate([dw2, dwn], axis=-1).astype(w_hh.dtype)
+    db = jnp.concatenate([
+        jnp.sum(dxg_t[..., : 2 * H].astype(jnp.float32), axis=(0, 1)),
+        jnp.sum(dhn.astype(jnp.float32), axis=(0, 1)),
+    ]).astype(w_hh.dtype)
     return jnp.swapaxes(dxg_t, 0, 1), dw, db
 
 
@@ -375,12 +389,19 @@ def _bigru_bwd_kernel(wtf_ref, wtb_ref, gf_ref, hnf_ref, hpf_ref, dyf_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "save_residuals", "tile"))
+    jax.jit,
+    static_argnames=("interpret", "save_residuals", "tile",
+                     "ys_time_major"))
 def _bigru_fwd_pallas(xgf, xgb, w_f, b_f, w_b, b_b,
                       interpret: bool = False, save_residuals: bool = True,
-                      tile: Optional[Tuple[int, int]] = None):
+                      tile: Optional[Tuple[int, int]] = None,
+                      ys_time_major: bool = False):
     """Both gate streams [B, N, 3H] (xgb pre-flipped in time by the
-    caller) -> (ysf, ysb) [B, N, H] + time-major residuals per direction."""
+    caller) -> (ysf, ysb) [B, N, H] + time-major residuals per direction.
+
+    ``ys_time_major`` skips the output transpose and returns ysf/ysb as
+    [N, B, H] (the kernel's native layout) — the VJP saves them this way
+    so the BPTT path never pays the batch<->time round trip."""
     B, N0, H3 = xgf.shape
     H = H3 // 3
     cols = 2 * ((2 * H3 + 2 * H) if save_residuals else (H3 + H))
@@ -426,6 +447,9 @@ def _bigru_fwd_pallas(xgf, xgb, w_f, b_f, w_b, b_b,
             interpret=interpret,
         )(*args)
         ysf, ysb, gf, hnf, gb, hnb = outs
+        if ys_time_major:
+            return (ysf[:N0, :B], ysb[:N0, :B],
+                    gf[:N0, :B], hnf[:N0, :B], gb[:N0, :B], hnb[:N0, :B])
         return (jnp.swapaxes(ysf[:N0, :B], 0, 1),
                 jnp.swapaxes(ysb[:N0, :B], 0, 1),
                 gf[:N0, :B], hnf[:N0, :B], gb[:N0, :B], hnb[:N0, :B])
@@ -447,6 +471,8 @@ def _bigru_fwd_pallas(xgf, xgb, w_f, b_f, w_b, b_b,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
+    if ys_time_major:
+        return ysf[:N0, :B], ysb[:N0, :B], None, None, None, None
     return (jnp.swapaxes(ysf[:N0, :B], 0, 1),
             jnp.swapaxes(ysb[:N0, :B], 0, 1), None, None, None, None)
 
@@ -505,32 +531,43 @@ def _bigru_core(xgf, xgb, w_f, b_f, w_b, b_b, interpret: bool = False):
 
 
 def _bigru_core_fwd(xgf, xgb, w_f, b_f, w_b, b_b, interpret):
-    ysf, ysb, gf, hnf, gb, hnb = _bigru_fwd_pallas(
-        xgf, xgb, w_f, b_f, w_b, b_b, interpret, save_residuals=True)
-    return (ysf, ysb), (w_f, w_b, ysf, ysb, gf, hnf, gb, hnb)
+    # residual ys stay TIME-MAJOR (the kernel's native layout): the BPTT
+    # path consumes everything time-major, and the profiler measured the
+    # batch<->time round trips of the old batch-major residuals as real
+    # HBM wall time (results/r4_bwd_kernel_bench.json)
+    ysf_t, ysb_t, gf, hnf, gb, hnb = _bigru_fwd_pallas(
+        xgf, xgb, w_f, b_f, w_b, b_b, interpret, save_residuals=True,
+        ys_time_major=True)
+    outs = (jnp.swapaxes(ysf_t, 0, 1), jnp.swapaxes(ysb_t, 0, 1))
+    return outs, (w_f, w_b, ysf_t, ysb_t, gf, hnf, gb, hnb)
 
 
 def _bigru_core_bwd(interpret, res, dys):
-    w_f, w_b, ysf, ysb, gf, hnf, gb, hnb = res
+    w_f, w_b, ysf_t, ysb_t, gf, hnf, gb, hnb = res
     dyf, dyb = dys
-    B, N, H = ysf.shape
+    N, B, H = ysf_t.shape
 
-    def hprev(ys):
-        ys_t = jnp.swapaxes(ys, 0, 1)
+    def hprev(ys_t):
         return jnp.concatenate(
-            [jnp.zeros((1, B, H), ys.dtype), ys_t[:-1]], axis=0)
+            [jnp.zeros((1, B, H), ys_t.dtype), ys_t[:-1]], axis=0)
 
-    hpf, hpb = hprev(ysf), hprev(ysb)
+    hpf, hpb = hprev(ysf_t), hprev(ysb_t)
     dxf_t, dhnf, dxb_t, dhnb = _bigru_bwd_pallas(
         w_f, w_b, gf, hnf, hpf, dyf, gb, hnb, hpb, dyb,
         interpret=interpret)
 
     def wgrads(hp, dx_t, dhn, w):
-        dgates_hh = jnp.concatenate([dx_t[..., : 2 * H], dhn], axis=-1)
-        dw = jnp.einsum("nbh,nbg->hg", hp, dgates_hh,
-                        preferred_element_type=jnp.float32).astype(w.dtype)
-        db = jnp.sum(dgates_hh.astype(jnp.float32),
-                     axis=(0, 1)).astype(w.dtype)
+        # two einsums instead of materializing the [N,B,3H] concat of
+        # (dr_pre, dz_pre, dhn): dw's gate axis is just their stack
+        dw2 = jnp.einsum("nbh,nbg->hg", hp, dx_t[..., : 2 * H],
+                         preferred_element_type=jnp.float32)
+        dwn = jnp.einsum("nbh,nbg->hg", hp, dhn,
+                         preferred_element_type=jnp.float32)
+        dw = jnp.concatenate([dw2, dwn], axis=-1).astype(w.dtype)
+        db = jnp.concatenate([
+            jnp.sum(dx_t[..., : 2 * H].astype(jnp.float32), axis=(0, 1)),
+            jnp.sum(dhn.astype(jnp.float32), axis=(0, 1)),
+        ]).astype(w.dtype)
         return dw, db
 
     dwf, dbf = wgrads(hpf, dxf_t, dhnf, w_f)
