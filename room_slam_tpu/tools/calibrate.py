@@ -176,7 +176,7 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
           fuse_vals=(False,), ttopt_vals=(False,),
           ttopt_params=None, support_vals=(None,),
           pen_vals=(None,), soft_vals=(None,),
-          synthf_vals=(False,)) -> list:
+          synthf_vals=(False,), qscore_vals=(None,)) -> list:
     """Score every (threshold, nms, refine, trust, synth, ttopt, extent,
     consensus, top_k, fuse, support, pen_beta) cell from cached forwards.
 
@@ -197,7 +197,10 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
     instead of dying, and the cell's ``nms`` value becomes the
     tight-duplicate fusion threshold. ``synthf_vals`` sweeps
     hole-implied furniture candidate injection
-    (ops/refine.synthesize_furniture)."""
+    (ops/refine.synthesize_furniture). ``qscore_vals`` sweeps learned
+    per-candidate quality rescoring (weight-JSON paths from
+    tools/qscore.py; composes multiplicatively with pen_beta via the
+    same conf_scale hook)."""
     import jax
     import jax.numpy as jnp
 
@@ -348,13 +351,40 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
 
     # penetration depths depend only on the variant's boxes, not the cell
     pen_cache = {}
+    qs_params = {}
+    qs_cache = {}
+
+    def _qscale_all(path, vkey, boxes, logits, obj):
+        if (path, vkey) not in qs_cache:
+            from room_slam_tpu.ops.qscore import load_params, quality_scale
+
+            if path not in qs_params:
+                qs_params[path] = load_params(path)
+            qp = qs_params[path]
+            if obj is None:
+                fn = jax.jit(jax.vmap(
+                    lambda b, lg, r, n: quality_scale(qp, b, lg, None,
+                                                      r, n)))
+                qs_cache[path, vkey] = fn(
+                    jnp.asarray(boxes), jnp.asarray(logits),
+                    jnp.asarray(cached["raw"]),
+                    jnp.asarray(cached["length"]))
+            else:
+                fn = jax.jit(jax.vmap(
+                    lambda b, lg, o, r, n: quality_scale(qp, b, lg, o,
+                                                         r, n)))
+                qs_cache[path, vkey] = fn(
+                    jnp.asarray(boxes), jnp.asarray(logits),
+                    jnp.asarray(obj), jnp.asarray(cached["raw"]),
+                    jnp.asarray(cached["length"]))
+        return qs_cache[path, vkey]
 
     results = []
-    for (rf, tr, sy, sf, tt), thr, nm, ext, cns, tk, fu, sp, pb, so in (
-            itertools.product(
+    for (rf, tr, sy, sf, tt), thr, nm, ext, cns, tk, fu, sp, pb, so, qs \
+            in itertools.product(
                 variants, thresholds, nms_vals, extent_vals,
                 consensus_vals, top_k_vals, fuse_vals, support_vals,
-                pen_vals, soft_vals)):
+                pen_vals, soft_vals, qscore_vals):
         boxes, logits, obj, base_valid = variants[rf, tr, sy, sf, tt]
         if ext is None:
             cand = jnp.asarray(base_valid)
@@ -364,15 +394,17 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             cand = jnp.asarray(base_valid) & ~_outside_all(
                 jnp.asarray(boxes), jnp.asarray(cached["raw"]),
                 jnp.asarray(cached["length"]), jnp.float32(ext))
+        vkey = (rf, tr, sy, sf, tt)
         if pb is None:
             cs = jnp.ones(boxes.shape[:2], dtype=jnp.float32)
         else:
-            vkey = (rf, tr, sy, sf, tt)
             if vkey not in pen_cache:
                 pen_cache[vkey] = _pen_depth_all(
                     jnp.asarray(boxes), jnp.asarray(cached["raw"]),
                     jnp.asarray(cached["length"]))
             cs = jnp.exp(-jnp.float32(pb) * pen_cache[vkey])
+        if qs is not None:
+            cs = cs * _qscale_all(qs, vkey, boxes, logits, obj)
         keep, labels, conf, boxes = (np.asarray(a) for a in _post_all(
             jnp.asarray(boxes), jnp.asarray(logits),
             None if obj is None else jnp.asarray(obj),
@@ -383,7 +415,7 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
         cell = {"threshold": thr, "nms": nm, "refine": rf, "trust": tr,
                 "synth": sy, "synthf": sf, "ttopt": tt, "extent": ext,
                 "consensus": cns, "top_k": tk, "fuse": fu, "support": sp,
-                "pen_beta": pb, "soft": so,
+                "pen_beta": pb, "soft": so, "qscore": qs,
                 "num_predictions": int(keep.sum())}
         for it in iou_thresholds:
             if keep.any():
@@ -468,6 +500,10 @@ def main():
                         "of dying; the cell's nms value becomes the "
                         "tight-duplicate fusion threshold "
                         "(ops/nms.soft_nms_3d_fused)")
+    p.add_argument("--qscore", default="none",
+                   help="comma list of learned-quality weight JSONs "
+                        "(tools/qscore.py) to sweep as conf_scale "
+                        "rescoring ('none' entries = off)")
     p.add_argument("--synthf", default="off",
                    help="'off', 'on' or 'both': sweep hole-implied "
                         "furniture candidate injection — interior "
@@ -548,6 +584,8 @@ def main():
         synthf_vals = [False, True]
     else:
         synthf_vals = [x == "on" for x in args.synthf.split(",")]
+    qscore_vals = [None if x == "none" else x
+                   for x in args.qscore.split(",")]
 
     tta_scales = tuple(float(x) for x in args.tta_scales.split(",") if x)
     cached = _forward_val_set(args.checkpoint, args.data_dir,
@@ -562,7 +600,7 @@ def main():
                     fuse_vals=fuse_vals, ttopt_vals=ttopt_vals,
                     ttopt_params=ttopt_params, support_vals=support_vals,
                     pen_vals=pen_vals, soft_vals=soft_vals,
-                    synthf_vals=synthf_vals)
+                    synthf_vals=synthf_vals, qscore_vals=qscore_vals)
     results.sort(key=lambda c: (-c[args.select], -c["mAP@0.25"]))
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
@@ -573,7 +611,7 @@ def main():
               f"cns={int(c['consensus'])} k={c['top_k']} "
               f"fuse={int(c['fuse'])} "
               f"sup={c['support']} pen={c['pen_beta']} "
-              f"soft={c['soft']} "
+              f"soft={c['soft']} q={int(c['qscore'] is not None)} "
               f"preds={c['num_predictions']:4d} "
               f"mAP@0.5={c['mAP@0.5']:.4f} mAP@0.25={c['mAP@0.25']:.4f}")
     best = results[0]
@@ -599,7 +637,8 @@ def main():
                          support_vals=[best.get("support")],
                          pen_vals=[best.get("pen_beta")],
                          soft_vals=[best.get("soft")],
-                         synthf_vals=[best.get("synthf", False)])[0]
+                         synthf_vals=[best.get("synthf", False)],
+                         qscore_vals=[best.get("qscore")])[0]
         held_out["calibrated_on"] = args.data_dir
         held_out["scored_on"] = args.eval_dir
         if args.ttopt_params:

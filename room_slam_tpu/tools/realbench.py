@@ -150,6 +150,25 @@ def apply_operating_point(cached: dict, cell: dict,
     else:
         conf_scale = jnp.ones(boxes.shape[:2], dtype=jnp.float32)
 
+    if cell.get("qscore"):
+        # learned per-candidate quality rescoring (tools/qscore.py)
+        from room_slam_tpu.ops.qscore import load_params, quality_scale
+
+        qp = load_params(cell["qscore"])
+        if obj is None:
+            qsc = jax.jit(jax.vmap(
+                lambda b, lg, r, n: quality_scale(qp, b, lg, None, r, n)))(
+                    jnp.asarray(boxes), jnp.asarray(logits),
+                    jnp.asarray(cached["raw"]),
+                    jnp.asarray(cached["length"]))
+        else:
+            qsc = jax.jit(jax.vmap(
+                lambda b, lg, o, r, n: quality_scale(qp, b, lg, o, r, n)))(
+                    jnp.asarray(boxes), jnp.asarray(logits),
+                    jnp.asarray(obj), jnp.asarray(cached["raw"]),
+                    jnp.asarray(cached["length"]))
+        conf_scale = conf_scale * qsc
+
     def _post(b, lg, o, cm, cs):
         k, lb, cf, ob = post_process(
             b, lg, confidence_threshold=cell["threshold"],
@@ -404,6 +423,9 @@ def main():
                         "decayed instead of suppressed; --nms becomes the "
                         "tight-duplicate fusion threshold (pair with a "
                         "HIGH value like 0.5) — ops/nms.soft_nms_3d_fused")
+    p.add_argument("--qscore", default="none",
+                   help="learned-quality weight JSON (tools/qscore.py) "
+                        "applied as conf_scale rescoring")
     p.add_argument("--synthf", action="store_true",
                    help="inject hole-implied furniture candidates: "
                         "interior unvisited components of the walk "
@@ -468,7 +490,8 @@ def main():
                 else float(args.pen_beta),
                 "soft": None if args.soft == "none"
                 else float(args.soft),
-                "synthf": args.synthf}
+                "synthf": args.synthf,
+                "qscore": None if args.qscore == "none" else args.qscore}
     cell["tta"] = args.tta
     cell["tta_reflect"] = args.tta_reflect
     if tta_scales:
