@@ -137,11 +137,16 @@ def _lstm_chunk_kernel(w_ref, xg_ref, ys_ref, cs_ref, gates_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "save_residuals", "tile"))
+    jax.jit,
+    static_argnames=("interpret", "save_residuals", "tile",
+                     "ys_time_major"))
 def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
                      interpret: bool = False, save_residuals: bool = True,
-                     tile: Optional[Tuple[int, int]] = None):
-    """Forward-time recurrence. xg [B, N, 4H] -> ys [B, N, H]; residuals
+                     tile: Optional[Tuple[int, int]] = None,
+                     ys_time_major: bool = False):
+    """Forward-time recurrence. xg [B, N, 4H] -> ys [B, N, H] ([N, B, H]
+    when ``ys_time_major`` — the kernel's native layout, used by the VJP
+    so the BPTT path skips the batch<->time round trip); residuals
     (cs, gates) TIME-MAJOR [N, B, *] (consumed only by the BPTT kernel /
     dW einsum); None when save_residuals=False (inference)."""
     B, N0, H4 = xg.shape
@@ -190,6 +195,8 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
             scratch_shapes=scratch,
             interpret=interpret,
         )(w_in, xg_t)
+        if ys_time_major:
+            return ys[:N0, :B], cs[:N0, :B], gates[:N0, :B]
         return (jnp.swapaxes(ys[:N0, :B], 0, 1), cs[:N0, :B],
                 gates[:N0, :B])
 
@@ -205,6 +212,8 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_hh: jnp.ndarray,
         scratch_shapes=scratch,
         interpret=interpret,
     )(w_in, xg_t)
+    if ys_time_major:
+        return ys[:N0, :B], None, None
     return jnp.swapaxes(ys[:N0, :B], 0, 1), None, None
 
 
@@ -217,10 +226,13 @@ def _lstm_core(xg: jnp.ndarray, w_hh: jnp.ndarray,
 
 
 def _lstm_core_fwd(xg, w_hh, interpret):
-    # differentiated path: also emit cell states + activated gates for BPTT
-    ys, cs, gates = _lstm_fwd_pallas(xg, w_hh, interpret,
-                                     save_residuals=True)
-    return ys, (w_hh, ys, cs, gates)
+    # differentiated path: also emit cell states + activated gates for
+    # BPTT; ys residual stays TIME-MAJOR (the BPTT path is time-major
+    # end-to-end, so saving the public layout costs two transposes)
+    ys_t, cs, gates = _lstm_fwd_pallas(xg, w_hh, interpret,
+                                       save_residuals=True,
+                                       ys_time_major=True)
+    return jnp.swapaxes(ys_t, 0, 1), (w_hh, ys_t, cs, gates)
 
 
 def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
@@ -305,13 +317,11 @@ def _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys, interpret: bool = False,
 
 def _lstm_core_bwd(interpret, res, dys):
     """Reverse-time BPTT over the saved activations — fused Pallas kernel."""
-    w_hh, ys, cs, gates = res
-    B, N, H = ys.shape
+    w_hh, ys_t, cs, gates = res
+    N, B, H = ys_t.shape
 
-    # ys is the public (batch-major) output; residuals are time-major
-    ys_t = jnp.swapaxes(ys, 0, 1)
     h_prev = jnp.concatenate(
-        [jnp.zeros((1, B, H), ys.dtype), ys_t[:-1]], axis=0)
+        [jnp.zeros((1, B, H), ys_t.dtype), ys_t[:-1]], axis=0)
     c_prev = jnp.concatenate(
         [jnp.zeros((1, B, H), cs.dtype), cs[:-1]], axis=0)
     dxg_t = _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys,
@@ -461,10 +471,13 @@ def _bilstm_bwd_kernel(wtf_ref, wtb_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "save_residuals", "tile"))
+    jax.jit,
+    static_argnames=("interpret", "save_residuals", "tile",
+                     "ys_time_major"))
 def _bilstm_fwd_pallas(xgf, xgb, w_f, w_b, interpret: bool = False,
                        save_residuals: bool = True,
-                       tile: Optional[Tuple[int, int]] = None):
+                       tile: Optional[Tuple[int, int]] = None,
+                       ys_time_major: bool = False):
     """Both gate streams [B, N, 4H] (xgb pre-flipped in time) ->
     (ysf, ysb) [B, N, H] + time-major residuals per direction."""
     B, N0, H4 = xgf.shape
@@ -506,6 +519,9 @@ def _bilstm_fwd_pallas(xgf, xgb, w_f, w_b, interpret: bool = False,
             interpret=interpret,
         )(w_f, w_b, xgf_t, xgb_t)
         ysf, ysb, csf, gf, csb, gb = outs
+        if ys_time_major:
+            return (ysf[:N0, :B], ysb[:N0, :B],
+                    csf[:N0, :B], gf[:N0, :B], csb[:N0, :B], gb[:N0, :B])
         return (jnp.swapaxes(ysf[:N0, :B], 0, 1),
                 jnp.swapaxes(ysb[:N0, :B], 0, 1),
                 csf[:N0, :B], gf[:N0, :B], csb[:N0, :B], gb[:N0, :B])
@@ -527,6 +543,8 @@ def _bilstm_fwd_pallas(xgf, xgb, w_f, w_b, interpret: bool = False,
         scratch_shapes=scratch,
         interpret=interpret,
     )(w_f, w_b, xgf_t, xgb_t)
+    if ys_time_major:
+        return ysf[:N0, :B], ysb[:N0, :B], None, None, None, None
     return (jnp.swapaxes(ysf[:N0, :B], 0, 1),
             jnp.swapaxes(ysb[:N0, :B], 0, 1), None, None, None, None)
 
@@ -585,26 +603,28 @@ def _bilstm_core(xgf, xgb, w_f, w_b, interpret: bool = False):
 
 
 def _bilstm_core_fwd(xgf, xgb, w_f, w_b, interpret):
-    ysf, ysb, csf, gf, csb, gb = _bilstm_fwd_pallas(
-        xgf, xgb, w_f, w_b, interpret, save_residuals=True)
-    return (ysf, ysb), (w_f, w_b, ysf, ysb, csf, gf, csb, gb)
+    # time-major ys residuals (see _lstm_core_fwd)
+    ysf_t, ysb_t, csf, gf, csb, gb = _bilstm_fwd_pallas(
+        xgf, xgb, w_f, w_b, interpret, save_residuals=True,
+        ys_time_major=True)
+    outs = (jnp.swapaxes(ysf_t, 0, 1), jnp.swapaxes(ysb_t, 0, 1))
+    return outs, (w_f, w_b, ysf_t, ysb_t, csf, gf, csb, gb)
 
 
 def _bilstm_core_bwd(interpret, res, dys):
-    w_f, w_b, ysf, ysb, csf, gf, csb, gb = res
+    w_f, w_b, ysf_t, ysb_t, csf, gf, csb, gb = res
     dyf, dyb = dys
-    B, N, H = ysf.shape
+    N, B, H = ysf_t.shape
 
-    def prevs(ys, cs):
-        ys_t = jnp.swapaxes(ys, 0, 1)
+    def prevs(ys_t, cs):
         hp = jnp.concatenate(
-            [jnp.zeros((1, B, H), ys.dtype), ys_t[:-1]], axis=0)
+            [jnp.zeros((1, B, H), ys_t.dtype), ys_t[:-1]], axis=0)
         cp = jnp.concatenate(
             [jnp.zeros((1, B, H), cs.dtype), cs[:-1]], axis=0)
         return hp, cp
 
-    hpf, cpf = prevs(ysf, csf)
-    hpb, cpb = prevs(ysb, csb)
+    hpf, cpf = prevs(ysf_t, csf)
+    hpb, cpb = prevs(ysb_t, csb)
     dgf_t, dgb_t = _bilstm_bwd_pallas(
         w_f, w_b, gf, csf, cpf, dyf, gb, csb, cpb, dyb,
         interpret=interpret)

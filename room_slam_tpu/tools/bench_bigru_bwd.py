@@ -248,6 +248,23 @@ def main():
         hp, lambda i: (t["hnf"], cs[i]), n=args.reps,
         label="hprev_build(one dir)")
 
+    # --- the complete library backward (kernel + hprev + dW/db) with
+    # residuals as jit ARGUMENTS — core_bwd net minus
+    # (bwd_kernel + 2x dw + 2x hprev) is the remaining materialization
+    # overhead of the VJP wrapper (residuals are time-major end-to-end
+    # since the time-major-ys VJP change)
+    from room_slam_tpu.ops.gru_pallas import _bigru_core_bwd
+
+    @jax.jit
+    def core_bwd(ysf_t, ysb_t, gf, hnf, gb, hnb, dyf, dyb, c):
+        res = (w_f, w_b, ysf_t * c, ysb_t, gf, hnf, gb, hnb)
+        return _bigru_core_bwd(interp, res, (dyf, dyb))[0]
+
+    rows["core_bwd_ms"] = _timeit(
+        core_bwd, lambda i: (t["hnf"], t["hnb"], t["gf"], t["hnf"],
+                             t["gb"], t["hnb"], t["dyf"], t["dyb"], cs[i]),
+        n=args.reps, label="core_bwd")
+
     # --- full VJP for reference
     @jax.jit
     def vjp_full(xg, c):
