@@ -78,26 +78,31 @@ def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
 
     wt = wt_ref[:]
     H = hidden
+    # The BPTT cell is LINEAR in the cotangent: every elementwise factor
+    # depends only on saved residuals, so the whole chunk's coefficients
+    # vectorize OUTSIDE the serial walk — the per-timestep latency chain
+    # shrinks to add + mul + one MXU dot (dgates_hh = dh_t * c_hh,
+    # dxg[2H:] = dh_t * a, dh_out = dh_t * z + dgates_hh @ W^T).
+    g = gates_ref[:].astype(jnp.float32)          # [chunk, bb, 3H]
+    r = g[..., :H]
+    z = g[..., H:2 * H]
+    n = g[..., 2 * H:]
+    hn = hn_ref[:].astype(jnp.float32)
+    hp = hprev_ref[:].astype(jnp.float32)
+    a = (1.0 - z) * (1.0 - n * n)                 # dn_pre = dh_t * a
+    c_hh = jnp.concatenate(
+        [a * hn * r * (1.0 - r), (hp - n) * z * (1.0 - z), a * r],
+        axis=-1)
+    dy = dys_ref[:].astype(jnp.float32)
     for t in range(chunk - 1, -1, -1):
-        g = gates_ref[t].astype(jnp.float32)
-        r = g[:, :H]
-        z = g[:, H:2 * H]
-        n = g[:, 2 * H:]
-        hn = hn_ref[t].astype(jnp.float32)
-        hp = hprev_ref[t].astype(jnp.float32)
-        dh_t = dys_ref[t].astype(jnp.float32) + dh_s[:]
-        dz = dh_t * (hp - n)
-        dn_pre = dh_t * (1.0 - z) * (1.0 - n * n)
-        dr = dn_pre * hn
-        dhn = dn_pre * r
-        dz_pre = dz * z * (1.0 - z)
-        dr_pre = dr * r * (1.0 - r)
+        dh_t = dy[t] + dh_s[:]
+        dh3 = jnp.concatenate([dh_t, dh_t, dh_t], axis=-1)
+        dg = dh3 * c_hh[t]                        # [dr_pre, dz_pre, dhn]
         dxg_ref[t] = jnp.concatenate(
-            [dr_pre, dz_pre, dn_pre], axis=-1).astype(dxg_ref.dtype)
-        dhn_ref[t] = dhn.astype(dhn_ref.dtype)
-        dgates_hh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
-        dh_s[:] = dh_t * z + jnp.dot(
-            dgates_hh.astype(wt.dtype), wt,
+            [dg[:, :2 * H], dh_t * a[t]], axis=-1).astype(dxg_ref.dtype)
+        dhn_ref[t] = dg[:, 2 * H:].astype(dhn_ref.dtype)
+        dh_s[:] = dh_t * z[t] + jnp.dot(
+            dg.astype(wt.dtype), wt,
             preferred_element_type=jnp.float32)
 
 
@@ -349,43 +354,46 @@ def _bigru_bwd_kernel(wtf_ref, wtb_ref, gf_ref, hnf_ref, hpf_ref, dyf_ref,
 
     H = hidden
 
-    def cell_bwd(wt, g, hn, hp, dy, dh_in):
-        r = g[:, :H]
-        z = g[:, H:2 * H]
-        n = g[:, 2 * H:]
-        dh_t = dy + dh_in
-        dz = dh_t * (hp - n)
-        dn_pre = dh_t * (1.0 - z) * (1.0 - n * n)
-        dr = dn_pre * hn
-        dhn = dn_pre * r
-        dz_pre = dz * z * (1.0 - z)
-        dr_pre = dr * r * (1.0 - r)
-        dgates_hh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
-        dh_out = dh_t * z + jnp.dot(
-            dgates_hh.astype(wt.dtype), wt,
-            preferred_element_type=jnp.float32)
-        return dr_pre, dz_pre, dn_pre, dhn, dh_out
+    # Chunk-vectorized linearization (see _gru_bwd_kernel): the serial
+    # walk per timestep is add + mul + one dot per direction; the two
+    # directions' independent chains interleave for ILP.
+    def coefs(g_ref, hn_ref2, hp_ref2):
+        g = g_ref[:].astype(jnp.float32)          # [chunk, bb, 3H]
+        r = g[..., :H]
+        z = g[..., H:2 * H]
+        n = g[..., 2 * H:]
+        hn = hn_ref2[:].astype(jnp.float32)
+        hp = hp_ref2[:].astype(jnp.float32)
+        a = (1.0 - z) * (1.0 - n * n)
+        c_hh = jnp.concatenate(
+            [a * hn * r * (1.0 - r), (hp - n) * z * (1.0 - z), a * r],
+            axis=-1)
+        return c_hh, a, z
 
+    chf, af, zf = coefs(gf_ref, hnf_ref, hpf_ref)
+    chb, ab, zb = coefs(gb_ref, hnb_ref, hpb_ref)
+    dyf = dyf_ref[:].astype(jnp.float32)
+    dyb = dyb_ref[:].astype(jnp.float32)
     wtf, wtb = wtf_ref[:], wtb_ref[:]
     for t in range(chunk - 1, -1, -1):
-        drf, dzf, dnf, dhnf, dhf = cell_bwd(
-            wtf, gf_ref[t].astype(jnp.float32),
-            hnf_ref[t].astype(jnp.float32),
-            hpf_ref[t].astype(jnp.float32),
-            dyf_ref[t].astype(jnp.float32), dhf_s[:])
-        drb, dzb, dnb, dhnb, dhb = cell_bwd(
-            wtb, gb_ref[t].astype(jnp.float32),
-            hnb_ref[t].astype(jnp.float32),
-            hpb_ref[t].astype(jnp.float32),
-            dyb_ref[t].astype(jnp.float32), dhb_s[:])
+        dhf_t = dyf[t] + dhf_s[:]
+        dhb_t = dyb[t] + dhb_s[:]
+        dgf = jnp.concatenate(                    # [dr_pre, dz_pre, dhn]
+            [dhf_t, dhf_t, dhf_t], axis=-1) * chf[t]
+        dgb = jnp.concatenate(
+            [dhb_t, dhb_t, dhb_t], axis=-1) * chb[t]
         dxf_ref[t] = jnp.concatenate(
-            [drf, dzf, dnf], axis=-1).astype(dxf_ref.dtype)
-        dhnf_ref[t] = dhnf.astype(dhnf_ref.dtype)
+            [dgf[:, :2 * H], dhf_t * af[t]], axis=-1).astype(dxf_ref.dtype)
+        dhnf_ref[t] = dgf[:, 2 * H:].astype(dhnf_ref.dtype)
         dxb_ref[t] = jnp.concatenate(
-            [drb, dzb, dnb], axis=-1).astype(dxb_ref.dtype)
-        dhnb_ref[t] = dhnb.astype(dhnb_ref.dtype)
-        dhf_s[:] = dhf
-        dhb_s[:] = dhb
+            [dgb[:, :2 * H], dhb_t * ab[t]], axis=-1).astype(dxb_ref.dtype)
+        dhnb_ref[t] = dgb[:, 2 * H:].astype(dhnb_ref.dtype)
+        dhf_s[:] = dhf_t * zf[t] + jnp.dot(
+            dgf.astype(wtf.dtype), wtf,
+            preferred_element_type=jnp.float32)
+        dhb_s[:] = dhb_t * zb[t] + jnp.dot(
+            dgb.astype(wtb.dtype), wtb,
+            preferred_element_type=jnp.float32)
 
 
 @functools.partial(

@@ -248,26 +248,35 @@ def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
 
     wt = wt_ref[:]
     H = hidden
+    # The BPTT cell is LINEAR in the cotangents (dh, dc): every
+    # elementwise factor — including the tanh, the chain's costliest
+    # VPU op — depends only on saved residuals, so the whole chunk's
+    # coefficients vectorize OUTSIDE the serial walk. Per timestep the
+    # chain is adds + muls + one MXU dot.
+    g = gates_ref[:].astype(jnp.float32)          # [chunk, bb, 4H]
+    i = g[..., :H]
+    f = g[..., H:2 * H]
+    gg = g[..., 2 * H:3 * H]
+    o = g[..., 3 * H:]
+    tanh_c = jnp.tanh(cs_ref[:].astype(jnp.float32))
+    c_c = o * (1.0 - tanh_c * tanh_c)             # dc_t += dh_t * c_c
+    c_o = tanh_c * o * (1.0 - o)                  # do_pre = dh_t * c_o
+    c_ifg = jnp.concatenate([                     # d{i,f,g}_pre = dc_t*c
+        gg * i * (1.0 - i),
+        cprev_ref[:].astype(jnp.float32) * f * (1.0 - f),
+        i * (1.0 - gg * gg),
+    ], axis=-1)
+    dy = dys_ref[:].astype(jnp.float32)
     for t in range(chunk - 1, -1, -1):
-        g = gates_ref[t].astype(jnp.float32)
-        i = g[:, :H]
-        f = g[:, H:2 * H]
-        gg = g[:, 2 * H:3 * H]
-        o = g[:, 3 * H:]
-        tanh_c = jnp.tanh(cs_ref[t].astype(jnp.float32))
-        dh_t = dys_ref[t].astype(jnp.float32) + dh_s[:]
-        do = dh_t * tanh_c
-        dc_t = dc_s[:] + dh_t * o * (1.0 - tanh_c * tanh_c)
-        dgates = jnp.concatenate([
-            dc_t * gg * i * (1.0 - i),
-            dc_t * cprev_ref[t].astype(jnp.float32) * f * (1.0 - f),
-            dc_t * i * (1.0 - gg * gg),
-            do * o * (1.0 - o),
-        ], axis=-1)
+        dh_t = dy[t] + dh_s[:]
+        dc_t = dc_s[:] + dh_t * c_c[t]
+        dc3 = jnp.concatenate([dc_t, dc_t, dc_t], axis=-1)
+        dgates = jnp.concatenate(
+            [dc3 * c_ifg[t], dh_t * c_o[t]], axis=-1)
         dg_ref[t] = dgates.astype(dg_ref.dtype)
         dh_s[:] = jnp.dot(dgates.astype(wt.dtype), wt,
                           preferred_element_type=jnp.float32)
-        dc_s[:] = dc_t * f
+        dc_s[:] = dc_t * f[t]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
@@ -431,43 +440,49 @@ def _bilstm_bwd_kernel(wtf_ref, wtb_ref,
 
     H = hidden
 
-    def cell_bwd(wt, g, cs, cp, dy, dh_in, dc_in):
-        i = g[:, :H]
-        f = g[:, H:2 * H]
-        gg = g[:, 2 * H:3 * H]
-        o = g[:, 3 * H:]
-        tanh_c = jnp.tanh(cs)
-        dh_t = dy + dh_in
-        do = dh_t * tanh_c
-        dc_t = dc_in + dh_t * o * (1.0 - tanh_c * tanh_c)
-        dgates = jnp.concatenate([
-            dc_t * gg * i * (1.0 - i),
-            dc_t * cp * f * (1.0 - f),
-            dc_t * i * (1.0 - gg * gg),
-            do * o * (1.0 - o),
+    # Chunk-vectorized linearization (see _lstm_bwd_chunk_kernel): the
+    # tanh and all residual-only factors move out of the serial walk;
+    # the two directions' independent chains interleave for ILP.
+    def coefs(g_ref, cs_ref2, cp_ref2):
+        g = g_ref[:].astype(jnp.float32)          # [chunk, bb, 4H]
+        i = g[..., :H]
+        f = g[..., H:2 * H]
+        gg = g[..., 2 * H:3 * H]
+        o = g[..., 3 * H:]
+        tanh_c = jnp.tanh(cs_ref2[:].astype(jnp.float32))
+        c_c = o * (1.0 - tanh_c * tanh_c)
+        c_o = tanh_c * o * (1.0 - o)
+        c_ifg = jnp.concatenate([
+            gg * i * (1.0 - i),
+            cp_ref2[:].astype(jnp.float32) * f * (1.0 - f),
+            i * (1.0 - gg * gg),
         ], axis=-1)
-        dh_out = jnp.dot(dgates.astype(wt.dtype), wt,
-                         preferred_element_type=jnp.float32)
-        return dgates, dh_out, dc_t * f
+        return c_ifg, c_c, c_o, f
 
+    cif, ccf, cof, ff = coefs(gf_ref, csf_ref, cpf_ref)
+    cib, ccb, cob, fb = coefs(gb_ref, csb_ref, cpb_ref)
+    dyf = dyf_ref[:].astype(jnp.float32)
+    dyb = dyb_ref[:].astype(jnp.float32)
     wtf, wtb = wtf_ref[:], wtb_ref[:]
     for t in range(chunk - 1, -1, -1):
-        dgf, dhf, dcf = cell_bwd(
-            wtf, gf_ref[t].astype(jnp.float32),
-            csf_ref[t].astype(jnp.float32),
-            cpf_ref[t].astype(jnp.float32),
-            dyf_ref[t].astype(jnp.float32), dhf_s[:], dcf_s[:])
-        dgb, dhb, dcb = cell_bwd(
-            wtb, gb_ref[t].astype(jnp.float32),
-            csb_ref[t].astype(jnp.float32),
-            cpb_ref[t].astype(jnp.float32),
-            dyb_ref[t].astype(jnp.float32), dhb_s[:], dcb_s[:])
+        dhf_t = dyf[t] + dhf_s[:]
+        dhb_t = dyb[t] + dhb_s[:]
+        dcf_t = dcf_s[:] + dhf_t * ccf[t]
+        dcb_t = dcb_s[:] + dhb_t * ccb[t]
+        dgf = jnp.concatenate(
+            [jnp.concatenate([dcf_t, dcf_t, dcf_t], axis=-1) * cif[t],
+             dhf_t * cof[t]], axis=-1)
+        dgb = jnp.concatenate(
+            [jnp.concatenate([dcb_t, dcb_t, dcb_t], axis=-1) * cib[t],
+             dhb_t * cob[t]], axis=-1)
         dgf_ref[t] = dgf.astype(dgf_ref.dtype)
         dgb_ref[t] = dgb.astype(dgb_ref.dtype)
-        dhf_s[:] = dhf
-        dcf_s[:] = dcf
-        dhb_s[:] = dhb
-        dcb_s[:] = dcb
+        dhf_s[:] = jnp.dot(dgf.astype(wtf.dtype), wtf,
+                           preferred_element_type=jnp.float32)
+        dcf_s[:] = dcf_t * ff[t]
+        dhb_s[:] = jnp.dot(dgb.astype(wtb.dtype), wtb,
+                           preferred_element_type=jnp.float32)
+        dcb_s[:] = dcb_t * fb[t]
 
 
 @functools.partial(

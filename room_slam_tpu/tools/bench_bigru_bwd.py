@@ -278,14 +278,20 @@ def main():
         return jax.grad(f, argnums=(0, 2))(x, x, w_f, b_f, w_b, b_b)[0]
 
     xg_bm = jnp.swapaxes(t["gf"], 0, 1)  # [B, N, 3H]
-    rows["full_vjp_ms"] = _timeit(
-        vjp_full, lambda i: (xg_bm, cs[i]), n=args.reps, label="full_vjp")
+    try:
+        rows["full_vjp_ms"] = _timeit(
+            vjp_full, lambda i: (xg_bm, cs[i]), n=args.reps,
+            label="full_vjp")
+    except Exception as e:  # OOM at the biggest shape: keep the rows
+        print(f"  full_vjp: SKIPPED ({type(e).__name__})", flush=True)
+        rows["full_vjp_ms"] = None
 
     result = {
         "config": {"batch": B, "seq": N, "hidden": H,
                    "stream_dtype": "bfloat16",
                    "platform": jax.devices()[0].platform},
-        "measured_ms": {k: round(v, 2) for k, v in rows.items()},
+        "measured_ms": {k: (None if v is None else round(v, 2))
+                        for k, v in rows.items()},
         "note": ("all rows include one tunnel round-trip + the fresh-input"
                  " perturbation pass; subtract elementwise_pass_ms for "
                  "net kernel time. bwd floor at this shape ~12 ms "
