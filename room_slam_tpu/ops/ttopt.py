@@ -58,6 +58,19 @@ class TTOptParams(NamedTuple):
     body_above: float = 0.3   # ... and this far above (m)
     env_margin: float = 0.5   # allowed footprint distance beyond the extent
     att_sigma: float = 0.3    # contact kernel width (m)
+    deadband: float = 0.0     # per-box gate: the non-penetration force is
+                              # OFF unless some trace point penetrates
+                              # deeper than this (m). The real captures
+                              # penetrate their own GT boxes (human walks:
+                              # median depth 0.07-0.13 m, max 0.21 on the
+                              # train room — body-model + sensor error), so
+                              # zero-deadband plowing moves CORRECT boxes —
+                              # the measured cause of ttopt's seen-room
+                              # damage. A gate (not a depth subtraction,
+                              # which would equal shrinking body_radius and
+                              # neuter thin walls whose depth caps at
+                              # h + body_radius) keeps the full plow force
+                              # on genuinely crossed boxes.
 
 
 def _physics_loss(dc, dls, boxes0, px, pz, valid, ygate, extent,
@@ -102,6 +115,14 @@ def _physics_loss(dc, dls, boxes0, px, pz, valid, ygate, extent,
     dx_in = (hx[:, None] + p.body_radius) - jnp.abs(px[None, :] - cx[:, None])
     dz_in = (hz[:, None] + p.body_radius) - jnp.abs(pz[None, :] - cz[:, None])
     pen = jax.nn.relu(jnp.minimum(dx_in, dz_in)) * w_pt   # [Q, L]
+    # deadband gate: a box only some trace points GRAZE (max depth below
+    # the body-model error) feels no force at all; one point past the
+    # gate switches the full plow on (stop-grad, so the gate is a mask,
+    # not a potential)
+    if p.deadband > 0.0:
+        gate = jax.lax.stop_gradient(
+            (jnp.max(pen, axis=1) > p.deadband).astype(pen.dtype))
+        pen = pen * gate[:, None]
     sum_pen = jnp.sum(pen, axis=1)
     n_pen = jax.lax.stop_gradient(jnp.sum(pen > 0, axis=1).astype(pen.dtype))
     loss_pen = jnp.sum(

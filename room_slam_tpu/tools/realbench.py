@@ -409,6 +409,9 @@ def main():
                    help="test-time trace-consistency adaptation of the "
                         "candidate boxes against non-penetration / "
                         "envelope physics (ops/ttopt.py)")
+    p.add_argument("--ttopt_params", default=None,
+                   help="JSON dict of TTOptParams overrides applied when "
+                        "--ttopt is set (e.g. '{\"deadband\": 0.15}')")
     p.add_argument("--support", default="none",
                    help="support-ordered NMS: vote IoU threshold (e.g. "
                         "0.25) — candidates are reranked by same-class "
@@ -470,7 +473,8 @@ def main():
         cell["calibrated_on"] = args.calib_dir
         cell.setdefault("fuse", args.fuse)
         if args.ttopt:
-            cell["ttopt"] = True
+            cell["ttopt"] = (json.loads(args.ttopt_params)
+                             if args.ttopt_params else True)
         print(f"operating point from {args.calib_dir}: {cell}")
     else:
         cell = {"threshold": args.threshold, "nms": args.nms,
@@ -483,7 +487,9 @@ def main():
                 "consensus": args.consensus,
                 "top_k": args.top_k,
                 "fuse": args.fuse,
-                "ttopt": args.ttopt,
+                "ttopt": ((json.loads(args.ttopt_params)
+                           if args.ttopt_params else True)
+                          if args.ttopt else False),
                 "support": None if args.support == "none"
                 else float(args.support),
                 "pen_beta": None if args.pen_beta == "none"

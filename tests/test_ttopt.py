@@ -119,3 +119,34 @@ def test_penetration_depth_measures_crossing():
     boxes_hi = boxes.at[0, 1].set(5.0)
     d_hi = penetration_depth(boxes_hi, raw, jnp.int32(L))
     assert float(d_hi[0]) == 0.0
+
+
+def test_deadband_protects_shallow_penetration():
+    """Real captures penetrate their own GT boxes (body-model + sensor
+    error: human captures median 0.07-0.13 m) — with a deadband at least
+    that deep, a correct box that the trace clips SHALLOWLY feels no
+    plow force, while a box the walk crosses deeply still gets pushed
+    out. This is the fix for ttopt's measured seen-room damage."""
+    raw, length = _grid_trace(span=2.0)
+    # a wall whose body-inflated inner face sits ~0.15 m inside the
+    # visited envelope (the shallow clip a CORRECT box suffers), and an
+    # edge wall regressed deep into walked space (one-sided crossing,
+    # max depth ~0.5 m — a genuinely wrong box)
+    boxes = jnp.asarray([
+        [2.2, 1.25, 0.0, 0.3, 2.5, 4.0],
+        [1.9, 1.25, 0.0, 0.15, 2.5, 4.0],
+    ], jnp.float32)
+    p0 = TTOptParams(steps=300)
+    pd = TTOptParams(steps=300, deadband=0.2)
+    out0 = np.asarray(adapt_boxes(boxes, raw, length, p0))
+    outd = np.asarray(adapt_boxes(boxes, raw, length, pd))
+    # zero-deadband moves the shallow wall; the gate leaves it put
+    assert abs(out0[0, 0] - boxes[0, 0]) > 0.03
+    assert abs(outd[0, 0] - boxes[0, 0]) < 0.02
+    # the deeply crossed edge wall is still plowed decisively; the gate
+    # stops the plow once the deepest remaining penetration reaches the
+    # deadband (the measurement-noise floor), i.e. ~deadband short of
+    # the zero-deadband equilibrium
+    assert outd[1, 0] - boxes[1, 0] > 0.15
+    gap = (out0[1, 0] - outd[1, 0])
+    assert 0.1 < gap < 0.3
