@@ -81,29 +81,33 @@ def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
     # The BPTT cell is LINEAR in the cotangent: every elementwise factor
     # depends only on saved residuals, so the whole chunk's coefficients
     # vectorize OUTSIDE the serial walk — the per-timestep latency chain
-    # shrinks to add + mul + one MXU dot (dgates_hh = dh_t * c_hh,
-    # dxg[2H:] = dh_t * a, dh_out = dh_t * z + dgates_hh @ W^T).
-    g = gates_ref[:].astype(jnp.float32)          # [chunk, bb, 3H]
-    r = g[..., :H]
-    z = g[..., H:2 * H]
-    n = g[..., 2 * H:]
-    hn = hn_ref[:].astype(jnp.float32)
-    hp = hprev_ref[:].astype(jnp.float32)
+    # shrinks to adds + muls + one MXU dot. Coefficients are built from
+    # H-sized slices (bounded VMEM transients) and stored in the STREAM
+    # dtype — the cotangents already stream at that precision, so this
+    # adds no new floor (f32 in full-precision mode, e.g. golden tests).
+    def _sl(ref, i):
+        return ref[:][..., i * H:(i + 1) * H].astype(jnp.float32)
+
+    r = _sl(gates_ref, 0)
+    z = _sl(gates_ref, 1)
+    n = _sl(gates_ref, 2)
     a = (1.0 - z) * (1.0 - n * n)                 # dn_pre = dh_t * a
-    c_hh = jnp.concatenate(
-        [a * hn * r * (1.0 - r), (hp - n) * z * (1.0 - z), a * r],
-        axis=-1)
-    dy = dys_ref[:].astype(jnp.float32)
+    c = jnp.concatenate([
+        a * hn_ref[:].astype(jnp.float32) * r * (1.0 - r),
+        (hprev_ref[:].astype(jnp.float32) - n) * z * (1.0 - z),
+        a,
+    ], axis=-1).astype(gates_ref.dtype)           # [chunk, bb, 3H]
     for t in range(chunk - 1, -1, -1):
-        dh_t = dy[t] + dh_s[:]
+        dh_t = dys_ref[t].astype(jnp.float32) + dh_s[:]
         dh3 = jnp.concatenate([dh_t, dh_t, dh_t], axis=-1)
-        dg = dh3 * c_hh[t]                        # [dr_pre, dz_pre, dhn]
-        dxg_ref[t] = jnp.concatenate(
-            [dg[:, :2 * H], dh_t * a[t]], axis=-1).astype(dxg_ref.dtype)
-        dhn_ref[t] = dg[:, 2 * H:].astype(dhn_ref.dtype)
-        dh_s[:] = dh_t * z[t] + jnp.dot(
-            dg.astype(wt.dtype), wt,
-            preferred_element_type=jnp.float32)
+        dx = dh3 * c[t].astype(jnp.float32)       # [dr_pre, dz_pre, dn_pre]
+        dxg_ref[t] = dx.astype(dxg_ref.dtype)
+        dhn = dx[:, 2 * H:] * gates_ref[t][:, :H].astype(jnp.float32)
+        dhn_ref[t] = dhn.astype(dhn_ref.dtype)
+        dg_hh = jnp.concatenate([dx[:, :2 * H], dhn], axis=-1)
+        dh_s[:] = dh_t * gates_ref[t][:, H:2 * H].astype(jnp.float32) \
+            + jnp.dot(dg_hh.astype(wt.dtype), wt,
+                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(
@@ -190,7 +194,10 @@ def _gru_bwd_pallas(w_hh, gates, hn, h_prev, dys, interpret: bool = False,
     arrives batch-major [B, N, H] (the cotangent of the public output)."""
     N0, B, H = hn.shape
     H3 = 3 * H
-    cols = 2 * H3 + 4 * H  # gates + dxg (3H each) + hn + h_prev + dys + dhn
+    # gates + dxg (3H each) + hn + h_prev + dys + dhn, plus the
+    # chunk-wide stream-dtype coefficient array of the linearized walk
+    # (3H, single-buffered -> 3H/2 double-buffered-equivalents)
+    cols = 2 * H3 + 4 * H + (3 * H) // 2
     bb, chunk = tile or _tile_plan(
         B, cols, hn.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
     gates = _pad_tm(gates, chunk, bb)
@@ -355,45 +362,45 @@ def _bigru_bwd_kernel(wtf_ref, wtb_ref, gf_ref, hnf_ref, hpf_ref, dyf_ref,
     H = hidden
 
     # Chunk-vectorized linearization (see _gru_bwd_kernel): the serial
-    # walk per timestep is add + mul + one dot per direction; the two
-    # directions' independent chains interleave for ILP.
+    # walk per timestep is adds + muls + one dot per direction; the two
+    # directions' independent chains interleave for ILP. Coefficients
+    # live in the stream dtype, built from H-sized slices.
     def coefs(g_ref, hn_ref2, hp_ref2):
-        g = g_ref[:].astype(jnp.float32)          # [chunk, bb, 3H]
-        r = g[..., :H]
-        z = g[..., H:2 * H]
-        n = g[..., 2 * H:]
-        hn = hn_ref2[:].astype(jnp.float32)
-        hp = hp_ref2[:].astype(jnp.float32)
-        a = (1.0 - z) * (1.0 - n * n)
-        c_hh = jnp.concatenate(
-            [a * hn * r * (1.0 - r), (hp - n) * z * (1.0 - z), a * r],
-            axis=-1)
-        return c_hh, a, z
+        def _sl(i):
+            return g_ref[:][..., i * H:(i + 1) * H].astype(jnp.float32)
 
-    chf, af, zf = coefs(gf_ref, hnf_ref, hpf_ref)
-    chb, ab, zb = coefs(gb_ref, hnb_ref, hpb_ref)
-    dyf = dyf_ref[:].astype(jnp.float32)
-    dyb = dyb_ref[:].astype(jnp.float32)
+        r, z, n = _sl(0), _sl(1), _sl(2)
+        a = (1.0 - z) * (1.0 - n * n)
+        return jnp.concatenate([
+            a * hn_ref2[:].astype(jnp.float32) * r * (1.0 - r),
+            (hp_ref2[:].astype(jnp.float32) - n) * z * (1.0 - z),
+            a,
+        ], axis=-1).astype(g_ref.dtype)
+
+    cf = coefs(gf_ref, hnf_ref, hpf_ref)
+    cb = coefs(gb_ref, hnb_ref, hpb_ref)
     wtf, wtb = wtf_ref[:], wtb_ref[:]
     for t in range(chunk - 1, -1, -1):
-        dhf_t = dyf[t] + dhf_s[:]
-        dhb_t = dyb[t] + dhb_s[:]
-        dgf = jnp.concatenate(                    # [dr_pre, dz_pre, dhn]
-            [dhf_t, dhf_t, dhf_t], axis=-1) * chf[t]
-        dgb = jnp.concatenate(
-            [dhb_t, dhb_t, dhb_t], axis=-1) * chb[t]
-        dxf_ref[t] = jnp.concatenate(
-            [dgf[:, :2 * H], dhf_t * af[t]], axis=-1).astype(dxf_ref.dtype)
-        dhnf_ref[t] = dgf[:, 2 * H:].astype(dhnf_ref.dtype)
-        dxb_ref[t] = jnp.concatenate(
-            [dgb[:, :2 * H], dhb_t * ab[t]], axis=-1).astype(dxb_ref.dtype)
-        dhnb_ref[t] = dgb[:, 2 * H:].astype(dhnb_ref.dtype)
-        dhf_s[:] = dhf_t * zf[t] + jnp.dot(
-            dgf.astype(wtf.dtype), wtf,
-            preferred_element_type=jnp.float32)
-        dhb_s[:] = dhb_t * zb[t] + jnp.dot(
-            dgb.astype(wtb.dtype), wtb,
-            preferred_element_type=jnp.float32)
+        dhf_t = dyf_ref[t].astype(jnp.float32) + dhf_s[:]
+        dhb_t = dyb_ref[t].astype(jnp.float32) + dhb_s[:]
+        dxf = jnp.concatenate(                    # [dr_pre, dz_pre, dn_pre]
+            [dhf_t, dhf_t, dhf_t], axis=-1) * cf[t].astype(jnp.float32)
+        dxb = jnp.concatenate(
+            [dhb_t, dhb_t, dhb_t], axis=-1) * cb[t].astype(jnp.float32)
+        dxf_ref[t] = dxf.astype(dxf_ref.dtype)
+        dxb_ref[t] = dxb.astype(dxb_ref.dtype)
+        dhnf = dxf[:, 2 * H:] * gf_ref[t][:, :H].astype(jnp.float32)
+        dhnb = dxb[:, 2 * H:] * gb_ref[t][:, :H].astype(jnp.float32)
+        dhnf_ref[t] = dhnf.astype(dhnf_ref.dtype)
+        dhnb_ref[t] = dhnb.astype(dhnb_ref.dtype)
+        dgf = jnp.concatenate([dxf[:, :2 * H], dhnf], axis=-1)
+        dgb = jnp.concatenate([dxb[:, :2 * H], dhnb], axis=-1)
+        dhf_s[:] = dhf_t * gf_ref[t][:, H:2 * H].astype(jnp.float32) \
+            + jnp.dot(dgf.astype(wtf.dtype), wtf,
+                      preferred_element_type=jnp.float32)
+        dhb_s[:] = dhb_t * gb_ref[t][:, H:2 * H].astype(jnp.float32) \
+            + jnp.dot(dgb.astype(wtb.dtype), wtb,
+                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(
@@ -493,7 +500,9 @@ def _bigru_bwd_pallas(w_f, w_b, gf, hnf, hpf, dyf, gb, hnb, hpb, dyb,
     time-major [N, B, *]; dyf/dyb batch-major [B, N, H]."""
     N0, B, H = hnf.shape
     H3 = 3 * H
-    cols = 2 * (2 * H3 + 4 * H)
+    # two directions; +3H/2 per dir for the linearized walk's
+    # stream-dtype coefficient arrays (single-buffered)
+    cols = 2 * (2 * H3 + 4 * H + (3 * H) // 2)
     bb, chunk = tile or _tile_plan(
         B, cols, hnf.dtype.itemsize, 2 * w_f.size * w_f.dtype.itemsize)
     pads = [_pad_tm(a, chunk, bb) for a in (gf, hnf, hpf)]

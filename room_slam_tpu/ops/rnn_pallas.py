@@ -61,7 +61,11 @@ CHUNK = 32  # default timesteps per grid step (small tensors / interpret)
 # 128-row tile at chunk=8 — full MXU row occupancy for the recurrence
 # matmul instead of two half-filled 64-row tiles (measured compile-safe;
 # the Mosaic temporaries of an 8-step unroll fit the remaining ~4 MB).
-_VMEM_BUDGET = 12 << 20
+# 13 MB keeps the scale-up BiGRU BPTT on a single 128-row tile after the
+# linearized walk added its stream-dtype coefficient arrays (the in-loop
+# temporaries SHRANK — the elementwise chain moved into the preamble,
+# whose H-sliced transients are bounded).
+_VMEM_BUDGET = 13 << 20
 
 
 def _tile_plan(batch: int, stream_cols: int, elt_bytes: int,
@@ -252,31 +256,36 @@ def _lstm_bwd_chunk_kernel(wt_ref, gates_ref, cs_ref, cprev_ref, dys_ref,
     # elementwise factor — including the tanh, the chain's costliest
     # VPU op — depends only on saved residuals, so the whole chunk's
     # coefficients vectorize OUTSIDE the serial walk. Per timestep the
-    # chain is adds + muls + one MXU dot.
-    g = gates_ref[:].astype(jnp.float32)          # [chunk, bb, 4H]
-    i = g[..., :H]
-    f = g[..., H:2 * H]
-    gg = g[..., 2 * H:3 * H]
-    o = g[..., 3 * H:]
+    # chain is adds + muls + one MXU dot. Coefficients are built from
+    # H-sized slices (bounded VMEM transients) and stored in the STREAM
+    # dtype — the cotangents already stream at that precision (f32 in
+    # full-precision mode, e.g. the golden tests).
+    def _sl(i2):
+        return gates_ref[:][..., i2 * H:(i2 + 1) * H].astype(jnp.float32)
+
+    i = _sl(0)
+    f = _sl(1)
+    gg = _sl(2)
+    o = _sl(3)
     tanh_c = jnp.tanh(cs_ref[:].astype(jnp.float32))
-    c_c = o * (1.0 - tanh_c * tanh_c)             # dc_t += dh_t * c_c
-    c_o = tanh_c * o * (1.0 - o)                  # do_pre = dh_t * c_o
-    c_ifg = jnp.concatenate([                     # d{i,f,g}_pre = dc_t*c
+    cd = gates_ref.dtype
+    c_c = (o * (1.0 - tanh_c * tanh_c)).astype(cd)  # dc_t += dh_t * c_c
+    c4 = jnp.concatenate([                          # [c_ifg | c_o]
         gg * i * (1.0 - i),
         cprev_ref[:].astype(jnp.float32) * f * (1.0 - f),
         i * (1.0 - gg * gg),
-    ], axis=-1)
-    dy = dys_ref[:].astype(jnp.float32)
+        tanh_c * o * (1.0 - o),
+    ], axis=-1).astype(cd)                          # [chunk, bb, 4H]
     for t in range(chunk - 1, -1, -1):
-        dh_t = dy[t] + dh_s[:]
-        dc_t = dc_s[:] + dh_t * c_c[t]
-        dc3 = jnp.concatenate([dc_t, dc_t, dc_t], axis=-1)
+        dh_t = dys_ref[t].astype(jnp.float32) + dh_s[:]
+        dc_t = dc_s[:] + dh_t * c_c[t].astype(jnp.float32)
+        c4t = c4[t].astype(jnp.float32)
         dgates = jnp.concatenate(
-            [dc3 * c_ifg[t], dh_t * c_o[t]], axis=-1)
+            [dc_t, dc_t, dc_t, dh_t], axis=-1) * c4t
         dg_ref[t] = dgates.astype(dg_ref.dtype)
         dh_s[:] = jnp.dot(dgates.astype(wt.dtype), wt,
                           preferred_element_type=jnp.float32)
-        dc_s[:] = dc_t * f[t]
+        dc_s[:] = dc_t * gates_ref[t][:, H:2 * H].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
@@ -287,7 +296,10 @@ def _lstm_bwd_pallas(w_hh, gates, cs, c_prev, dys, interpret: bool = False,
     [B, N, H] (the cotangent of the public output)."""
     N0, B, H = cs.shape
     H4 = 4 * H
-    cols = 2 * H4 + 3 * H  # gates + dgates (4H each) + cs + c_prev + dys
+    # gates + dgates (4H each) + cs + c_prev + dys, plus the chunk-wide
+    # stream-dtype coefficient arrays of the linearized walk (c4 4H +
+    # c_c H, single-buffered -> 5H/2 double-buffered-equivalents)
+    cols = 2 * H4 + 3 * H + (5 * H) // 2
     bb, chunk = tile or _tile_plan(
         B, cols, cs.dtype.itemsize, w_hh.size * w_hh.dtype.itemsize)
     gates = _pad_tm(gates, chunk, bb)
@@ -443,46 +455,45 @@ def _bilstm_bwd_kernel(wtf_ref, wtb_ref,
     # Chunk-vectorized linearization (see _lstm_bwd_chunk_kernel): the
     # tanh and all residual-only factors move out of the serial walk;
     # the two directions' independent chains interleave for ILP.
+    # Coefficients live in the stream dtype, built from H-sized slices.
     def coefs(g_ref, cs_ref2, cp_ref2):
-        g = g_ref[:].astype(jnp.float32)          # [chunk, bb, 4H]
-        i = g[..., :H]
-        f = g[..., H:2 * H]
-        gg = g[..., 2 * H:3 * H]
-        o = g[..., 3 * H:]
+        def _sl(i2):
+            return g_ref[:][..., i2 * H:(i2 + 1) * H].astype(jnp.float32)
+
+        i, f, gg, o = _sl(0), _sl(1), _sl(2), _sl(3)
         tanh_c = jnp.tanh(cs_ref2[:].astype(jnp.float32))
-        c_c = o * (1.0 - tanh_c * tanh_c)
-        c_o = tanh_c * o * (1.0 - o)
-        c_ifg = jnp.concatenate([
+        cd = g_ref.dtype
+        c_c = (o * (1.0 - tanh_c * tanh_c)).astype(cd)
+        c4 = jnp.concatenate([
             gg * i * (1.0 - i),
             cp_ref2[:].astype(jnp.float32) * f * (1.0 - f),
             i * (1.0 - gg * gg),
-        ], axis=-1)
-        return c_ifg, c_c, c_o, f
+            tanh_c * o * (1.0 - o),
+        ], axis=-1).astype(cd)                    # [chunk, bb, 4H]
+        return c4, c_c
 
-    cif, ccf, cof, ff = coefs(gf_ref, csf_ref, cpf_ref)
-    cib, ccb, cob, fb = coefs(gb_ref, csb_ref, cpb_ref)
-    dyf = dyf_ref[:].astype(jnp.float32)
-    dyb = dyb_ref[:].astype(jnp.float32)
+    c4f, ccf = coefs(gf_ref, csf_ref, cpf_ref)
+    c4b, ccb = coefs(gb_ref, csb_ref, cpb_ref)
     wtf, wtb = wtf_ref[:], wtb_ref[:]
     for t in range(chunk - 1, -1, -1):
-        dhf_t = dyf[t] + dhf_s[:]
-        dhb_t = dyb[t] + dhb_s[:]
-        dcf_t = dcf_s[:] + dhf_t * ccf[t]
-        dcb_t = dcb_s[:] + dhb_t * ccb[t]
+        dhf_t = dyf_ref[t].astype(jnp.float32) + dhf_s[:]
+        dhb_t = dyb_ref[t].astype(jnp.float32) + dhb_s[:]
+        dcf_t = dcf_s[:] + dhf_t * ccf[t].astype(jnp.float32)
+        dcb_t = dcb_s[:] + dhb_t * ccb[t].astype(jnp.float32)
         dgf = jnp.concatenate(
-            [jnp.concatenate([dcf_t, dcf_t, dcf_t], axis=-1) * cif[t],
-             dhf_t * cof[t]], axis=-1)
+            [dcf_t, dcf_t, dcf_t, dhf_t], axis=-1) \
+            * c4f[t].astype(jnp.float32)
         dgb = jnp.concatenate(
-            [jnp.concatenate([dcb_t, dcb_t, dcb_t], axis=-1) * cib[t],
-             dhb_t * cob[t]], axis=-1)
+            [dcb_t, dcb_t, dcb_t, dhb_t], axis=-1) \
+            * c4b[t].astype(jnp.float32)
         dgf_ref[t] = dgf.astype(dgf_ref.dtype)
         dgb_ref[t] = dgb.astype(dgb_ref.dtype)
         dhf_s[:] = jnp.dot(dgf.astype(wtf.dtype), wtf,
                            preferred_element_type=jnp.float32)
-        dcf_s[:] = dcf_t * ff[t]
+        dcf_s[:] = dcf_t * gf_ref[t][:, H:2 * H].astype(jnp.float32)
         dhb_s[:] = jnp.dot(dgb.astype(wtb.dtype), wtb,
                            preferred_element_type=jnp.float32)
-        dcb_s[:] = dcb_t * fb[t]
+        dcb_s[:] = dcb_t * gb_ref[t][:, H:2 * H].astype(jnp.float32)
 
 
 @functools.partial(
@@ -570,7 +581,9 @@ def _bilstm_bwd_pallas(w_f, w_b, gf, csf, cpf, dyf, gb, csb, cpb, dyb,
                        tile: Optional[Tuple[int, int]] = None):
     N0, B, H = csf.shape
     H4 = 4 * H
-    cols = 2 * (2 * H4 + 3 * H)
+    # two directions; +5H/2 per dir for the linearized walk's
+    # stream-dtype coefficient arrays (single-buffered)
+    cols = 2 * (2 * H4 + 3 * H + (5 * H) // 2)
     bb, chunk = tile or _tile_plan(
         B, cols, csf.dtype.itemsize, 2 * w_f.size * w_f.dtype.itemsize)
     gf = _pad_tm(gf, chunk, bb)
