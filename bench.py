@@ -221,6 +221,10 @@ def bench_headline(profile=None):
 #   bf16 streams (mixed precision)          16.4%
 #   time-major kernel blocks + 128-row tile 27.0%  (192-197 ms/step)
 #   rbg step PRNG (augment noise + dropout) 30.2%  (172 ms/step)
+#   time-major ys residuals in the BPTT VJP 31.7%  (164 ms/step, round 4)
+#   chunk-linearized BPTT coefficients      31.7%  (neutral: XLA already
+#                                           extracts the chunk parallelism
+#                                           from the unrolled walk)
 # Device ceilings measured with readback-synced probes (the axon tunnel's
 # block_until_ready returns before remote completion, and it memoizes
 # identical (executable, input) dispatches — time with fresh inputs and a
@@ -230,6 +234,13 @@ def bench_headline(profile=None):
 # is the recurrence's serial latency — 5000 sequential steps/pass at
 # ~2-3 us each (MXU matmul + 3 transcendentals + carry update per step),
 # which batch size cannot amortize further once the 128 MXU rows are full.
+# The round-4 measured decomposition (results/r4_scaleup_profile_v{2,3}
+# .json, tools/profile_scaleup.py) pins where the 164 ms goes: the two
+# BiGRU layers' recurrence walks cost ~110-118 ms (fwd ~14 ms + BPTT
+# ~40-45 ms per layer); the BPTT walk runs at ~8-9 us/timestep vs the
+# ~12 ms/kernel HBM+FLOP floor (results/r4_bwd_kernel_bench.json) — the
+# residual gap is the reverse-time serial chain itself, which survives
+# both the time-major-residual and the chunk-linearization attacks.
 SCALEUP_BATCH = 128
 
 
