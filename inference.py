@@ -36,7 +36,8 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             fuse: bool = False,
             ttopt: bool = False,
             soft_sigma: float | None = None,
-            synth_furniture: bool = False):
+            synth_furniture: bool = False,
+            y_planes: tuple | None = None):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
     room_slam_tpu.predictor.build_predictor (shared with the live UDP
@@ -50,8 +51,21 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         extent_slack=extent_slack, consensus=consensus, top_k=top_k,
         tta_rotations=tta_rotations, tta_reflect=tta_reflect,
         tta_scales=tta_scales, fuse=fuse, ttopt=ttopt,
-        soft_sigma=soft_sigma, synth_furniture=synth_furniture)
+        soft_sigma=soft_sigma, synth_furniture=synth_furniture,
+        y_planes=y_planes)
     return predict_array(formats.load_trace_json(traces_file))
+
+
+def _ycal(spec):
+    """Resolve --ycal: 'floor,ceil' literal or a colliders.json path."""
+    if not spec:
+        return None
+    import os
+    if "," in spec and not os.path.exists(spec):
+        lo, hi = spec.split(",")
+        return (float(lo), float(hi))
+    from room_slam_tpu.ops.refine import y_planes_from_colliders
+    return y_planes_from_colliders(spec)
 
 
 def main():
@@ -130,6 +144,12 @@ def main():
                         help="inject hole-implied furniture candidates "
                              "(interior unvisited components of the walk "
                              "raster; ops/refine.synthesize_furniture)")
+    parser.add_argument("--ycal", default=None,
+                        help="seen-room Y-plane calibration: a "
+                             "colliders.json path (the room the model "
+                             "trained on) or 'floor,ceil' in metres; "
+                             "snaps tall BLOCK predictions to those "
+                             "planes (ops/refine.snap_y_planes)")
     args = parser.parse_args()
 
     print(f"Loading model from {args.checkpoint}")
@@ -148,7 +168,7 @@ def main():
         tta_reflect=args.tta_reflect,
         tta_scales=tuple(float(x) for x in args.tta_scales.split(",") if x),
         fuse=args.fuse, ttopt=args.ttopt, soft_sigma=args.soft,
-        synth_furniture=args.synth_furniture)
+        synth_furniture=args.synth_furniture, y_planes=_ycal(args.ycal))
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -275,6 +275,74 @@ def synthesize_walls(
     return out_boxes, out_logits, out_obj, valid
 
 
+def snap_y_planes(
+    boxes: jnp.ndarray,         # [Q, 6] (cx, cy, cz, sx, sy, sz)
+    labels: jnp.ndarray,        # [Q] predicted class ids (BLOCK == 0)
+    floor_y: jnp.ndarray,       # [] calibrated floor plane (m)
+    ceil_y: jnp.ndarray,        # [] calibrated ceiling plane (m)
+    min_h: float = 1.8,         # only boxes taller than this snap
+) -> jnp.ndarray:
+    """Snap tall BLOCK boxes to calibrated floor/ceiling planes.
+
+    Measured failure mode on the 77-GT zero-shot benchmark
+    (results/r4_B_zeroshot_diagnosis_ens.json): wall and full-height
+    partition predictions carry near-correct XZ but a systematically short
+    Y — median size_ratio_y 0.75 on walls, center_err_y 0.5 m — because a
+    floor walk carries no ceiling evidence, so the regression falls back to
+    the synthetic height prior's center (~3.3 m) while the real building's
+    walls run 3.6-3.93 m. Median wall IoU lands at 0.233, just under the
+    0.25 hit bar.
+
+    Floor and ceiling are BUILDING constants observable on any room the
+    model trained on: at deployment the user calibrates them once from the
+    training room's collider file (``y_planes_from_colliders``) and applies
+    them to every unseen room of the same building. No unseen-room ground
+    truth is involved. A box snaps only if it is BLOCK-class and its
+    predicted height exceeds ``min_h`` (walls and full-height partitions;
+    short interior pieces like a 1.1 m sideboard keep their regressed Y).
+
+    The reference's post-process (src/benchmark/inference.py:130-197) is a
+    fixed confidence filter + NMS with no geometric recalibration; this is
+    a framework addition. Pure jnp, fixed shapes; composes into the jitted
+    inference dispatch.
+    """
+    cy, sy = boxes[:, 1], boxes[:, 4]
+    tall_block = (labels == 0) & (sy > min_h)
+    new_cy = (floor_y + ceil_y) / 2.0
+    new_sy = ceil_y - floor_y
+    out = boxes.at[:, 1].set(jnp.where(tall_block, new_cy, cy))
+    out = out.at[:, 4].set(jnp.where(tall_block, new_sy, sy))
+    return out
+
+
+def y_planes_from_colliders(path: str, min_h: float = 1.8):
+    """Calibrate (floor_y, ceil_y) from a SEEN room's collider JSON.
+
+    Host-side helper: reads the training room's ``colliders.json`` (the
+    room the model was trained on with ``--mix_real`` — legitimately
+    available at deployment) and returns the min bottom / max top face over
+    its tall boxes. Tall = size.y > ``min_h`` (walls and full-height
+    partitions span exactly floor..ceiling; furniture does not).
+    """
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    cols = data["colliders"] if isinstance(data, dict) else data
+    bottoms, tops = [], []
+    for c in cols:
+        size = c.get("size", {})
+        center = c.get("center", {})
+        sy = float(size.get("y", 0.0))
+        if sy > min_h:
+            cy = float(center.get("y", 0.0))
+            bottoms.append(cy - sy / 2.0)
+            tops.append(cy + sy / 2.0)
+    if not bottoms:
+        raise ValueError(f"no tall boxes (size.y > {min_h}) in {path}")
+    return min(bottoms), max(tops)
+
+
 def synthesize_furniture(
     boxes: jnp.ndarray,          # [Q, 6] (post-refine) predictions
     logits: jnp.ndarray,         # [Q, C] class logits

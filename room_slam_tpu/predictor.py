@@ -62,6 +62,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     ttopt: bool = False,
                     soft_sigma: float | None = None,
                     synth_furniture: bool = False,
+                    y_planes: tuple | None = None,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
 
@@ -156,6 +157,15 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                 furniture_aware=refine_furniture)
             if obj is None:
                 obj0 = None
+        if y_planes is not None:
+            # seen-room-calibrated floor/ceiling snap for tall BLOCK boxes
+            # (ops/refine.snap_y_planes; calibrate with
+            # y_planes_from_colliders on the room the model trained on)
+            from room_slam_tpu.ops.refine import snap_y_planes
+
+            boxes0 = snap_y_planes(
+                boxes0, jnp.argmax(logits0, -1),
+                jnp.float32(y_planes[0]), jnp.float32(y_planes[1]))
         if synth_furniture and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import synthesize_furniture
 

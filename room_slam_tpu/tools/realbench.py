@@ -68,6 +68,7 @@ def apply_operating_point(cached: dict, cell: dict,
 
     from room_slam_tpu.ops.nms import post_process
     from room_slam_tpu.ops.refine import (outside_extent_mask, refine_walls,
+                                          snap_y_planes,
                                           synthesize_furniture,
                                           synthesize_walls)
     from room_slam_tpu.ops.ttopt import (TTOptParams, adapt_boxes,
@@ -87,6 +88,18 @@ def apply_operating_point(cached: dict, cell: dict,
                 furniture_aware=refine_furniture)
         ))(jnp.asarray(boxes), jnp.asarray(pred_labels),
            jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
+
+    yc = cell.get("ycal")
+    if yc is not None:
+        # seen-room-calibrated floor/ceiling snap for tall BLOCK boxes
+        # (ops/refine.snap_y_planes); before synth so synthesized walls
+        # inherit the snapped heights
+        fl, ce = float(yc[0]), float(yc[1])
+        pred_labels = np.argmax(logits, -1)
+        boxes = np.asarray(jax.jit(jax.vmap(
+            lambda b, l: snap_y_planes(b, l, jnp.float32(fl),
+                                       jnp.float32(ce))
+        ))(jnp.asarray(boxes), jnp.asarray(pred_labels)))
 
     base_valid = np.ones(boxes.shape[:2], dtype=bool)
     if cell.get("synth"):
@@ -434,6 +447,12 @@ def main():
                         "interior unvisited components of the walk "
                         "raster become extra LOW/MID candidates "
                         "(ops/refine.synthesize_furniture)")
+    p.add_argument("--ycal", default="none",
+                   help="seen-room Y-plane calibration: a colliders.json "
+                        "path (the room the model trained on) or "
+                        "'floor,ceil' in metres; snaps tall BLOCK "
+                        "predictions to those planes "
+                        "(ops/refine.snap_y_planes)")
     p.add_argument("--refine_furniture", action="store_true")
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
@@ -498,6 +517,12 @@ def main():
                 else float(args.soft),
                 "synthf": args.synthf,
                 "qscore": None if args.qscore == "none" else args.qscore}
+    if args.ycal != "none":
+        if "," in args.ycal and not Path(args.ycal).exists():
+            cell["ycal"] = [float(x) for x in args.ycal.split(",")]
+        else:
+            from room_slam_tpu.ops.refine import y_planes_from_colliders
+            cell["ycal"] = list(y_planes_from_colliders(args.ycal))
     cell["tta"] = args.tta
     cell["tta_reflect"] = args.tta_reflect
     if tta_scales:

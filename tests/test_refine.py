@@ -303,3 +303,78 @@ def test_synthesize_furniture_dup_gate_and_no_hole():
         jnp.asarray(boxes), jnp.asarray(logits), None,
         jnp.asarray(full), jnp.asarray(full.shape[0]))
     assert not np.asarray(ov2)[Q:].any()
+
+
+def test_snap_y_planes_tall_block_only():
+    from room_slam_tpu.ops.refine import snap_y_planes
+
+    boxes = np.array([
+        # a short wall prediction: tall BLOCK -> snaps to [floor, ceil]
+        [2.0, 0.8, 0.0, 0.12, 2.6, 8.0],
+        # full-height partition prediction -> snaps
+        [0.0, 1.0, 1.0, 1.0, 2.2, 0.9],
+        # short interior BLOCK (sideboard) -> untouched
+        [1.0, 0.1, -1.0, 2.7, 1.1, 1.0],
+        # MID furniture, even if tall -> untouched (not BLOCK)
+        [0.5, 0.9, 0.5, 0.6, 2.0, 0.6],
+    ], np.float32)
+    labels = np.array([0, 0, 0, 2], np.int32)
+    floor, ceil = -0.49, 3.43
+    out = np.asarray(snap_y_planes(
+        jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.float32(floor), jnp.float32(ceil)))
+    for i in (0, 1):
+        np.testing.assert_allclose(out[i, 1], (floor + ceil) / 2, atol=1e-5)
+        np.testing.assert_allclose(out[i, 4], ceil - floor, atol=1e-5)
+    np.testing.assert_allclose(out[2], boxes[2], atol=1e-6)
+    np.testing.assert_allclose(out[3], boxes[3], atol=1e-6)
+    # XZ untouched everywhere
+    np.testing.assert_allclose(out[:, [0, 2, 3, 5]], boxes[:, [0, 2, 3, 5]],
+                               atol=1e-6)
+
+
+def test_y_planes_from_colliders(tmp_path):
+    import json
+
+    from room_slam_tpu.ops.refine import y_planes_from_colliders
+
+    cols = {"colliders": [
+        {"label": "BLOCK", "center": {"x": 0, "y": 1.47, "z": 0},
+         "size": {"x": 0.2, "y": 3.92, "z": 3.9}},
+        {"label": "BLOCK", "center": {"x": 2, "y": 1.51, "z": 0},
+         "size": {"x": 0.1, "y": 3.93, "z": 9.0}},
+        # furniture must not vote
+        {"label": "LOW", "center": {"x": 1, "y": -0.2, "z": 1},
+         "size": {"x": 0.4, "y": 0.5, "z": 0.4}},
+    ]}
+    p = tmp_path / "colliders.json"
+    p.write_text(json.dumps(cols))
+    floor, ceil = y_planes_from_colliders(str(p))
+    assert abs(floor - min(1.47 - 3.92 / 2, 1.51 - 3.93 / 2)) < 1e-9
+    assert abs(ceil - max(1.47 + 3.92 / 2, 1.51 + 3.93 / 2)) < 1e-9
+
+
+def test_apply_operating_point_ycal_cell():
+    """realbench cell plumbing: 'ycal' snaps tall BLOCK candidates before
+    NMS (tools/realbench.apply_operating_point)."""
+    from room_slam_tpu.tools.realbench import apply_operating_point
+
+    Q = 4
+    boxes = np.zeros((1, Q, 6), np.float32)
+    logits = np.full((1, Q, 4), -4.0, np.float32)
+    # one confident short-wall BLOCK candidate
+    boxes[0, 0] = [2.0, 0.8, 0.0, 0.12, 2.6, 8.0]
+    logits[0, 0, 0] = 4.0
+    # one confident MID candidate (must keep its own y)
+    boxes[0, 1] = [0.0, 0.3, 0.0, 1.0, 0.8, 0.8]
+    logits[0, 1, 2] = 4.0
+    raw = _trace()
+    cached = {"pred_boxes": boxes, "pred_logits": logits,
+              "raw": raw[None], "length": np.array([raw.shape[0]])}
+    dets = apply_operating_point(
+        cached, {"threshold": 0.5, "nms": 0.3, "ycal": [-0.49, 3.43]})
+    got = {int(l): b for l, b in zip(dets["labels"], dets["boxes"])}
+    np.testing.assert_allclose(got[0][1], (-0.49 + 3.43) / 2, atol=1e-4)
+    np.testing.assert_allclose(got[0][4], 3.43 + 0.49, atol=1e-4)
+    np.testing.assert_allclose(got[2][1], 0.3, atol=1e-4)
+    np.testing.assert_allclose(got[2][4], 0.8, atol=1e-4)
