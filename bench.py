@@ -123,8 +123,9 @@ def bench_headline(profile=None):
     # trainer splits inside the jitted epoch, so pre-splitting is the
     # faithful harness.
     n = 30
+    reps = 3  # median-of-3 vs tunnel weather (2-10 ms round-trip variance)
     keys = jax.random.split(
-        jax.random.key(0, impl=cfg.train.rng_impl), 3 * n + 5)
+        jax.random.key(0, impl=cfg.train.rng_impl), (reps + 2) * n + 5)
     jax.block_until_ready(keys)
     flops = _step_flops(train_step, state, batch, keys[0])
 
@@ -142,18 +143,27 @@ def bench_headline(profile=None):
     state, losses = per_step_warm(state, batch, keys[0])
     jax.block_until_ready(losses["total_loss"])
 
+    # median-of-reps scan dispatches, FRESH keys per rep (the r03->r04
+    # headline moved 5% with a single-run reading and nobody could tell
+    # tunnel weather from regression — report the spread alongside)
+    train_dts = []
     with device_trace(profile):
-        t0 = time.perf_counter()
-        state, tl = run_steps(state, batch, keys[5 + n:5 + 2 * n])
-        loss_final = float(tl[-1])                           # readback sync
-    train_dt = time.perf_counter() - t0
+        for r in range(reps):
+            ks = keys[5 + (r + 1) * n:5 + (r + 2) * n]
+            t0 = time.perf_counter()
+            state, tl = run_steps(state, batch, ks)
+            loss_final = float(tl[-1])                       # readback sync
+            train_dts.append(time.perf_counter() - t0)
+    train_dt = sorted(train_dts)[len(train_dts) // 2]
     train_tps = n * B / train_dt
+    train_spread = (max(train_dts) - min(train_dts)) / train_dt
 
     # secondary: the host-driven per-step loop (includes one tunnel
     # round-trip per step — the live/interactive dispatch pattern)
     t0 = time.perf_counter()
     for i in range(n):
-        state, losses = per_step_warm(state, batch, keys[5 + 2 * n + i])
+        state, losses = per_step_warm(
+            state, batch, keys[5 + (reps + 1) * n + i])
     jax.block_until_ready(losses["total_loss"])
     float(losses["total_loss"])
     dispatch_tps = n * B / (time.perf_counter() - t0)
@@ -176,11 +186,16 @@ def bench_headline(profile=None):
     sums = infer_n(state.params, batch["raw"], batch["length"],
                    jnp.float32(0.0))
     float(sums[-1])
-    t0 = time.perf_counter()
-    sums = infer_n(state.params, batch["raw"], batch["length"],
-                   jnp.float32(1e-6))
-    float(sums[-1])
-    infer_tps = n * B / (time.perf_counter() - t0)
+    infer_dts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        sums = infer_n(state.params, batch["raw"], batch["length"],
+                       jnp.float32(1e-6 * (r + 1)))  # fresh input per rep
+        float(sums[-1])
+        infer_dts.append(time.perf_counter() - t0)
+    infer_dt = sorted(infer_dts)[len(infer_dts) // 2]
+    infer_tps = n * B / infer_dt
+    infer_spread = (max(infer_dts) - min(infer_dts)) / infer_dt
 
     # --- baseline ---
     base_path = Path(__file__).parent / "BASELINE_MEASURED.json"
@@ -197,6 +212,11 @@ def bench_headline(profile=None):
         "value": round(train_tps, 2),
         "unit": "traces/sec",
         "vs_baseline": round(train_tps / base_train, 2),
+        # median-of-3 spread: (max - min) / median over the rep dispatches;
+        # readings within each other's spread are tunnel weather, not
+        # regressions
+        "train_spread_pct": round(100 * train_spread, 1),
+        "infer_spread_pct": round(100 * infer_spread, 1),
         "per_dispatch_traces_per_sec": round(dispatch_tps, 2),
         # granularity-consistent ratio: OUR per-step host loop vs the torch
         # baseline's per-step host loop (the headline vs_baseline divides

@@ -140,10 +140,13 @@ def main():
                         help="soft-NMS Gaussian sigma: loose overlaps "
                              "decay instead of dying; pair --nms 0.5 — "
                              "the unseen-room recall recipe (FINAL.md)")
-    parser.add_argument("--synth_furniture", action="store_true",
+    parser.add_argument("--synth_furniture", nargs="?", const="v1",
+                        default=None, choices=["v1", "v2"],
                         help="inject hole-implied furniture candidates "
                              "(interior unvisited components of the walk "
-                             "raster; ops/refine.synthesize_furniture)")
+                             "raster; ops/refine.synthesize_furniture); "
+                             "'v2' adds boundary-notch + tall-BLOCK "
+                             "hypotheses (synthesize_furniture_v2)")
     parser.add_argument("--ycal", default=None,
                         help="seen-room Y-plane calibration: a "
                              "colliders.json path (the room the model "

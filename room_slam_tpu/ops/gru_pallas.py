@@ -85,6 +85,12 @@ def _gru_bwd_kernel(wt_ref, gates_ref, hn_ref, hprev_ref, dys_ref,
     # H-sized slices (bounded VMEM transients) and stored in the STREAM
     # dtype — the cotangents already stream at that precision, so this
     # adds no new floor (f32 in full-precision mode, e.g. golden tests).
+    # Known precision trade (ADVICE r4): in bf16 mode the coefficients
+    # are rounded BEFORE the per-step multiply, where the old kernel kept
+    # each per-step product in f32 until the store — one extra bf16
+    # rounding on the gate cotangents. tests/test_rnn_pallas.py bounds
+    # the bf16-stream gradient error; if that test ever tightens/regress-
+    # es, keep `c` in f32 (the _tile_plan cols budget already covers it).
     def _sl(ref, i):
         return ref[:][..., i * H:(i + 1) * H].astype(jnp.float32)
 

@@ -110,8 +110,9 @@ def soft_nms_3d_fused(
     score DECAYED by ``exp(-iou^2 / sigma)`` against each kept box, so a
     wrongly-placed confident box costs the correct one rank, not
     existence. Greedy over the CURRENT (decayed) scores, so the sweep
-    order itself adapts — ``fori_loop`` with an argmax per step instead
-    of a precomputed order.
+    order itself adapts — a ``while_loop`` with an argmax per step
+    instead of a precomputed order, exiting early once every masked
+    candidate is kept or absorbed.
 
     Returns (keep, cluster counts, fused boxes, rescored confidences);
     every masked candidate is eventually kept or absorbed, and the
@@ -123,8 +124,16 @@ def soft_nms_3d_fused(
     iou = pairwise_iou_3d(boxes, boxes)
     neg_inf = jnp.finfo(scores.dtype).min
 
-    def body(_, carry):
-        cur, keep, absorbed, counts, fused = carry
+    # while_loop with an any-available early exit: each pass keeps or
+    # absorbs >= 1 candidate, so pooled TTA/ensemble sets (Q in the
+    # hundreds, most candidates absorbed into a few clusters) stop after
+    # ~#clusters iterations instead of always paying the full O(Q^2) * Q.
+    def cond(carry):
+        i, cur, keep, absorbed, counts, fused = carry
+        return (i < Q) & jnp.any(mask & ~keep & ~absorbed)
+
+    def body(carry):
+        i, cur, keep, absorbed, counts, fused = carry
         avail = mask & ~keep & ~absorbed
         s = jnp.where(avail, cur, neg_inf)
         idx = jnp.argmax(s)
@@ -141,14 +150,14 @@ def soft_nms_3d_fused(
         absorbed = absorbed | dup
         decay = jnp.exp(-(iou[idx] ** 2) / sigma)
         cur = jnp.where(avail & ~wsel & alive, cur * decay, cur)
-        return cur, keep, absorbed, counts, fused
+        return i + 1, cur, keep, absorbed, counts, fused
 
     cur = scores.astype(jnp.float32)
     keep = jnp.zeros((Q,), bool)
     absorbed = jnp.zeros((Q,), bool)
     counts = jnp.zeros((Q,), jnp.int32)
-    cur, keep, _, counts, fused = jax.lax.fori_loop(
-        0, Q, body, (cur, keep, absorbed, counts, boxes))
+    _, cur, keep, _, counts, fused = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur, keep, absorbed, counts, boxes))
     return keep, counts, fused, cur
 
 

@@ -57,6 +57,11 @@ def candidate_features(
     if objectness is not None:
         conf = conf * jax.nn.sigmoid(objectness)
     labels = jnp.argmax(logits, -1)
+    # N_FEATURES (and every fitted weight file) is bound to the 4-class
+    # benchmark label space; a different C would silently zero the class-
+    # posture features, so fail loudly instead (shape is static in jit).
+    assert logits.shape[-1] == 4, (
+        f"qscore features are fitted for 4 classes, got C={logits.shape[-1]}")
     onehot = jax.nn.one_hot(labels, 4)
 
     cx, cy, cz = boxes[:, 0], boxes[:, 1], boxes[:, 2]

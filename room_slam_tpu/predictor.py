@@ -61,7 +61,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     fuse: bool = False,
                     ttopt: bool = False,
                     soft_sigma: float | None = None,
-                    synth_furniture: bool = False,
+                    synth_furniture: bool | str = False,
                     y_planes: tuple | None = None,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
@@ -90,7 +90,8 @@ def build_predictor(model, params, max_trace_len: int = 3000,
     to soft-NMS (loose overlaps decay instead of dying; pair
     ``nms_threshold`` ~0.5 — the unseen-room recall recipe, FINAL.md).
     ``synth_furniture`` injects hole-implied furniture candidates
-    (ops/refine.synthesize_furniture)."""
+    (ops/refine.synthesize_furniture; pass "v2" for the boundary-notch +
+    tall-BLOCK variant, synthesize_furniture_v2)."""
     import jax
 
     from room_slam_tpu.data.augment import unreflect_boxes, unrotate_boxes
@@ -143,6 +144,18 @@ def build_predictor(model, params, max_trace_len: int = 3000,
         obj0 = None if obj is None else obj[0]
         logits0 = out["pred_classes"][0]
         cand = None
+        if y_planes is not None:
+            # seen-room-calibrated floor/ceiling snap for tall BLOCK boxes
+            # (ops/refine.snap_y_planes; calibrate with
+            # y_planes_from_colliders on the room the model trained on).
+            # BEFORE synthesize_walls, matching
+            # realbench.apply_operating_point: synthesized walls inherit
+            # the snapped heights, so both pipelines score identically.
+            from room_slam_tpu.ops.refine import snap_y_planes
+
+            boxes0 = snap_y_planes(
+                boxes0, jnp.argmax(logits0, -1),
+                jnp.float32(y_planes[0]), jnp.float32(y_planes[1]))
         if synth_walls and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import synthesize_walls
 
@@ -157,20 +170,16 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                 furniture_aware=refine_furniture)
             if obj is None:
                 obj0 = None
-        if y_planes is not None:
-            # seen-room-calibrated floor/ceiling snap for tall BLOCK boxes
-            # (ops/refine.snap_y_planes; calibrate with
-            # y_planes_from_colliders on the room the model trained on)
-            from room_slam_tpu.ops.refine import snap_y_planes
-
-            boxes0 = snap_y_planes(
-                boxes0, jnp.argmax(logits0, -1),
-                jnp.float32(y_planes[0]), jnp.float32(y_planes[1]))
         if synth_furniture and traces.shape[-1] >= 4:
-            from room_slam_tpu.ops.refine import synthesize_furniture
+            # True/'v1' = interior holes; 'v2' adds boundary-notch +
+            # tall-BLOCK hypotheses (ops/refine.synthesize_furniture_v2)
+            from room_slam_tpu.ops.refine import (synthesize_furniture,
+                                                  synthesize_furniture_v2)
 
+            sfn = (synthesize_furniture_v2 if synth_furniture == "v2"
+                   else synthesize_furniture)
             Qb = boxes0.shape[0]
-            boxes0, logits0, obj0, nv = synthesize_furniture(
+            boxes0, logits0, obj0, nv = sfn(
                 boxes0, logits0, obj0, traces[0, :, :4],
                 jnp.sum(mask[0].astype(jnp.int32)))
             cand = (nv if cand is None

@@ -255,16 +255,20 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
             support=support, conf_scale=cs, soft_sigma=soft_sigma)
         )(boxes, logits, obj, cand, conf_scale)
 
-    @jax.jit
-    def _synthf_all(boxes, logits, obj, raw, length):
+    from room_slam_tpu.ops.refine import synthesize_furniture_v2
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def _synthf_all(boxes, logits, obj, raw, length, mode="v1"):
+        fn = synthesize_furniture_v2 if mode == "v2" else synthesize_furniture
         return jax.vmap(
-            lambda b, lg, o, r, n: synthesize_furniture(b, lg, o, r, n)
+            lambda b, lg, o, r, n: fn(b, lg, o, r, n)
         )(boxes, logits, obj, raw, length)
 
-    @jax.jit
-    def _synthf_all_noobj(boxes, logits, raw, length):
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def _synthf_all_noobj(boxes, logits, raw, length, mode="v1"):
+        fn = synthesize_furniture_v2 if mode == "v2" else synthesize_furniture
         return jax.vmap(
-            lambda b, lg, r, n: synthesize_furniture(b, lg, None, r, n)
+            lambda b, lg, r, n: fn(b, lg, None, r, n)
         )(boxes, logits, raw, length)
 
     @jax.jit
@@ -311,18 +315,21 @@ def sweep(cached: dict, thresholds, nms_vals, refine_vals,
                         fb, fl, fo, fv = sb, sl, so, sv
                     else:
                         Qb = sb.shape[1]
+                        sf_mode = "v2" if sf == "v2" else "v1"
                         if so is None:
                             fb, fl, _, nv = _synthf_all_noobj(
                                 jnp.asarray(sb), jnp.asarray(sl),
                                 jnp.asarray(cached["raw"]),
-                                jnp.asarray(cached["length"]))
+                                jnp.asarray(cached["length"]),
+                                mode=sf_mode)
                             fo = None
                         else:
                             fb, fl, fo, nv = _synthf_all(
                                 jnp.asarray(sb), jnp.asarray(sl),
                                 jnp.asarray(so),
                                 jnp.asarray(cached["raw"]),
-                                jnp.asarray(cached["length"]))
+                                jnp.asarray(cached["length"]),
+                                mode=sf_mode)
                             fo = np.asarray(fo)
                         fb, fl, nv = (np.asarray(a) for a in (fb, fl, nv))
                         fv = np.concatenate([sv, nv[:, Qb:]], axis=1)
@@ -505,11 +512,12 @@ def main():
                         "(tools/qscore.py) to sweep as conf_scale "
                         "rescoring ('none' entries = off)")
     p.add_argument("--synthf", default="off",
-                   help="'off', 'on' or 'both': sweep hole-implied "
-                        "furniture candidate injection — interior "
-                        "unvisited components of the walk raster become "
-                        "extra LOW/MID candidates "
-                        "(ops/refine.synthesize_furniture)")
+                   help="comma list of 'off'/'on'(='v1')/'v2', or 'both' "
+                        "(off+v1): sweep hole-implied furniture candidate "
+                        "injection — interior unvisited components of the "
+                        "walk raster become extra LOW/MID candidates "
+                        "(ops/refine.synthesize_furniture); 'v2' adds "
+                        "boundary-notch + tall-BLOCK hypotheses")
     p.add_argument("--refine_furniture", action="store_true",
                    help="refine cells place wall planes beyond predicted "
                         "furniture lining the envelope (ops/refine.py)")
@@ -581,9 +589,10 @@ def main():
     soft_vals = [None if x == "none" else float(x)
                  for x in args.soft.split(",")]
     if args.synthf == "both":
-        synthf_vals = [False, True]
+        synthf_vals = [False, "v1"]
     else:
-        synthf_vals = [x == "on" for x in args.synthf.split(",")]
+        _sf_map = {"off": False, "on": "v1", "v1": "v1", "v2": "v2"}
+        synthf_vals = [_sf_map[x] for x in args.synthf.split(",")]
     qscore_vals = [None if x == "none" else x
                    for x in args.qscore.split(",")]
 
@@ -605,7 +614,7 @@ def main():
     for c in results:
         print(f"thr={c['threshold']:.2f} nms={c['nms']:.2f} "
               f"refine={c['refine']} trust={c['trust']} "
-              f"synth={int(c['synth'])} sf={int(c['synthf'])} "
+              f"synth={int(c['synth'])} sf={c['synthf'] or 0} "
               f"tt={int(c['ttopt'])} "
               f"extent={c['extent']} "
               f"cns={int(c['consensus'])} k={c['top_k']} "

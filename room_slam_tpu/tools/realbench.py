@@ -116,16 +116,21 @@ def apply_operating_point(cached: dict, cell: dict,
             obj = so
 
     if cell.get("synthf"):
+        # True = v1 interior holes; "v2" adds boundary-notch + tall-BLOCK
+        # hypotheses (ops/refine.synthesize_furniture_v2)
+        from room_slam_tpu.ops.refine import synthesize_furniture_v2
+        sfn = (synthesize_furniture_v2 if cell["synthf"] == "v2"
+               else synthesize_furniture)
         Qb = boxes.shape[1]
         if obj is None:
             boxes, logits, _, nv = (np.asarray(a) if a is not None else None
                                     for a in jax.jit(jax.vmap(
-                lambda b, lg, r, n: synthesize_furniture(b, lg, None, r, n))
+                lambda b, lg, r, n: sfn(b, lg, None, r, n))
             )(jnp.asarray(boxes), jnp.asarray(logits),
               jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
         else:
             boxes, logits, obj, nv = (np.asarray(a) for a in jax.jit(
-                jax.vmap(lambda b, lg, o, r, n: synthesize_furniture(
+                jax.vmap(lambda b, lg, o, r, n: sfn(
                     b, lg, o, r, n))
             )(jnp.asarray(boxes), jnp.asarray(logits), jnp.asarray(obj),
               jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
@@ -442,11 +447,14 @@ def main():
     p.add_argument("--qscore", default="none",
                    help="learned-quality weight JSON (tools/qscore.py) "
                         "applied as conf_scale rescoring")
-    p.add_argument("--synthf", action="store_true",
+    p.add_argument("--synthf", nargs="?", const="v1", default=None,
+                   choices=["v1", "v2"],
                    help="inject hole-implied furniture candidates: "
-                        "interior unvisited components of the walk "
-                        "raster become extra LOW/MID candidates "
-                        "(ops/refine.synthesize_furniture)")
+                        "bare flag / 'v1' = interior unvisited components "
+                        "of the walk raster become extra LOW/MID "
+                        "candidates (ops/refine.synthesize_furniture); "
+                        "'v2' adds boundary-notch and tall-BLOCK "
+                        "hypotheses (synthesize_furniture_v2)")
     p.add_argument("--ycal", default="none",
                    help="seen-room Y-plane calibration: a colliders.json "
                         "path (the room the model trained on) or "
@@ -494,6 +502,19 @@ def main():
         if args.ttopt:
             cell["ttopt"] = (json.loads(args.ttopt_params)
                              if args.ttopt_params else True)
+        # post-process dimensions outside choose_cell's sweep grid merge
+        # into the calibrated cell exactly like fuse/ttopt/ycal — a
+        # requested flag must never be silently dropped
+        if args.soft != "none":
+            cell["soft"] = float(args.soft)
+        if args.support != "none":
+            cell["support"] = float(args.support)
+        if args.pen_beta != "none":
+            cell["pen_beta"] = float(args.pen_beta)
+        if args.synthf:
+            cell["synthf"] = args.synthf
+        if args.qscore != "none":
+            cell["qscore"] = args.qscore
         print(f"operating point from {args.calib_dir}: {cell}")
     else:
         cell = {"threshold": args.threshold, "nms": args.nms,
@@ -515,7 +536,7 @@ def main():
                 else float(args.pen_beta),
                 "soft": None if args.soft == "none"
                 else float(args.soft),
-                "synthf": args.synthf,
+                "synthf": args.synthf or False,
                 "qscore": None if args.qscore == "none" else args.qscore}
     if args.ycal != "none":
         if "," in args.ycal and not Path(args.ycal).exists():

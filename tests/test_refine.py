@@ -378,3 +378,92 @@ def test_apply_operating_point_ycal_cell():
     np.testing.assert_allclose(got[0][4], 3.43 + 0.49, atol=1e-4)
     np.testing.assert_allclose(got[2][1], 0.3, atol=1e-4)
     np.testing.assert_allclose(got[2][4], 0.8, atol=1e-4)
+
+
+def _notched_trace(seed=0, n=2600):
+    """Dense room walk with a 1.2 m-deep x 2 m-long notch at the x-max
+    wall (a wall-lined closet the walker traces around)."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    while len(pts) < n:
+        x, z = rng.uniform(-3, 3), rng.uniform(-3, 3)
+        if x > 1.8 and -1.0 < z < 1.0:
+            continue                          # the closet region
+        pts.append([x, -0.46, z, len(pts) * 0.03])
+    return np.asarray(pts, np.float32)
+
+
+def test_synthesize_furniture_v2_finds_the_notch():
+    from room_slam_tpu.ops.refine import synthesize_furniture_v2
+
+    raw = _notched_trace()
+    Q = 4
+    boxes = np.zeros((Q, 6), np.float32)
+    boxes[:, :3] = [[-3.5, 0.5, -3.5]] * Q     # far from the notch
+    boxes[:, 3:] = 0.4
+    logits = np.full((Q, 4), -2.0, np.float32)
+    # one tall-BLOCK row: the tall datum source (post-ycal wall span)
+    logits[0, 0] = 2.0
+    boxes[0, 1], boxes[0, 4] = 1.5, 3.9
+    # one MID row: the MID datum source
+    logits[1, 2] = 2.0
+    boxes[1, 1], boxes[1, 4] = 0.45, 0.9
+    logits[2:, 0] = 2.0
+    obj = np.zeros((Q,), np.float32)
+
+    ob, ol, oo, ov = synthesize_furniture_v2(
+        jnp.asarray(boxes), jnp.asarray(logits), jnp.asarray(obj),
+        jnp.asarray(raw), jnp.asarray(raw.shape[0]))
+    ob, ol, ov = np.asarray(ob), np.asarray(ol), np.asarray(ov)
+    assert ov[:Q].all()                        # model rows untouched
+    new = np.where(ov[Q:])[0] + Q
+    assert len(new) >= 2                       # tall + MID hypotheses
+    # at least one valid candidate on the closet (true center ~(2.4, 0))
+    d = np.hypot(ob[new, 0] - 2.4, ob[new, 2] - 0.0)
+    hits = new[d < 0.5]
+    assert len(hits) >= 2, ob[new]
+    classes = {int(np.argmax(ol[i])) for i in hits}
+    assert 0 in classes and 2 in classes       # BLOCK + MID hypotheses
+    tall = [i for i in hits if np.argmax(ol[i]) == 0]
+    # the tall hypothesis inherits the model's tall-BLOCK datum
+    np.testing.assert_allclose(
+        [ob[tall[0], 1], ob[tall[0], 4]], [1.5, 3.9], atol=1e-5)
+
+
+def test_synthesize_furniture_v2_no_notch_no_rows():
+    from room_slam_tpu.ops.refine import synthesize_furniture_v2
+
+    # uniform dense walk: no interior hole, no boundary notch
+    rng = np.random.default_rng(1)
+    pts = np.stack([rng.uniform(-3, 3, 2600),
+                    np.full(2600, -0.46),
+                    rng.uniform(-3, 3, 2600),
+                    np.arange(2600) * 0.03], -1).astype(np.float32)
+    Q = 3
+    boxes = np.zeros((Q, 6), np.float32)
+    boxes[:, 3:] = 0.4
+    logits = np.full((Q, 4), -2.0, np.float32)
+    logits[:, 0] = 2.0
+    ob, ol, oo, ov = synthesize_furniture_v2(
+        jnp.asarray(boxes), jnp.asarray(logits), None,
+        jnp.asarray(pts), jnp.asarray(pts.shape[0]))
+    assert not np.asarray(ov)[Q:].any()
+
+
+def test_synthesize_furniture_v2_notch_dup_gate():
+    from room_slam_tpu.ops.refine import synthesize_furniture_v2
+
+    raw = _notched_trace()
+    Q = 4
+    boxes = np.zeros((Q, 6), np.float32)
+    boxes[:, 3:] = 0.4
+    logits = np.full((Q, 4), -2.0, np.float32)
+    logits[:, 0] = 2.0
+    boxes[0] = [2.4, 1.5, 0.0, 1.2, 3.9, 2.0]  # model already has the closet
+    ob, ol, oo, ov = synthesize_furniture_v2(
+        jnp.asarray(boxes), jnp.asarray(logits), None,
+        jnp.asarray(raw), jnp.asarray(raw.shape[0]))
+    ob, ov = np.asarray(ob), np.asarray(ov)
+    new = np.where(ov[Q:])[0] + Q
+    d = np.hypot(ob[new, 0] - 2.4, ob[new, 2] - 0.0)
+    assert not (d < 0.35).any()                # dup-gated away
