@@ -530,6 +530,22 @@ def synthesize_furniture_v2(
     side_clear: float = 0.35,    # m: run depth must exceed the side's
                                  # typical standoff by this margin
     runs_per_side: int = 2,
+    face_tol: float = 0.22,      # m: max std of the indentation over a
+                                 # run — a solid forces a straight traced
+                                 # face, unexplored space is ragged
+    shoulder_drop: float = 0.35,  # m: at least one column adjacent to the
+                                  # run must reach this much closer to the
+                                  # wall (a real obstruction has a clear
+                                  # interior shoulder; an unexplored
+                                  # corner arc deepens smoothly)
+    side_max_standoff: float = 0.6,  # m: notches only fire on sides the
+                                     # walker actually hugs (median
+                                     # standoff below this) — circular /
+                                     # patrol walks that never approach a
+                                     # wall cannot evidence wall-lined
+                                     # furniture
+    notch_conf: float = 0.7,     # confidence discount on notch rows (they
+                                 # rank below the model's own candidates)
     tall_min_area: float = 0.6,  # m^2 band of interior holes that also get
     tall_max_area: float = 4.5,  # a wall-height BLOCK hypothesis
     max_area: float = 3.5,       # relaxed v1 hole band (bed ~3.0 m^2)
@@ -614,18 +630,25 @@ def synthesize_furniture_v2(
             jax.nn.one_hot(cls, logits.shape[-1], dtype=bool),
             jnp.max(src, axis=-1, keepdims=True) + 0.01, src)
 
-    # ---- stage 2: tall-BLOCK copies of the v1 hole rows
+    # ---- stage 2: tall-BLOCK copies of the v1 hole rows. GEOMETRY (y
+    # span) inherits from the tall-wall datum, but CONFIDENCE inherits
+    # from the furniture datum + the notch discount — an injected
+    # hypothesis must rank like a furniture candidate, never like the
+    # high-confidence wall row its height came from (measured on the
+    # blindness harness: wall-conf tall copies flood class-0 ranking).
     hole_rows = b1[Q:Q + k_new]                              # [k, 6]
     hole_valid = v1[Q:Q + k_new]
     hole_area = hole_rows[:, 3] * hole_rows[:, 5]
     tall_ok = (hole_valid & (hole_area >= tall_min_area)
                & (hole_area <= tall_max_area))
     tall_boxes = hole_rows.at[:, 1].set(cy_tall).at[:, 4].set(sy_tall)
-    src_tall = jnp.where(has_tall, i_tall, jnp.argmax(conf))
-    tall_logits = mk_logits(jnp.full((k_new,), src_tall), jnp.zeros(
+    src_mid = jnp.where(has_mid, i_mid, jnp.argmax(conf))
+    disc = jnp.float32(jnp.log(notch_conf))
+    tall_logits = mk_logits(jnp.full((k_new,), src_mid), jnp.zeros(
         (k_new,), jnp.int32))
     tall_obj = (None if objectness is None
-                else jnp.broadcast_to(objectness[src_tall], (k_new,)))
+                else jnp.broadcast_to(objectness[src_mid] + disc,
+                                      (k_new,)))
 
     # ---- stage 3: boundary notches
     x_min, x_max, z_min, z_max = trace_extent(raw, length)
@@ -665,17 +688,37 @@ def synthesize_furniture_v2(
         cnt = jax.ops.segment_sum(ones, seg, num_segments=n_seg)
         cnt = cnt.at[G].set(0.0)
         dsum = jax.ops.segment_sum(ones * indent, seg, num_segments=n_seg)
+        d2sum = jax.ops.segment_sum(ones * indent * indent, seg,
+                                    num_segments=n_seg)
         jmin = jax.ops.segment_min(
             jnp.where(mark, iidx, jnp.inf), seg, num_segments=n_seg)
         jmax = jax.ops.segment_max(
             jnp.where(mark, iidx, -jnp.inf), seg, num_segments=n_seg)
         top_cnt, top = jax.lax.top_k(cnt, runs_per_side)
         n = jnp.maximum(top_cnt, 1.0)
-        depth = dsum[top] / n
+        has_run = top_cnt > 0
         run_len = top_cnt * d_j
-        ok = (top_cnt > 0) & (run_len >= notch_run_min) & extent_ok
-        j_lo = jmin[top] * d_j
-        j_hi = (jmax[top] + 1.0) * d_j
+        # face-flatness evidence: a real solid forces the walker to trace
+        # a straight face (low per-run indentation std); unexplored space
+        # leaves a ragged boundary
+        mean_d = dsum[top] / n
+        var_d = jnp.maximum(d2sum[top] / n - mean_d * mean_d, 0.0)
+        flat = jnp.sqrt(var_d) <= face_tol
+        # shoulder contrast: the walker reached the wall on at least one
+        # side of the run (a closet has a clear interior shoulder; an
+        # unexplored corner arc just keeps deepening)
+        jm_lo = jnp.clip(jmin[top].astype(jnp.int32) - 1, 0, G - 1)
+        jm_hi = jnp.clip(jmax[top].astype(jnp.int32) + 1, 0, G - 1)
+        sh = jnp.minimum(indent[jm_lo], indent[jm_hi])
+        shoulder_ok = sh <= mean_d - shoulder_drop
+        hugs = side_med <= side_max_standoff
+        ok = (has_run & (run_len >= notch_run_min) & flat & shoulder_ok
+              & hugs & extent_ok)
+        # empty runs carry +/-inf extrema — sanitize so masked-off rows
+        # stay finite (NaN centers poison every downstream pairwise IoU)
+        depth = jnp.where(has_run, mean_d, 0.5)
+        j_lo = jnp.where(has_run, jmin[top] * d_j, 0.0)
+        j_hi = jnp.where(has_run, (jmax[top] + 1.0) * d_j, 0.3)
         return ok, depth, j_lo, j_hi, side_med
 
     # four orientations; map (depth, j-range) back to world XZ
@@ -716,6 +759,8 @@ def synthesize_furniture_v2(
         notch_parts.append((bx, ok))
     notch_fp = jnp.concatenate([p[0] for p in notch_parts])  # [4*R, 6]
     notch_ok = jnp.concatenate([p[1] for p in notch_parts])  # [4*R]
+    notch_fp = notch_fp.at[:, 3].set(jnp.clip(notch_fp[:, 3], 0.3, 3.0))
+    notch_fp = notch_fp.at[:, 5].set(jnp.clip(notch_fp[:, 5], 0.3, 4.0))
     R = notch_fp.shape[0]
 
     # dup gate vs existing NON-THIN predictions (a thin wall at the notch
@@ -726,17 +771,19 @@ def synthesize_furniture_v2(
     ndup = jnp.any((d2 < dup_dist ** 2) & nonthin[None, :], axis=1)
     notch_ok = notch_ok & ~ndup
 
-    # two hypotheses per notch: wall-height BLOCK and MID
+    # two hypotheses per notch: wall-height BLOCK and MID — both at
+    # furniture-datum confidence with the discount (see stage 2 note);
+    # for the low-sigmoid regime an additive log-discount multiplies the
+    # confidence by ~notch_conf
     nb_tall = notch_fp.at[:, 1].set(cy_tall).at[:, 4].set(sy_tall)
     nb_mid = notch_fp.at[:, 1].set(cy_mid).at[:, 4].set(sy_mid)
-    src_mid = jnp.where(has_mid, i_mid, jnp.argmax(conf))
-    nlog_tall = mk_logits(jnp.full((R,), src_tall),
+    nlog_tall = mk_logits(jnp.full((R,), src_mid),
                           jnp.zeros((R,), jnp.int32))
     nlog_mid = mk_logits(jnp.full((R,), src_mid),
                          jnp.full((R,), 2, jnp.int32))
     nobj = (None if objectness is None else jnp.concatenate(
-        [jnp.broadcast_to(objectness[src_tall], (R,)),
-         jnp.broadcast_to(objectness[src_mid], (R,))]))
+        [jnp.broadcast_to(objectness[src_mid] + disc, (R,)),
+         jnp.broadcast_to(objectness[src_mid] + disc, (R,))]))
 
     out_boxes = jnp.concatenate([b1, tall_boxes, nb_tall, nb_mid])
     out_logits = jnp.concatenate([lg1, tall_logits, nlog_tall, nlog_mid])

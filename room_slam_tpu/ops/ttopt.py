@@ -58,6 +58,19 @@ class TTOptParams(NamedTuple):
     body_above: float = 0.3   # ... and this far above (m)
     env_margin: float = 0.5   # allowed footprint distance beyond the extent
     att_sigma: float = 0.3    # contact kernel width (m)
+    w_att_faces: float = 0.0  # per-face gated contact attraction (round-5
+                              # localization lever; must earn its on). The
+                              # global w_att term was never adopted because
+                              # approach evidence is ANISOTROPIC: a box the
+                              # walker passes only on its south side must
+                              # not have its north face dragged south. Here
+                              # each XZ face is attracted only by trace
+                              # points in its own outward sector, toward
+                              # touching distance (= body_radius), and only
+                              # when the face's kernel-weighted contact
+                              # mass exceeds att_mass — unevidenced faces
+                              # feel nothing.
+    att_mass: float = 3.0     # min kernel-weighted contact mass per face
     deadband: float = 0.0     # per-box gate: the non-penetration force is
                               # OFF unless some trace point penetrates
                               # deeper than this (m). The real captures
@@ -146,11 +159,42 @@ def _physics_loss(dc, dls, boxes0, px, pz, valid, ygate, extent,
     loss_att = jnp.sum(jnp.sum(kw * a, axis=1)
                        / (jnp.sum(kw, axis=1) + 1e-6))
 
+    # --- per-face gated contact attraction (see TTOptParams.w_att_faces):
+    # face-sector points pull THEIR face to touching distance
+    # (body_radius); faces without enough contact mass are gated off
+    loss_att_f = 0.0
+    if p.w_att_faces > 0.0:
+        r = p.body_radius
+        band_z = (jnp.abs(pz[None, :] - cz[:, None])
+                  < hz[:, None] + p.att_sigma)
+        band_x = (jnp.abs(px[None, :] - cx[:, None])
+                  < hx[:, None] + p.att_sigma)
+
+        def face(a_signed, band):
+            # a_signed: outward distance beyond the face plane (>0 =
+            # outside on this face's side)
+            a = a_signed
+            kw_f = (jnp.exp(-0.5 * ((a - r) / p.att_sigma) ** 2)
+                    * w_pt * band * (a > 0))
+            mass = jnp.sum(jax.lax.stop_gradient(kw_f), axis=1)
+            gate = jax.lax.stop_gradient(
+                (mass > p.att_mass).astype(jnp.float32))
+            err = jnp.sum(jax.lax.stop_gradient(kw_f) * (a - r) ** 2,
+                          axis=1)
+            return gate * err / jnp.maximum(mass, 1e-6)
+
+        loss_att_f = jnp.sum(
+            face(px[None, :] - (cx[:, None] + hx[:, None]), band_z)
+            + face((cx[:, None] - hx[:, None]) - px[None, :], band_z)
+            + face(pz[None, :] - (cz[:, None] + hz[:, None]), band_x)
+            + face((cz[:, None] - hz[:, None]) - pz[None, :], band_x))
+
     # --- trust region: stay near the model's estimate
     loss_trust = jnp.sum(dc ** 2) + jnp.sum(dls ** 2)
 
     return (p.w_pen * loss_pen + p.w_env * loss_env
-            + p.w_att * loss_att + p.w_trust * loss_trust)
+            + p.w_att * loss_att + p.w_att_faces * loss_att_f
+            + p.w_trust * loss_trust)
 
 
 @partial(jax.jit, static_argnames=("params",))

@@ -13,6 +13,14 @@ dedicated split, adopt on the calibration split, score once.
       --data_dir .ckpts/splits/qs_train --tta \
       --output results/r4_qscore_weights.json
 
+Round-5 generalization (VERDICT r4 item 7 — the round-4 scorer was fit
+on one ensemble's own candidates and transferred only +0.005):
+``--spec specs.json`` pools candidates from MULTIPLE (checkpoint,
+data_dir) pairs — different training generations and synthetic
+generators — and ``--synthf v1|v2`` additionally appends the
+hole/notch-synthesized candidates (ops/refine.synthesize_furniture[_v2])
+to every pool so the scorer learns to rank injected hypotheses too.
+
 The weights JSON is consumed by ``calibrate --qscore`` /
 ``realbench --qscore`` (a ``conf_scale`` dimension like physics
 rescoring).
@@ -51,10 +59,18 @@ def iou_labels(cached: dict, iou_thresh: float = 0.25) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--checkpoint", required=True,
+    ap.add_argument("--checkpoint", default=None,
                     help="stem or comma-separated stems (candidate pool "
                          "matches the ensemble recipe)")
-    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--data_dir", default=None)
+    ap.add_argument("--spec", default=None,
+                    help="JSON file: list of {checkpoint, data_dir} pairs "
+                         "pooled into one training set (multi-generation "
+                         "fit); overrides --checkpoint/--data_dir")
+    ap.add_argument("--synthf", default=None, choices=["v1", "v2"],
+                    help="append hole/notch-synthesized candidates to "
+                         "every pool so the scorer learns to rank "
+                         "injected hypotheses")
     ap.add_argument("--tta", action="store_true")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--hidden", type=int, default=16)
@@ -77,25 +93,75 @@ def main():
                                           mlp_init)
     from room_slam_tpu.tools.calibrate import _forward_val_set
 
-    cached = _forward_val_set(args.checkpoint, args.data_dir,
-                              args.batch_size, tta=args.tta)
-    obj = cached.get("pred_objectness")
-    feats = np.asarray(jax.vmap(
-        lambda b, lg, o, r, n: candidate_features(b, lg, o, r, n)
-    )(jnp.asarray(cached["pred_boxes"]), jnp.asarray(cached["pred_logits"]),
-      None if obj is None else jnp.asarray(obj),
-      jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
-    y = iou_labels(cached, args.iou)
+    if args.spec:
+        specs = json.load(open(args.spec))
+    else:
+        if not (args.checkpoint and args.data_dir):
+            raise SystemExit("--checkpoint/--data_dir or --spec required")
+        specs = [{"checkpoint": args.checkpoint, "data_dir": d}
+                 for d in args.data_dir.split(",")]
 
-    B = feats.shape[0]
+    def synth_augment(cached):
+        """Append synthesized candidates (realbench's synthf step) so the
+        scorer sees injected rows at fit time; returns augmented arrays +
+        a validity mask (invalid synth slots never reach inference)."""
+        from room_slam_tpu.ops.refine import (synthesize_furniture,
+                                              synthesize_furniture_v2)
+
+        fn = (synthesize_furniture_v2 if args.synthf == "v2"
+              else synthesize_furniture)
+        obj = cached.get("pred_objectness")
+        out = dict(cached)
+        if obj is None:
+            b, lg, _, nv = jax.jit(jax.vmap(
+                lambda b, lg, r, n: fn(b, lg, None, r, n)))(
+                jnp.asarray(cached["pred_boxes"]),
+                jnp.asarray(cached["pred_logits"]),
+                jnp.asarray(cached["raw"]), jnp.asarray(cached["length"]))
+        else:
+            b, lg, ob, nv = jax.jit(jax.vmap(
+                lambda b, lg, o, r, n: fn(b, lg, o, r, n)))(
+                jnp.asarray(cached["pred_boxes"]),
+                jnp.asarray(cached["pred_logits"]), jnp.asarray(obj),
+                jnp.asarray(cached["raw"]), jnp.asarray(cached["length"]))
+            out["pred_objectness"] = np.asarray(ob)
+        out["pred_boxes"], out["pred_logits"] = np.asarray(b), np.asarray(lg)
+        return out, np.asarray(nv)
+
+    Xr, yr = [], []                      # per-room flattened arrays
+    for sp in specs:
+        cached = _forward_val_set(sp["checkpoint"], sp["data_dir"],
+                                  args.batch_size,
+                                  tta=sp.get("tta", args.tta))
+        if args.synthf:
+            cached, valid = synth_augment(cached)
+        else:
+            valid = np.ones(cached["pred_boxes"].shape[:2], bool)
+        obj = cached.get("pred_objectness")
+        feats = np.asarray(jax.vmap(
+            lambda b, lg, o, r, n: candidate_features(b, lg, o, r, n)
+        )(jnp.asarray(cached["pred_boxes"]),
+          jnp.asarray(cached["pred_logits"]),
+          None if obj is None else jnp.asarray(obj),
+          jnp.asarray(cached["raw"]), jnp.asarray(cached["length"])))
+        y = iou_labels(cached, args.iou)
+        for i in range(feats.shape[0]):
+            m = valid[i]
+            Xr.append(feats[i][m])
+            yr.append(y[i][m].astype(np.float32))
+        print(f"  spec {sp['data_dir']}: rooms {feats.shape[0]}, "
+              f"Q' {feats.shape[1]}")
+
+    B = len(Xr)
     rng = np.random.default_rng(args.seed)
     perm = rng.permutation(B)
     n_hold = max(int(B * args.holdout), 1)
     hold, tr = perm[:n_hold], perm[n_hold:]
-    Xtr = feats[tr].reshape(-1, feats.shape[-1])
-    ytr = y[tr].reshape(-1).astype(np.float32)
-    Xho = feats[hold].reshape(-1, feats.shape[-1])
-    yho = y[hold].reshape(-1).astype(np.float32)
+    Xtr = np.concatenate([Xr[i] for i in tr])
+    ytr = np.concatenate([yr[i] for i in tr])
+    Xho = np.concatenate([Xr[i] for i in hold])
+    yho = np.concatenate([yr[i] for i in hold])
+    feats = Xtr                          # feature width source below
     print(f"rooms {B} (fit {len(tr)} / report {len(hold)}), "
           f"candidates {len(ytr)}, positives {ytr.mean():.3f}")
 
@@ -158,8 +224,8 @@ def main():
     print(json.dumps(report, indent=1))
     out = {k: np.asarray(v).tolist() for k, v in params.items()}
     out["_meta"] = {"hidden": args.hidden, "iou": args.iou,
-                    "data_dir": args.data_dir, "tta": bool(args.tta),
-                    "checkpoint": args.checkpoint, "report": report}
+                    "specs": specs, "tta": bool(args.tta),
+                    "synthf": args.synthf, "report": report}
     with open(args.output, "w") as f:
         json.dump(out, f)
     print("wrote", args.output)

@@ -139,13 +139,34 @@ def apply_operating_point(cached: dict, cell: dict,
 
     if cell.get("ttopt"):
         # test-time trace-consistency adaptation of the candidate boxes
-        # (after refine/synth, before the extent mask — ops/ttopt.py)
-        tp = TTOptParams(**cell["ttopt"]) if isinstance(
-            cell.get("ttopt"), dict) else TTOptParams()
-        boxes = np.asarray(jax.jit(jax.vmap(
+        # (after refine/synth, before the extent mask — ops/ttopt.py).
+        # An "auto" key makes the lever deployable without knowing the
+        # room's memorization status: ttopt applies PER CAPTURE only when
+        # the model's own max candidate confidence falls below the
+        # threshold — memorized rooms read ~0.9, unseen rooms ~0.08
+        # (PARITY round-3 top-K note), and the threshold itself is
+        # calibrated from the SEEN room only (half its minimum capture
+        # confidence), so no unseen-room data enters the rule.
+        tcfg = dict(cell["ttopt"]) if isinstance(
+            cell.get("ttopt"), dict) else {}
+        tau = tcfg.pop("auto", None)
+        tp = TTOptParams(**tcfg)
+        adapted = np.asarray(jax.jit(jax.vmap(
             lambda b, r, n: adapt_boxes(b, r, n, tp)
         ))(jnp.asarray(boxes), jnp.asarray(cached["raw"]),
            jnp.asarray(cached["length"])))
+        if tau is None:
+            boxes = adapted
+        else:
+            probs = np.asarray(jax.nn.softmax(
+                jnp.asarray(cached["pred_logits"]), axis=-1))
+            conf = probs.max(-1)                         # [N, Q]
+            if cached.get("pred_objectness") is not None:
+                conf = conf / (1.0 + np.exp(
+                    -np.asarray(cached["pred_objectness"])))
+            sig = conf.max(-1)                           # [N] per capture
+            use = sig < float(tau)
+            boxes = np.where(use[:, None, None], adapted, boxes)
 
     ext = cell.get("extent")
     if ext is None:
