@@ -595,7 +595,8 @@ def synthesize_furniture_v2(
     (src/benchmark/inference.py:130-197).
 
     Returns (boxes [Q',6], logits [Q',C], objectness [Q'] or None,
-    valid [Q'] bool) with Q' = Q + k_new + k_new + 8*runs_per_side.
+    valid [Q'] bool) with Q' = Q + 3*k_new + 8*runs_per_side (v1 rows,
+    wall-height + chest-height BLOCK hole copies, notch tall+MID pairs).
     """
     Q = boxes.shape[0]
     G = grid
@@ -647,6 +648,24 @@ def synthesize_furniture_v2(
     tall_logits = mk_logits(jnp.full((k_new,), src_mid), jnp.zeros(
         (k_new,), jnp.int32))
     tall_obj = (None if objectness is None
+                else jnp.broadcast_to(objectness[src_mid] + disc,
+                                      (k_new,)))
+
+    # ---- stage 2b: chest-height BLOCK copies of the BIG v1 hole rows
+    # (beds: the real blind set's 2.74 x 1.13 x 1.08 interior BLOCK — a
+    # MID hypothesis fails same-class matching and a wall-height BLOCK
+    # fails y-IoU). y datum from the model's best low-BLOCK row, falling
+    # back to the bed prior (floor -0.5, height 1.12).
+    i_lblk, has_lblk = best_row((labels == 0) & (boxes[:, 4] > 0.6)
+                                & (boxes[:, 4] <= 1.8))
+    cy_lblk = jnp.where(has_lblk, boxes[i_lblk, 1], 0.06)
+    sy_lblk = jnp.where(has_lblk, boxes[i_lblk, 4], 1.12)
+    lblk_ok = hole_valid & (hole_area >= 1.2) & (hole_area
+                                                 <= tall_max_area)
+    lblk_boxes = hole_rows.at[:, 1].set(cy_lblk).at[:, 4].set(sy_lblk)
+    lblk_logits = mk_logits(jnp.full((k_new,), src_mid), jnp.zeros(
+        (k_new,), jnp.int32))
+    lblk_obj = (None if objectness is None
                 else jnp.broadcast_to(objectness[src_mid] + disc,
                                       (k_new,)))
 
@@ -785,11 +804,13 @@ def synthesize_furniture_v2(
         [jnp.broadcast_to(objectness[src_mid] + disc, (R,)),
          jnp.broadcast_to(objectness[src_mid] + disc, (R,))]))
 
-    out_boxes = jnp.concatenate([b1, tall_boxes, nb_tall, nb_mid])
-    out_logits = jnp.concatenate([lg1, tall_logits, nlog_tall, nlog_mid])
+    out_boxes = jnp.concatenate(
+        [b1, tall_boxes, lblk_boxes, nb_tall, nb_mid])
+    out_logits = jnp.concatenate(
+        [lg1, tall_logits, lblk_logits, nlog_tall, nlog_mid])
     out_obj = (None if objectness is None
-               else jnp.concatenate([ob1, tall_obj, nobj]))
-    valid = jnp.concatenate([v1, tall_ok, notch_ok, notch_ok])
+               else jnp.concatenate([ob1, tall_obj, lblk_obj, nobj]))
+    valid = jnp.concatenate([v1, tall_ok, lblk_ok, notch_ok, notch_ok])
     return out_boxes, out_logits, out_obj, valid
 
 

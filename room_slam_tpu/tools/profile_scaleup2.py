@@ -151,8 +151,11 @@ def main():
         akey, dkey = jax.random.split(key)
         feats, mask, targets = front(i, akey)
         g = jax.grad(loss_fn)(params, feats, mask, targets, dkey)
+        # consume EVERY grad leaf: reducing only a subset lets XLA
+        # dead-code-eliminate the other layers' dW einsums and the row
+        # undercounts the backward
         return sum(jnp.sum(jnp.abs(v)) for v in
-                   jax.tree_util.tree_leaves(g)[:2])
+                   jax.tree_util.tree_leaves(g))
 
     def body_fwd_loss(i, key):
         akey, dkey = jax.random.split(key)
@@ -169,7 +172,7 @@ def main():
         feats, mask, _ = front(i, akey)
         g = jax.grad(out_sum_fn)(params, feats, mask, dkey)
         return sum(jnp.sum(jnp.abs(v)) for v in
-                   jax.tree_util.tree_leaves(g)[:2])
+                   jax.tree_util.tree_leaves(g))
 
     def body_front(i, key):
         feats, mask, _ = front(i, key)

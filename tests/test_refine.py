@@ -467,3 +467,40 @@ def test_synthesize_furniture_v2_notch_dup_gate():
     new = np.where(ov[Q:])[0] + Q
     d = np.hypot(ob[new, 0] - 2.4, ob[new, 2] - 0.0)
     assert not (d < 0.35).any()                # dup-gated away
+
+
+def test_apply_operating_point_ycal_synthf_v2_cell():
+    """realbench cell plumbing: ycal + synthf='v2' compose — the snap runs
+    first, synthesized tall hypotheses inherit calibrated heights via the
+    wall datum, and notch candidates appear in the kept set."""
+    from room_slam_tpu.tools.realbench import apply_operating_point
+
+    raw = _notched_trace()
+    Q = 4
+    boxes = np.zeros((1, Q, 6), np.float32)
+    boxes[0, :, :3] = [[-3.5, 0.5, -3.5]] * Q
+    boxes[0, :, 3:] = 0.4
+    logits = np.full((1, Q, 4), -4.0, np.float32)
+    # a confident tall wall (short y, to be ycal-snapped -> tall datum)
+    boxes[0, 0] = [3.2, 0.8, 0.0, 0.12, 2.6, 6.0]
+    logits[0, 0, 0] = 4.0
+    # a confident MID candidate (datum + confidence source)
+    boxes[0, 1] = [-2.0, 0.3, -2.0, 1.0, 0.8, 0.8]
+    logits[0, 1, 2] = 4.0
+    cached = {"pred_boxes": boxes, "pred_logits": logits,
+              "raw": raw[None], "length": np.array([raw.shape[0]])}
+    dets = apply_operating_point(
+        cached, {"threshold": 0.0, "nms": 0.3, "synthf": "v2",
+                 "ycal": [-0.49, 3.43]})
+    bx = np.asarray(dets["boxes"])
+    lb = np.asarray(dets["labels"])
+    # some kept candidate sits on the notch (true center ~(2.4, 0))
+    d = np.hypot(bx[:, 0] - 2.4, bx[:, 2] - 0.0)
+    hit = d < 0.5
+    assert hit.any(), bx
+    # at least one notch hypothesis is a tall BLOCK at the CALIBRATED
+    # span (inherited from the ycal-snapped wall datum)
+    tall = hit & (lb == 0) & (bx[:, 4] > 3.0)
+    assert tall.any(), bx[hit]
+    np.testing.assert_allclose(bx[tall][0][1], (-0.49 + 3.43) / 2,
+                               atol=1e-4)
