@@ -622,3 +622,269 @@ def bigru_recurrence_pallas(
     ysf, ysb = _bigru_core(xg_f, jnp.flip(xg_b, axis=1),
                            w_f, b_f, w_b, b_b, interpret)
     return ysf, jnp.flip(ysb, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused BiGRU LAYER VJP (round 5): the backward kernel also computes
+# the INPUT-SIDE gradients — dX projections (dxg @ W_ih^T) per timestep and
+# the dW_ih / dW_hh / bias accumulations — so the gate-cotangent stream
+# dxg [N, B, 3H] never round-trips HBM and the post-kernel einsums
+# disappear. Motivation (results/r5_scaleup_profile.json): the scale-up
+# step's backward is 108 of 165 ms; the BPTT walk itself runs at its
+# ~12 ms HBM+FLOP floor, and most of the rest is the dX matmuls + dW
+# einsums re-reading the kernel's outputs. Inside the kernel those dots
+# issue in the VLIW slots the serial dh-chain leaves idle (measured MXU
+# occupancy of the walk ~22%), so the work largely hides under the
+# latency floor that cannot be removed. dW/db accumulate in f32 VMEM
+# blocks with constant index maps (TPU grids run sequentially, so the
+# block stays resident and read-modify-write is the standard reduction
+# pattern). Numerics match the unfused path: dxg crosses to the dots in
+# the stream dtype exactly as the old HBM round-trip stored it.
+# ---------------------------------------------------------------------------
+
+
+def _bigru_bwd_fused_kernel(
+        wtf_ref, wtb_ref, wxtf_ref, wxtb_ref,
+        gf_ref, hnf_ref, hpf_ref, dyf_ref,
+        gb_ref, hnb_ref, hpb_ref, dyb_ref,
+        xf_ref, xb_ref,
+        dxf_ref, dxb_ref,
+        dwhf_ref, dwhb_ref, dwxf_ref, dwxb_ref,
+        dbif_ref, dbib_ref, dbhf_ref, dbhb_ref,
+        dhf_s, dhb_s, *, chunk: int, hidden: int):
+    b_step = pl.program_id(0)
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _():
+        dhf_s[:] = jnp.zeros_like(dhf_s)
+        dhb_s[:] = jnp.zeros_like(dhb_s)
+
+    @pl.when((b_step == 0) & (t_step == 0))
+    def _():
+        for r in (dwhf_ref, dwhb_ref, dwxf_ref, dwxb_ref,
+                  dbif_ref, dbib_ref, dbhf_ref, dbhb_ref):
+            r[...] = jnp.zeros_like(r)
+
+    H = hidden
+
+    def coefs(g_ref, hn_ref2, hp_ref2):
+        def _sl(i):
+            return g_ref[:][..., i * H:(i + 1) * H].astype(jnp.float32)
+
+        r, z, n = _sl(0), _sl(1), _sl(2)
+        a = (1.0 - z) * (1.0 - n * n)
+        return jnp.concatenate([
+            a * hn_ref2[:].astype(jnp.float32) * r * (1.0 - r),
+            (hp_ref2[:].astype(jnp.float32) - n) * z * (1.0 - z),
+            a,
+        ], axis=-1).astype(g_ref.dtype)
+
+    cf = coefs(gf_ref, hnf_ref, hpf_ref)
+    cb = coefs(gb_ref, hnb_ref, hpb_ref)
+    wtf, wtb = wtf_ref[:], wtb_ref[:]
+    wxtf, wxtb = wxtf_ref[:], wxtb_ref[:]
+    sd = gf_ref.dtype                              # stream dtype
+
+    def acc(ref, val):
+        ref[...] += val
+
+    for t in range(chunk - 1, -1, -1):
+        dhf_t = dyf_ref[t].astype(jnp.float32) + dhf_s[:]
+        dhb_t = dyb_ref[t].astype(jnp.float32) + dhb_s[:]
+        dxf3 = jnp.concatenate(
+            [dhf_t, dhf_t, dhf_t], axis=-1) * cf[t].astype(jnp.float32)
+        dxb3 = jnp.concatenate(
+            [dhb_t, dhb_t, dhb_t], axis=-1) * cb[t].astype(jnp.float32)
+        dhnf = dxf3[:, 2 * H:] * gf_ref[t][:, :H].astype(jnp.float32)
+        dhnb = dxb3[:, 2 * H:] * gb_ref[t][:, :H].astype(jnp.float32)
+        dgf = jnp.concatenate([dxf3[:, :2 * H], dhnf], axis=-1)
+        dgb = jnp.concatenate([dxb3[:, :2 * H], dhnb], axis=-1)
+        # stream-dtype crossings: identical rounding to the unfused path,
+        # where dxg/dg were stored to HBM in the stream dtype before the
+        # dX matmul and dW einsums consumed them
+        dxf3_s = dxf3.astype(sd)
+        dxb3_s = dxb3.astype(sd)
+        dgf_s = dgf.astype(sd)
+        dgb_s = dgb.astype(sd)
+        # input-side gradients, off the dependence chain (nothing below
+        # consumes them) — they fill the MXU while the dh chain stalls
+        dxf_ref[t] = jnp.dot(
+            dxf3_s, wxtf, preferred_element_type=jnp.float32).astype(
+                dxf_ref.dtype)
+        dxb_ref[t] = jnp.dot(
+            dxb3_s, wxtb, preferred_element_type=jnp.float32).astype(
+                dxb_ref.dtype)
+        dims = (((0,), (0,)), ((), ()))            # contract the batch dim
+        acc(dwhf_ref, jax.lax.dot_general(
+            hpf_ref[t], dgf_s, dims, preferred_element_type=jnp.float32))
+        acc(dwhb_ref, jax.lax.dot_general(
+            hpb_ref[t], dgb_s, dims, preferred_element_type=jnp.float32))
+        acc(dwxf_ref, jax.lax.dot_general(
+            xf_ref[t], dxf3_s, dims, preferred_element_type=jnp.float32))
+        acc(dwxb_ref, jax.lax.dot_general(
+            xb_ref[t], dxb3_s, dims, preferred_element_type=jnp.float32))
+        acc(dbif_ref, jnp.sum(dxf3, axis=0, keepdims=True))
+        acc(dbib_ref, jnp.sum(dxb3, axis=0, keepdims=True))
+        acc(dbhf_ref, jnp.sum(dgf, axis=0, keepdims=True))
+        acc(dbhb_ref, jnp.sum(dgb, axis=0, keepdims=True))
+        # the serial chain
+        dhf_s[:] = dhf_t * gf_ref[t][:, H:2 * H].astype(jnp.float32) \
+            + jnp.dot(dgf_s, wtf, preferred_element_type=jnp.float32)
+        dhb_s[:] = dhb_t * gb_ref[t][:, H:2 * H].astype(jnp.float32) \
+            + jnp.dot(dgb_s, wtb, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _bigru_bwd_fused_pallas(w_f, w_b, wx_f, wx_b,
+                            gf, hnf, hpf, dyf, gb, hnb, hpb, dyb,
+                            x_t, xb_t,
+                            interpret: bool = False,
+                            tile: Optional[Tuple[int, int]] = None):
+    """Fused reverse-time BPTT + input-side gradients for both directions.
+
+    Activation args time-major [N, B, *] (``xb_t`` pre-flipped);
+    dyf/dyb batch-major [B, N, H]. Returns (dxf_t, dxb_t) [N, B, D] and
+    the eight weight/bias gradient accumulators (f32).
+    """
+    N0, B, H = hnf.shape
+    H3 = 3 * H
+    D = x_t.shape[-1]
+    HD = -(-D // H)                     # D in H-sized column units
+    # streams per direction: gates 3H + hn/hp/dy 3H + coefs 3H/2 + x ~HD*H
+    # + dx out ~HD*H
+    cols = 2 * (2 * H3 + 2 * H + (3 * H) // 2 + 2 * HD * H)
+    fixed = (2 * w_f.size * max(w_f.dtype.itemsize, hnf.dtype.itemsize)
+             + 2 * wx_f.size * hnf.dtype.itemsize
+             + 2 * (H * H3 + D * H3 + 2 * H3) * 4)   # f32 accumulators
+    bb, chunk = tile or _tile_plan(B, cols, hnf.dtype.itemsize, fixed)
+    pads = [_pad_tm(a, chunk, bb) for a in (gf, hnf, hpf)]
+    padsb = [_pad_tm(a, chunk, bb) for a in (gb, hnb, hpb)]
+    dyf = _pad_tm(jnp.swapaxes(dyf, 0, 1).astype(hnf.dtype), chunk, bb)
+    dyb = _pad_tm(jnp.swapaxes(dyb, 0, 1).astype(hnf.dtype), chunk, bb)
+    x_p = _pad_tm(x_t, chunk, bb)
+    xb_p = _pad_tm(xb_t, chunk, bb)
+    N, Bp = pads[0].shape[0], pads[0].shape[1]
+    nc = N // chunk
+    rev = lambda b, i: (nc - 1 - i, b, 0)  # noqa: E731
+    zero2 = lambda b, i: (0, 0)            # noqa: E731
+
+    kernel = functools.partial(_bigru_bwd_fused_kernel, chunk=chunk,
+                               hidden=H)
+    sd = hnf.dtype
+    wspec = pl.BlockSpec((H3, H), zero2, memory_space=pltpu.VMEM)
+    wxspec = pl.BlockSpec((H3, D), zero2, memory_space=pltpu.VMEM)
+    g3 = pl.BlockSpec((chunk, bb, H3), rev, memory_space=pltpu.VMEM)
+    g1 = pl.BlockSpec((chunk, bb, H), rev, memory_space=pltpu.VMEM)
+    gx = pl.BlockSpec((chunk, bb, D), rev, memory_space=pltpu.VMEM)
+    awh = pl.BlockSpec((H, H3), zero2, memory_space=pltpu.VMEM)
+    awx = pl.BlockSpec((D, H3), zero2, memory_space=pltpu.VMEM)
+    ab = pl.BlockSpec((1, H3), zero2, memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // bb, nc),
+        in_specs=[wspec, wspec, wxspec, wxspec,
+                  g3, g1, g1, g1, g3, g1, g1, g1, gx, gx],
+        out_specs=[gx, gx, awh, awh, awx, awx, ab, ab, ab, ab],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Bp, D), sd),
+            jax.ShapeDtypeStruct((N, Bp, D), sd),
+            jax.ShapeDtypeStruct((H, H3), f32),
+            jax.ShapeDtypeStruct((H, H3), f32),
+            jax.ShapeDtypeStruct((D, H3), f32),
+            jax.ShapeDtypeStruct((D, H3), f32),
+            jax.ShapeDtypeStruct((1, H3), f32),
+            jax.ShapeDtypeStruct((1, H3), f32),
+            jax.ShapeDtypeStruct((1, H3), f32),
+            jax.ShapeDtypeStruct((1, H3), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32),
+                        pltpu.VMEM((bb, H), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(w_f.T).astype(sd), jnp.asarray(w_b.T).astype(sd),
+      jnp.asarray(wx_f.T).astype(sd), jnp.asarray(wx_b.T).astype(sd),
+      pads[0], pads[1], pads[2], dyf,
+      padsb[0], padsb[1], padsb[2], dyb, x_p, xb_p)
+    (dxf, dxb, dwhf, dwhb, dwxf, dwxb,
+     dbif, dbib, dbhf, dbhb) = outs
+    return (dxf[:N0, :B], dxb[:N0, :B], dwhf, dwhb, dwxf, dwxb,
+            dbif[0], dbib[0], dbhf[0], dbhb[0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _bigru_layer_core(x, wih_f, bih_f, whh_f, bhh_f,
+                      wih_b, bih_b, whh_b, bhh_b,
+                      interpret: bool = False):
+    """One BiGRU layer (gate matmuls + fused recurrence) with a VJP that
+    runs the fully-fused backward kernel. ``x`` is the layer input in the
+    STREAM dtype [B, N, D]; weights stay in their parameter dtype.
+    Returns (ys_fwd, ys_bwd) batch-major, original time order."""
+    sd = x.dtype
+    xg_f = x @ wih_f.astype(sd) + bih_f.astype(sd)
+    xg_b = jnp.flip(x, axis=1) @ wih_b.astype(sd) + bih_b.astype(sd)
+    ysf, ysb, *_ = _bigru_fwd_pallas(xg_f, xg_b, whh_f, bhh_f, whh_b,
+                                     bhh_b, interpret,
+                                     save_residuals=False)
+    return ysf, jnp.flip(ysb, axis=1)
+
+
+def _bigru_layer_core_fwd(x, wih_f, bih_f, whh_f, bhh_f,
+                          wih_b, bih_b, whh_b, bhh_b, interpret):
+    sd = x.dtype
+    xg_f = x @ wih_f.astype(sd) + bih_f.astype(sd)
+    xg_b = jnp.flip(x, axis=1) @ wih_b.astype(sd) + bih_b.astype(sd)
+    ysf_t, ysb_t, gf, hnf, gb, hnb = _bigru_fwd_pallas(
+        xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, interpret,
+        save_residuals=True, ys_time_major=True)
+    outs = (jnp.swapaxes(ysf_t, 0, 1),
+            jnp.flip(jnp.swapaxes(ysb_t, 0, 1), axis=1))
+    res = (x, wih_f, whh_f, wih_b, whh_b, ysf_t, ysb_t, gf, hnf, gb, hnb)
+    return outs, res
+
+
+def _bigru_layer_core_bwd(interpret, res, dys):
+    x, wih_f, whh_f, wih_b, whh_b, ysf_t, ysb_t, gf, hnf, gb, hnb = res
+    dyf, dyb_unflipped = dys
+    dyb = jnp.flip(dyb_unflipped, axis=1)          # back to kernel time
+    N, B, H = ysf_t.shape
+
+    def hprev(ys_t):
+        return jnp.concatenate(
+            [jnp.zeros((1, B, H), ys_t.dtype), ys_t[:-1]], axis=0)
+
+    x_t = jnp.swapaxes(x, 0, 1)                    # [N, B, D] stream dtype
+    xb_t = jnp.flip(x_t, axis=0)
+    (dxf_t, dxb_t, dwhf, dwhb, dwxf, dwxb,
+     dbif, dbib, dbhf, dbhb) = _bigru_bwd_fused_pallas(
+        whh_f, whh_b, wih_f, wih_b, gf, hnf, hprev(ysf_t), dyf,
+        gb, hnb, hprev(ysb_t), dyb, x_t, xb_t, interpret=interpret)
+    dx = (jnp.swapaxes(dxf_t, 0, 1)
+          + jnp.flip(jnp.swapaxes(dxb_t, 0, 1), axis=1)).astype(x.dtype)
+    pd = wih_f.dtype
+    return (dx,
+            dwxf.astype(pd), dbif.astype(pd),
+            dwhf.astype(pd), dbhf.astype(pd),
+            dwxb.astype(pd), dbib.astype(pd),
+            dwhb.astype(pd), dbhb.astype(pd))
+
+
+_bigru_layer_core.defvjp(_bigru_layer_core_fwd, _bigru_layer_core_bwd)
+
+
+def bigru_layer_pallas(
+    x: jnp.ndarray,
+    wih_f: jnp.ndarray, bih_f: jnp.ndarray,
+    whh_f: jnp.ndarray, bhh_f: jnp.ndarray,
+    wih_b: jnp.ndarray, bih_b: jnp.ndarray,
+    whh_b: jnp.ndarray, bhh_b: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Full BiGRU layer (both gate matmuls + fused bidirectional
+    recurrence) with the fully-fused backward kernel. ``x`` must already
+    be in the stream dtype. Returns concat([ys_fwd, ys_bwd], -1)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ysf, ysb = _bigru_layer_core(x, wih_f, bih_f, whh_f, bhh_f,
+                                 wih_b, bih_b, whh_b, bhh_b, interpret)
+    return jnp.concatenate([ysf, ysb], axis=-1)

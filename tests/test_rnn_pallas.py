@@ -268,3 +268,75 @@ def test_bilstm_fused_parity(rng):
     for i, (a, b) in enumerate(zip(g_ref, g_fus)):
         rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
         assert rel < 1e-4, (i, rel)
+
+
+def test_bigru_layer_fused_vjp_parity(rng):
+    """Fully-fused LAYER VJP (gate matmuls + recurrence + in-kernel
+    dX/dW/db) == the composed reference, forward and all nine gradients
+    (interpret mode, f32)."""
+    from room_slam_tpu.ops.gru_pallas import bigru_layer_pallas
+
+    B, N, H, D = 3, 53, 16, 24
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5)
+    ws = {}
+    for d in ("f", "b"):
+        ws[f"wih_{d}"] = jnp.asarray(
+            rng.normal(size=(D, 3 * H)).astype(np.float32) * 0.1)
+        ws[f"bih_{d}"] = jnp.asarray(
+            rng.normal(size=(3 * H,)).astype(np.float32) * 0.1)
+        ws[f"whh_{d}"] = jnp.asarray(
+            rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.1)
+        ws[f"bhh_{d}"] = jnp.asarray(
+            rng.normal(size=(3 * H,)).astype(np.float32) * 0.1)
+    args = (x, ws["wih_f"], ws["bih_f"], ws["whh_f"], ws["bhh_f"],
+            ws["wih_b"], ws["bih_b"], ws["whh_b"], ws["bhh_b"])
+
+    def ref(x, wif, bif, whf, bhf, wib, bib, whb, bhb):
+        a = gru_recurrence_scan(x @ wif + bif, whf, bhf, reverse=False)
+        b = gru_recurrence_scan(x @ wib + bib, whb, bhb, reverse=True)
+        return jnp.concatenate([a, b], axis=-1)
+
+    def fused(*a):
+        return bigru_layer_pallas(*a, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(fused(*args)),
+                               np.asarray(ref(*args)),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    argnums = tuple(range(9))
+    g_ref = jax.grad(loss(ref), argnums)(*args)
+    g_fus = jax.grad(loss(fused), argnums)(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_fus)):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+        assert rel < 1e-4, (i, rel)
+
+
+def test_bigru_layer_fused_vjp_bf16(rng):
+    """bf16-stream mode of the fused layer: outputs and grads track the
+    f32 reference to bf16 resolution."""
+    from room_slam_tpu.ops.gru_pallas import bigru_layer_pallas
+
+    B, N, H, D = 2, 40, 16, 16
+    x32 = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5)
+    wif = jnp.asarray(rng.normal(size=(D, 3 * H)).astype(np.float32) * .1)
+    bif = jnp.zeros((3 * H,), jnp.float32)
+    whf = jnp.asarray(rng.normal(size=(H, 3 * H)).astype(np.float32) * .1)
+    bhf = jnp.zeros((3 * H,), jnp.float32)
+
+    def ref(x):
+        a = gru_recurrence_scan(x @ wif + bif, whf, bhf, reverse=False)
+        b = gru_recurrence_scan(x @ wif + bif, whf, bhf, reverse=True)
+        return jnp.sum(jnp.sin(jnp.concatenate([a, b], -1)))
+
+    def fused(x):
+        return jnp.sum(jnp.sin(bigru_layer_pallas(
+            x.astype(jnp.bfloat16), wif, bif, whf, bhf,
+            wif, bif, whf, bhf, interpret=True).astype(jnp.float32)))
+
+    g_ref = jax.grad(ref)(x32)
+    g_fus = jax.grad(fused)(x32)
+    rel = float(jnp.abs(g_ref - g_fus).max() / (jnp.abs(g_ref).max()))
+    assert rel < 0.08, rel
