@@ -170,6 +170,11 @@ class TrainConfig:
     # scale-relative |log(pred_size/gt_size)| weight (0.0 = reference loss
     # exactly); absolute L1 under-penalizes small-furniture size errors
     size_log_weight: float = 0.0
+    # candidate-coverage weight (round-5): pull the nearest UNMATCHED query
+    # toward every GT box so each object trains a redundant second
+    # candidate (ops/losses.set_criterion coverage_loss). Targets the
+    # measured zero-shot frontier — unseen-furniture candidate generation.
+    coverage_weight: float = 0.0
     # weight of the switch-MoE load-balance auxiliary loss when
     # model.moe_experts > 0 (Switch Transformer's alpha, arXiv:2101.03961
     # uses 0.01); the trainer collects the per-layer sowed terms via

@@ -182,6 +182,33 @@ def set_criterion(
                     * loss_weights["giou_loss"])
         out["aux_loss"] = aux_loss
         total = total + aw * aux_loss
+    # optional candidate-coverage loss (round-5 lever): pull the nearest
+    # UNMATCHED query toward every valid GT box, so each object attracts a
+    # second, redundant candidate. Motivation: the measured zero-shot
+    # frontier is candidate GENERATION — 34/56 unseen-room furniture GT
+    # draw no candidate at IoU >= 0.10 while post-hoc selection is already
+    # at its pooled-candidate ceiling (results/r4_B_zeroshot_diagnosis_*;
+    # VERDICT round-4 item 2). One Hungarian match per GT trains exactly
+    # one query per object; this term trains query REDUNDANCY, widening
+    # how many queries participate in furniture detection. Matched slots
+    # are excluded (the runner-up always comes from the free pool, so the
+    # term never fights the main matched losses). Off (0.0) reproduces the
+    # adopted loss exactly.
+    cw = loss_weights.get("coverage_loss", 0.0)
+    if cw:
+        # [B, Q] indicator: query slot matched to any valid GT
+        matched_slot = jax.vmap(
+            lambda r, v: jnp.zeros((Q,), dtype=bool).at[r].max(v))(
+            rows, matched)
+        d = jnp.mean(jnp.abs(pred_boxes[:, :, None, :]
+                             - gt_boxes[:, None, :, :]), axis=-1)  # [B,Q,M]
+        d = jnp.where(matched_slot[:, :, None], jnp.inf, d)
+        runner = jnp.min(d, axis=1)                                # [B, M]
+        # a batch row with all queries matched (Q <= #GT) would leave inf
+        runner = jnp.where(jnp.isfinite(runner), runner, 0.0)
+        coverage_loss = _weighted_mean(runner, pair_w)
+        out["coverage_loss"] = coverage_loss
+        total = total + cw * coverage_loss
     if "pred_objectness" in outputs:
         obj_logits = outputs["pred_objectness"]  # [B, Q]
         if loss_weights.get("objectness_iou", 0.0):

@@ -192,6 +192,7 @@ def _loss_weight_dict(cfg: ExperimentConfig) -> Dict[str, float]:
         "objectness_iou": 1.0 if cfg.train.objectness_iou else 0.0,
         "size_log_loss": cfg.train.size_log_weight,
         "aux_loss": cfg.train.aux_weight,
+        "coverage_loss": cfg.train.coverage_weight,
     }
 
 

@@ -283,3 +283,45 @@ def test_objectness_iou_soft_target(rng):
     assert float(out_hard_t["objectness_loss"]) < 1e-6
     # IoU target: the ~0.35-IoU slot's saturated logit now costs real loss
     assert float(out_soft_t["objectness_loss"]) > 1.0
+
+
+def test_coverage_loss_pulls_nearest_unmatched(rng):
+    """coverage_loss (round-5 candidate-diversity lever): equals the
+    nearest-UNMATCHED-query box L1 per GT; matched slots are excluded; 0
+    weight reproduces the adopted loss exactly."""
+    from room_slam_tpu.ops.losses import match
+
+    pb, pl, gb, gl, gv = _random_problem(rng, B=3)
+    outputs = {"pred_boxes": jnp.asarray(pb), "pred_classes": jnp.asarray(pl)}
+    targets = {"boxes": jnp.asarray(gb), "labels": jnp.asarray(gl),
+               "valid_mask": jnp.asarray(gv)}
+    lw = {"class_loss": 2.0, "l1_loss": 5.0, "giou_loss": 2.0}
+
+    base = set_criterion(outputs, targets, loss_weights=lw)
+    cov = set_criterion(outputs, targets,
+                        loss_weights={**lw, "coverage_loss": 0.7})
+    # off == adopted loss; on adds exactly 0.7 * coverage_loss
+    assert "coverage_loss" not in base
+    np.testing.assert_allclose(
+        float(cov["total_loss"]),
+        float(base["total_loss"]) + 0.7 * float(cov["coverage_loss"]),
+        rtol=1e-6)
+
+    # hand-computed expectation
+    rows, matched = match(outputs["pred_boxes"], outputs["pred_classes"],
+                          targets["boxes"], targets["labels"],
+                          targets["valid_mask"])
+    rows, matched = np.asarray(rows), np.asarray(matched)
+    expected, weights = [], []
+    for b in range(pb.shape[0]):
+        matched_slots = set(rows[b][matched[b]].tolist())
+        for m in range(gb.shape[1]):
+            if not gv[b, m]:
+                continue
+            ds = [np.abs(pb[b, q] - gb[b, m]).mean()
+                  for q in range(pb.shape[1]) if q not in matched_slots]
+            expected.append(min(ds))
+            weights.append(1.0)
+    np.testing.assert_allclose(
+        float(cov["coverage_loss"]),
+        np.average(expected, weights=weights), rtol=1e-5)
