@@ -882,7 +882,16 @@ def bigru_layer_pallas(
 ) -> jnp.ndarray:
     """Full BiGRU layer (both gate matmuls + fused bidirectional
     recurrence) with the fully-fused backward kernel. ``x`` must already
-    be in the stream dtype. Returns concat([ys_fwd, ys_bwd], -1)."""
+    be in the stream dtype. Returns concat([ys_fwd, ys_bwd], -1).
+
+    MEASURED NEGATIVE at the production scale-up shape and NOT adopted:
+    the round-5 A/B (results/r5_fused_layer_ab.json, B=128 N=5000 H=256
+    D=512 bf16) reads 71.0 ms/layer-fwdbwd vs 61.4 for the unfused path
+    (gate matmuls left to XLA + bigru_recurrence_pallas) — computing the
+    dX/dW matmul family inside the serial dh-chain kernel is 15.6% slower
+    than XLA's own batched MXU einsums. Kept in-tree, parity-tested
+    (tests/test_rnn_pallas.py), as the measured answer to "fuse the whole
+    layer": don't."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ysf, ysb = _bigru_layer_core(x, wih_f, bih_f, whh_f, bhh_f,

@@ -71,6 +71,25 @@ class TTOptParams(NamedTuple):
                               # mass exceeds att_mass — unevidenced faces
                               # feel nothing.
     att_mass: float = 3.0     # min kernel-weighted contact mass per face
+    w_att_min: float = 0.0    # per-face NEAREST-APPROACH attraction
+                              # (round-5, second design). The kernel-mean
+                              # form (w_att_faces) measured strongly
+                              # negative on calibration: it drags every
+                              # face toward the kernel-weighted MEAN of
+                              # its sector points, i.e. toward trace
+                              # clusters, even when the face is already
+                              # correct. The physics only pins the
+                              # CLOSEST pass: a walker's sensor cannot
+                              # come nearer than body_radius to a solid
+                              # face, and a dwell that grazes a face
+                              # marks touching. So this term pulls a face
+                              # only to put its nearest sector point at
+                              # touching distance (= body_radius), gated
+                              # on that nearest pass existing within
+                              # att_sigma and on >= att_mass points in
+                              # the near band — an already-touched face
+                              # (nearest pass ~ body_radius) feels ~zero
+                              # force, and unapproached faces feel none.
     deadband: float = 0.0     # per-box gate: the non-penetration force is
                               # OFF unless some trace point penetrates
                               # deeper than this (m). The real captures
@@ -189,11 +208,45 @@ def _physics_loss(dc, dls, boxes0, px, pz, valid, ygate, extent,
             + face(pz[None, :] - (cz[:, None] + hz[:, None]), band_x)
             + face((cz[:, None] - hz[:, None]) - pz[None, :], band_x))
 
+    # --- per-face nearest-approach attraction (TTOptParams.w_att_min):
+    # each face is pulled only to put its CLOSEST sector point at touching
+    # distance; faces with no pass within att_sigma (or too few near
+    # points) feel nothing
+    loss_att_m = 0.0
+    if p.w_att_min > 0.0:
+        r = p.body_radius
+        band_z = (jnp.abs(pz[None, :] - cz[:, None])
+                  < hz[:, None] + p.att_sigma)
+        band_x = (jnp.abs(px[None, :] - cx[:, None])
+                  < hx[:, None] + p.att_sigma)
+
+        def face_min(a_signed, band):
+            ok = (w_pt > 0) & band & (a_signed > 0)
+            a = jnp.where(ok, a_signed, jnp.inf)
+            d_min = jnp.min(a, axis=1)                       # [Q]
+            near = jnp.sum(
+                jax.lax.stop_gradient(
+                    (ok & (a_signed < r + p.att_sigma))).astype(jnp.float32),
+                axis=1)
+            gate = jax.lax.stop_gradient(
+                (jnp.isfinite(d_min)
+                 & (jax.lax.stop_gradient(d_min) < r + p.att_sigma)
+                 & (near >= p.att_mass)).astype(jnp.float32))
+            d_safe = jnp.where(jnp.isfinite(d_min), d_min, r)
+            return gate * (d_safe - r) ** 2
+
+        loss_att_m = jnp.sum(
+            face_min(px[None, :] - (cx[:, None] + hx[:, None]), band_z)
+            + face_min((cx[:, None] - hx[:, None]) - px[None, :], band_z)
+            + face_min(pz[None, :] - (cz[:, None] + hz[:, None]), band_x)
+            + face_min((cz[:, None] - hz[:, None]) - pz[None, :], band_x))
+
     # --- trust region: stay near the model's estimate
     loss_trust = jnp.sum(dc ** 2) + jnp.sum(dls ** 2)
 
     return (p.w_pen * loss_pen + p.w_env * loss_env
             + p.w_att * loss_att + p.w_att_faces * loss_att_f
+            + p.w_att_min * loss_att_m
             + p.w_trust * loss_trust)
 
 
