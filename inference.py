@@ -12,6 +12,7 @@ room_slam_tpu.train.torch_import).
 from __future__ import annotations
 
 import argparse
+import json
 
 from room_slam_tpu.data import formats
 from room_slam_tpu.predictor import (adapt_features, build_predictor,
@@ -35,6 +36,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             tta_scales: tuple = (),
             fuse: bool = False,
             ttopt: bool = False,
+            ttopt_params: dict | None = None,
             soft_sigma: float | None = None,
             synth_furniture: bool = False,
             y_planes: tuple | None = None):
@@ -51,6 +53,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         extent_slack=extent_slack, consensus=consensus, top_k=top_k,
         tta_rotations=tta_rotations, tta_reflect=tta_reflect,
         tta_scales=tta_scales, fuse=fuse, ttopt=ttopt,
+        ttopt_params=ttopt_params,
         soft_sigma=soft_sigma, synth_furniture=synth_furniture,
         y_planes=y_planes)
     return predict_array(formats.load_trace_json(traces_file))
@@ -131,6 +134,11 @@ def main():
                         help="test-time trace-consistency adaptation of "
                              "the candidate boxes against the capture's "
                              "physics (ops/ttopt.py)")
+    parser.add_argument("--ttopt_params", default=None,
+                        help="JSON TTOptParams overrides for --ttopt; "
+                             "'{\"auto\": tau}' enables the adopted "
+                             "per-capture confidence gate (FINAL.md "
+                             "round-5) - same semantics as realbench")
     parser.add_argument("--fuse", action="store_true",
                         help="weighted box fusion: each kept detection "
                              "becomes its NMS cluster's score-weighted "
@@ -170,7 +178,10 @@ def main():
         top_k=args.top_k, tta_rotations=args.tta,
         tta_reflect=args.tta_reflect,
         tta_scales=tuple(float(x) for x in args.tta_scales.split(",") if x),
-        fuse=args.fuse, ttopt=args.ttopt, soft_sigma=args.soft,
+        fuse=args.fuse, ttopt=args.ttopt,
+        ttopt_params=(json.loads(args.ttopt_params)
+                      if args.ttopt_params else None),
+        soft_sigma=args.soft,
         synth_furniture=args.synth_furniture, y_planes=_ycal(args.ycal))
 
     print(f"\nFound {len(predictions)} colliders:")

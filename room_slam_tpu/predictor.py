@@ -60,6 +60,7 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     tta_scales: tuple = (),
                     fuse: bool = False,
                     ttopt: bool = False,
+                    ttopt_params: dict | None = None,
                     soft_sigma: float | None = None,
                     synth_furniture: bool | str = False,
                     y_planes: tuple | None = None,
@@ -86,7 +87,12 @@ def build_predictor(model, params, max_trace_len: int = 3000,
     mean (weighted box fusion, ops/nms.nms_3d_fused). ``ttopt`` runs
     test-time trace-consistency adaptation of the candidate boxes against
     the capture's own physics (non-penetration / envelope — ops/ttopt.py)
-    before the extent mask and NMS. ``soft_sigma`` switches the NMS sweep
+    before the extent mask and NMS. ``ttopt_params`` overrides
+    TTOptParams fields; its ``"auto": tau`` key enables the ADOPTED
+    per-capture gate (FINAL.md round-5): ttopt applies only when the
+    model's max candidate confidence falls below tau (memorized rooms
+    read ~0.9, unseen ~0.08), tau calibrated from the seen room alone —
+    identical semantics to realbench.apply_operating_point. ``soft_sigma`` switches the NMS sweep
     to soft-NMS (loose overlaps decay instead of dying; pair
     ``nms_threshold`` ~0.5 — the unseen-room recall recipe, FINAL.md).
     ``synth_furniture`` injects hole-implied furniture candidates
@@ -143,6 +149,9 @@ def build_predictor(model, params, max_trace_len: int = 3000,
         obj = out.get("pred_objectness")
         obj0 = None if obj is None else obj[0]
         logits0 = out["pred_classes"][0]
+        # the auto-gate signal reads the RAW pooled model outputs (before
+        # synthesis appends rows), matching realbench's cached pred_logits
+        sig_logits, sig_obj = logits0, obj0
         cand = None
         if y_planes is not None:
             # seen-room-calibrated floor/ceiling snap for tall BLOCK boxes
@@ -185,11 +194,21 @@ def build_predictor(model, params, max_trace_len: int = 3000,
             cand = (nv if cand is None
                     else jnp.concatenate([cand, nv[Qb:]]))
         if ttopt and traces.shape[-1] >= 4:
-            from room_slam_tpu.ops.ttopt import adapt_boxes
+            from room_slam_tpu.ops.ttopt import TTOptParams, adapt_boxes
 
-            boxes0 = adapt_boxes(
+            tcfg = dict(ttopt_params) if ttopt_params else {}
+            tau = tcfg.pop("auto", None)
+            adapted = adapt_boxes(
                 boxes0, traces[0, :, :4],
-                jnp.sum(mask[0].astype(jnp.int32)))
+                jnp.sum(mask[0].astype(jnp.int32)), TTOptParams(**tcfg))
+            if tau is None:
+                boxes0 = adapted
+            else:
+                conf = jnp.max(jax.nn.softmax(sig_logits, -1), -1)
+                if sig_obj is not None:
+                    conf = conf * jax.nn.sigmoid(sig_obj)
+                boxes0 = jnp.where(jnp.max(conf) < jnp.float32(tau),
+                                   adapted, boxes0)
         if extent_slack is not None and traces.shape[-1] >= 4:
             from room_slam_tpu.ops.refine import outside_extent_mask
 
