@@ -125,7 +125,7 @@ def bench_headline(profile=None):
     n = 30
     reps = 3  # median-of-3 vs tunnel weather (2-10 ms round-trip variance)
     keys = jax.random.split(
-        jax.random.key(0, impl=cfg.train.rng_impl), (reps + 2) * n + 5)
+        jax.random.key(0, impl=cfg.train.rng_impl), (2 * reps + 1) * n + 5)
     jax.block_until_ready(keys)
     flops = _step_flops(train_step, state, batch, keys[0])
 
@@ -159,14 +159,22 @@ def bench_headline(profile=None):
     train_spread = (max(train_dts) - min(train_dts)) / train_dt
 
     # secondary: the host-driven per-step loop (includes one tunnel
-    # round-trip per step — the live/interactive dispatch pattern)
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, losses = per_step_warm(
-            state, batch, keys[5 + (reps + 1) * n + i])
-    jax.block_until_ready(losses["total_loss"])
-    float(losses["total_loss"])
-    dispatch_tps = n * B / (time.perf_counter() - t0)
+    # round-trip per step — the live/interactive dispatch pattern). Also
+    # median-of-reps: each loop pays n round-trips of tunnel weather, so a
+    # single reading swings far more than the scan number (r05 observed a
+    # single-run 53x vs r04's 90x while the scan reading IMPROVED)
+    dispatch_dts = []
+    for r in range(reps):
+        base = 5 + (reps + 1 + r) * n
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, losses = per_step_warm(state, batch, keys[base + i])
+        jax.block_until_ready(losses["total_loss"])
+        float(losses["total_loss"])
+        dispatch_dts.append(time.perf_counter() - t0)
+    dispatch_dt = sorted(dispatch_dts)[len(dispatch_dts) // 2]
+    dispatch_tps = n * B / dispatch_dt
+    dispatch_spread = (max(dispatch_dts) - min(dispatch_dts)) / dispatch_dt
 
     # --- inference throughput: one scan dispatch of n forwards (same
     # rationale as the train measurement; per-output sums keep every head
@@ -222,6 +230,7 @@ def bench_headline(profile=None):
         # baseline's per-step host loop (the headline vs_baseline divides
         # fused-scan throughput by the baseline's only granularity)
         "per_dispatch_vs_baseline": round(dispatch_tps / base_train, 2),
+        "per_dispatch_spread_pct": round(100 * dispatch_spread, 1),
         "infer_traces_per_sec": round(infer_tps, 2),
         "infer_vs_baseline": round(infer_tps / base_infer, 2),
         **_mfu_fields(flops, n, train_dt),

@@ -175,6 +175,9 @@ class TrainConfig:
     # candidate (ops/losses.set_criterion coverage_loss). Targets the
     # measured zero-shot frontier — unseen-furniture candidate generation.
     coverage_weight: float = 0.0
+    # restrict the coverage pull to furniture GT (labels != BLOCK) — the
+    # measured blind set is furniture (34/56 vs 4/21 walls)
+    coverage_furniture_only: bool = False
     # weight of the switch-MoE load-balance auxiliary loss when
     # model.moe_experts > 0 (Switch Transformer's alpha, arXiv:2101.03961
     # uses 0.01); the trainer collects the per-layer sowed terms via

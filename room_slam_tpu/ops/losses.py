@@ -206,7 +206,12 @@ def set_criterion(
         runner = jnp.min(d, axis=1)                                # [B, M]
         # a batch row with all queries matched (Q <= #GT) would leave inf
         runner = jnp.where(jnp.isfinite(runner), runner, 0.0)
-        coverage_loss = _weighted_mean(runner, pair_w)
+        cov_w = pair_w
+        if loss_weights.get("coverage_furniture_only", 0.0):
+            # the measured blind set is furniture (34/56 vs 4/21 walls) —
+            # optionally spend the redundancy budget there only
+            cov_w = cov_w * (gt_labels != 0).astype(cov_w.dtype)
+        coverage_loss = _weighted_mean(runner, cov_w)
         out["coverage_loss"] = coverage_loss
         total = total + cw * coverage_loss
     if "pred_objectness" in outputs:

@@ -193,6 +193,8 @@ def _loss_weight_dict(cfg: ExperimentConfig) -> Dict[str, float]:
         "size_log_loss": cfg.train.size_log_weight,
         "aux_loss": cfg.train.aux_weight,
         "coverage_loss": cfg.train.coverage_weight,
+        "coverage_furniture_only":
+            1.0 if cfg.train.coverage_furniture_only else 0.0,
     }
 
 
