@@ -150,3 +150,44 @@ def test_deadband_protects_shallow_penetration():
     assert outd[1, 0] - boxes[1, 0] > 0.15
     gap = (out0[1, 0] - outd[1, 0])
     assert 0.1 < gap < 0.3
+
+
+def test_auto_gate_applies_ttopt_per_capture_confidence():
+    """The ADOPTED deployable ttopt mode (``ttopt={"auto": tau}`` —
+    FINAL.md round-5 rows 6-7): realbench.apply_operating_point applies
+    the adaptation PER CAPTURE only when the model's own max candidate
+    confidence reads below tau. A confident (memorized-room) capture
+    must come through with the PLAIN boxes; an unconfident one gets the
+    adapted boxes — same pooled batch, one cell."""
+    from room_slam_tpu.tools.realbench import apply_operating_point
+
+    raw, length = _grid_trace(span=2.0)
+    # one inward-regressed X wall ttopt provably plows out (see
+    # test_penetrated_wall_pushed_out) + a consistent Z wall far enough
+    # that the plowed box can never NMS-overlap it
+    boxes = np.asarray([
+        [1.9, 1.25, 0.0, 0.15, 2.5, 4.0],
+        [0.0, 1.25, 2.3, 4.0, 2.5, 0.15],
+    ], np.float32)
+    confident = np.zeros((2, 4), np.float32)
+    confident[:, 0] = 8.0                      # max prob ~0.999 > tau
+    vague = np.zeros((2, 4), np.float32)       # max prob 0.25 < tau
+    cached = {
+        "pred_boxes": np.stack([boxes, boxes]),
+        "pred_logits": np.stack([confident, vague]),
+        "raw": np.stack([np.asarray(raw)] * 2),
+        "length": np.asarray([int(length)] * 2, np.int32),
+    }
+    cell = {"threshold": 0.0, "nms": 0.1,
+            "ttopt": {"auto": 0.5, "steps": 300}}
+    dets = apply_operating_point(cached, cell)
+    b0 = dets["boxes"][dets["img"] == 0]
+    b1 = dets["boxes"][dets["img"] == 1]
+    assert len(b0) == 2 and len(b1) == 2
+    # capture 0 (confident): gate holds — plain boxes, bit-identical
+    np.testing.assert_allclose(np.sort(b0[:, 0]),
+                               np.sort(boxes[:, 0]), atol=1e-5)
+    np.testing.assert_allclose(np.sort(b0[:, 2]),
+                               np.sort(boxes[:, 2]), atol=1e-5)
+    # capture 1 (unconfident): gate fires — the regressed wall moved out
+    assert np.max(b1[:, 0]) > 2.1, b1
