@@ -39,7 +39,9 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
             ttopt_params: dict | None = None,
             soft_sigma: float | None = None,
             synth_furniture: bool = False,
-            y_planes: tuple | None = None):
+            y_planes: tuple | None = None,
+            qscore: str | None = None,
+            qscore_auto: float | None = None):
     """Featurize one trace file, forward, confidence-filter + per-class NMS
     (ref: inference.py:200-275). Thin wrapper over
     room_slam_tpu.predictor.build_predictor (shared with the live UDP
@@ -55,7 +57,7 @@ def predict(model, params, traces_file: str, max_trace_len: int = 3000,
         tta_scales=tta_scales, fuse=fuse, ttopt=ttopt,
         ttopt_params=ttopt_params,
         soft_sigma=soft_sigma, synth_furniture=synth_furniture,
-        y_planes=y_planes)
+        y_planes=y_planes, qscore=qscore, qscore_auto=qscore_auto)
     return predict_array(formats.load_trace_json(traces_file))
 
 
@@ -155,6 +157,16 @@ def main():
                              "raster; ops/refine.synthesize_furniture); "
                              "'v2' adds boundary-notch + tall-BLOCK "
                              "hypotheses (synthesize_furniture_v2)")
+    parser.add_argument("--qscore", default=None,
+                        help="learned-quality weight JSON (tools/"
+                             "qscore.py): rescores every candidate's "
+                             "confidence before NMS "
+                             "(ops/qscore.quality_scale)")
+    parser.add_argument("--qscore_auto", type=float, default=None,
+                        help="per-capture confidence gate for --qscore "
+                             "(same signal + tau rule as the ttopt "
+                             "auto-gate): rerank only when the model's "
+                             "max candidate confidence is below this")
     parser.add_argument("--ycal", default=None,
                         help="seen-room Y-plane calibration: a "
                              "colliders.json path (the room the model "
@@ -182,7 +194,8 @@ def main():
         ttopt_params=(json.loads(args.ttopt_params)
                       if args.ttopt_params else None),
         soft_sigma=args.soft,
-        synth_furniture=args.synth_furniture, y_planes=_ycal(args.ycal))
+        synth_furniture=args.synth_furniture, y_planes=_ycal(args.ycal),
+        qscore=args.qscore, qscore_auto=args.qscore_auto)
 
     print(f"\nFound {len(predictions)} colliders:")
     for i, pred in enumerate(predictions):

@@ -64,6 +64,8 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                     soft_sigma: float | None = None,
                     synth_furniture: bool | str = False,
                     y_planes: tuple | None = None,
+                    qscore: str | None = None,
+                    qscore_auto: float | None = None,
                     verbose: bool = True):
     """Return ``predict_array([N, 4] raw trace) -> list[collider dict]``.
 
@@ -97,10 +99,22 @@ def build_predictor(model, params, max_trace_len: int = 3000,
     ``nms_threshold`` ~0.5 — the unseen-room recall recipe, FINAL.md).
     ``synth_furniture`` injects hole-implied furniture candidates
     (ops/refine.synthesize_furniture; pass "v2" for the boundary-notch +
-    tall-BLOCK variant, synthesize_furniture_v2)."""
+    tall-BLOCK variant, synthesize_furniture_v2). ``qscore`` rescores
+    every candidate's confidence by the learned quality model at that
+    weight-JSON path (tools/qscore.py, ops/qscore.quality_scale) before
+    NMS; ``qscore_auto`` gates the rescoring per capture on the same
+    confidence signal and tau rule as the ttopt auto-gate, so memorized
+    rooms keep their raw ranking — identical semantics to
+    realbench.apply_operating_point."""
     import jax
 
     from room_slam_tpu.data.augment import unreflect_boxes, unrotate_boxes
+
+    qscore_params = None
+    if qscore is not None:
+        from room_slam_tpu.ops.qscore import load_params
+
+        qscore_params = load_params(qscore)
 
     # view v = rotate_k(reflect^m(scale_s(trace))); row 0 is the capture
     # frame
@@ -217,12 +231,29 @@ def build_predictor(model, params, max_trace_len: int = 3000,
                 boxes0, traces[0, :, :4],
                 jnp.sum(mask[0].astype(jnp.int32)), slack=extent_slack)
             cand = ~outside if cand is None else cand & ~outside
+        conf_scale = None
+        if qscore_params is not None and traces.shape[-1] >= 4:
+            from room_slam_tpu.ops.qscore import quality_scale
+
+            qsc = quality_scale(
+                qscore_params, boxes0, logits0, obj0, traces[0, :, :4],
+                jnp.sum(mask[0].astype(jnp.int32)))
+            if qscore_auto is not None:
+                # per-capture gate — same raw-output signal as the ttopt
+                # auto-gate above: rerank only when the model is unsure
+                conf = jnp.max(jax.nn.softmax(sig_logits, -1), -1)
+                if sig_obj is not None:
+                    conf = conf * jax.nn.sigmoid(sig_obj)
+                qsc = jnp.where(jnp.max(conf) < jnp.float32(qscore_auto),
+                                qsc, jnp.ones_like(qsc))
+            conf_scale = qsc
         keep, labels, conf, boxes_out = post_process(
             boxes0, logits0,
             confidence_threshold=confidence_threshold,
             nms_threshold=nms_threshold, consensus=consensus, top_k=top_k,
             objectness=obj0, candidate_mask=cand,
-            fuse=fuse, return_boxes=True, soft_sigma=soft_sigma)
+            fuse=fuse, return_boxes=True, soft_sigma=soft_sigma,
+            conf_scale=conf_scale)
         # ONE stacked output -> ONE device->host fetch. Each np.asarray of
         # a separate device array costs a full tunnel round-trip (~20-40
         # ms); four of them dominated single-trace latency.

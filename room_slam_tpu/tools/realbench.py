@@ -57,6 +57,29 @@ def forward_captures(checkpoint: str, dirs, batch_size: int = 8,
     return out
 
 
+def capture_confidence(cached: dict) -> np.ndarray:
+    """Per-capture auto-gate signal: max candidate confidence [N].
+
+    Max over the pooled candidates of softmax(class logits) x
+    sigmoid(objectness), read from the RAW model outputs (before any
+    synthesis appends rows). Memorized rooms read ~0.9, unseen rooms
+    ~0.08 (PARITY round-3 top-K note) — the signal behind the adopted
+    ttopt auto-gate (FINAL.md round-5 rows 6-7), with the threshold
+    calibrated from the SEEN room only (half its minimum capture
+    confidence), so no unseen-room data enters the rule.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    probs = np.asarray(jax.nn.softmax(
+        jnp.asarray(cached["pred_logits"]), axis=-1))
+    conf = probs.max(-1)
+    if cached.get("pred_objectness") is not None:
+        conf = conf / (1.0 + np.exp(
+            -np.asarray(cached["pred_objectness"])))
+    return conf.max(-1)
+
+
 def apply_operating_point(cached: dict, cell: dict,
                           refine_furniture: bool = False) -> dict:
     """Post-process cached forwards at ONE operating point.
@@ -158,14 +181,7 @@ def apply_operating_point(cached: dict, cell: dict,
         if tau is None:
             boxes = adapted
         else:
-            probs = np.asarray(jax.nn.softmax(
-                jnp.asarray(cached["pred_logits"]), axis=-1))
-            conf = probs.max(-1)                         # [N, Q]
-            if cached.get("pred_objectness") is not None:
-                conf = conf / (1.0 + np.exp(
-                    -np.asarray(cached["pred_objectness"])))
-            sig = conf.max(-1)                           # [N] per capture
-            use = sig < float(tau)
+            use = capture_confidence(cached) < float(tau)  # [N] per capture
             boxes = np.where(use[:, None, None], adapted, boxes)
 
     ext = cell.get("extent")
@@ -206,6 +222,15 @@ def apply_operating_point(cached: dict, cell: dict,
                     jnp.asarray(boxes), jnp.asarray(logits),
                     jnp.asarray(obj), jnp.asarray(cached["raw"]),
                     jnp.asarray(cached["length"]))
+        qtau = cell.get("qscore_auto")
+        if qtau is not None:
+            # per-capture gate, identical signal + semantics to the
+            # adopted ttopt auto-gate: rerank only captures the model is
+            # unsure about (unseen rooms); memorized rooms keep their raw
+            # confidence ranking bit-identically.
+            use = capture_confidence(cached) < float(qtau)
+            qsc = jnp.where(jnp.asarray(use)[:, None], jnp.asarray(qsc),
+                            jnp.ones_like(jnp.asarray(qsc)))
         conf_scale = conf_scale * qsc
 
     def _post(b, lg, o, cm, cs):
@@ -465,6 +490,11 @@ def main():
                         "decayed instead of suppressed; --nms becomes the "
                         "tight-duplicate fusion threshold (pair with a "
                         "HIGH value like 0.5) — ops/nms.soft_nms_3d_fused")
+    p.add_argument("--qscore_auto", default="none",
+                   help="per-capture confidence gate for --qscore (same "
+                        "signal + tau rule as the adopted ttopt auto-"
+                        "gate): rerank only captures whose max candidate "
+                        "confidence is below this threshold")
     p.add_argument("--qscore", default="none",
                    help="learned-quality weight JSON (tools/qscore.py) "
                         "applied as conf_scale rescoring")
@@ -536,6 +566,8 @@ def main():
             cell["synthf"] = args.synthf
         if args.qscore != "none":
             cell["qscore"] = args.qscore
+        if args.qscore_auto != "none":
+            cell["qscore_auto"] = float(args.qscore_auto)
         print(f"operating point from {args.calib_dir}: {cell}")
     else:
         cell = {"threshold": args.threshold, "nms": args.nms,
@@ -558,7 +590,9 @@ def main():
                 "soft": None if args.soft == "none"
                 else float(args.soft),
                 "synthf": args.synthf or False,
-                "qscore": None if args.qscore == "none" else args.qscore}
+                "qscore": None if args.qscore == "none" else args.qscore,
+                "qscore_auto": None if args.qscore_auto == "none"
+                else float(args.qscore_auto)}
     if args.ycal != "none":
         if "," in args.ycal and not Path(args.ycal).exists():
             cell["ycal"] = [float(x) for x in args.ycal.split(",")]
