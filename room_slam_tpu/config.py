@@ -112,6 +112,16 @@ class ModelConfig:
     # PARITY.md round 3 measured four post-processing dead ends); this
     # lets the refinement stages LEARN it. No-op without refine_stages.
     extent_features: bool = False
+    # Append K interior-hole tokens to the decoder memory (LSTM model):
+    # the walk raster's interior unvisited components (ops/refine.
+    # hole_components — the measured 4x furniture enrichment signal)
+    # enter the model as attendable tokens with their centroid as the
+    # token coordinate, so a query's anchor can land ON a hole and read
+    # "unvisited interior region of footprint s_x x s_z" directly —
+    # candidate generation where trace tokens carry no evidence (the
+    # round-4 diagnosis: 34/56 zero-shot furniture GT draw no candidate).
+    # 0 = off (reference behavior, byte-identical).
+    hole_tokens: int = 0
     # Switch-routed Mixture-of-Experts FFN in the transformer encoder
     # (models/common.MoEFFN): top-1 routing, static shapes, expert weights
     # sharded over the mesh 'model' axis (expert parallelism). 0 = the

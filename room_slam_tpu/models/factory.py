@@ -46,6 +46,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             center_xz=cfg.center_xz,
             refine_stages=cfg.refine_stages,
             extent_features=cfg.extent_features,
+            hole_tokens=cfg.hole_tokens,
         )
     if t == "bigru":
         from room_slam_tpu.models.gru import TraceToColliderGRU

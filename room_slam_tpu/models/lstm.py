@@ -250,6 +250,15 @@ class TraceToColliderLSTM(nn.Module):
     center_xz: bool = False
     refine_stages: int = 0
     extent_features: bool = False
+    # Append K interior-hole tokens to the decoder memory: the walk
+    # raster's interior unvisited components (ops/refine.hole_components
+    # — the 4x furniture-enrichment signal) become attendable tokens
+    # whose coordinate IS the hole centroid, so a query anchor (a convex
+    # combination of token coords) can land on a region the walker never
+    # visited and read its footprint directly. Trace tokens carry no
+    # evidence there — the round-4 diagnosis's 34/56 no-candidate
+    # furniture GT. 0 = off (reference behavior, byte-identical).
+    hole_tokens: int = 0
 
     @nn.compact
     def __call__(self, traces, mask=None, deterministic: bool = True):
@@ -264,6 +273,9 @@ class TraceToColliderLSTM(nn.Module):
             compute_dtype=self.compute_dtype,
             name="encoder",
         )(traces, mask, deterministic)
+        if self.hole_tokens:
+            memory, coords, mask = self._append_hole_tokens(
+                memory, coords, mask, mean, scale)
         outs = SimpleQueryDecoder(
             d_model=self.d_model,
             num_queries=self.num_queries,
@@ -276,3 +288,52 @@ class TraceToColliderLSTM(nn.Module):
         )(memory, coords, mean, scale, mask)
         return assemble_output(outs, offs, self.objectness,
                                self.refine_stages)
+
+    # plain helper called from the compact __call__ (a second
+    # @nn.compact method per Module is not allowed); param/submodule
+    # definitions are in the caller's compact scope
+    def _append_hole_tokens(self, memory, coords, mask, mean, scale):
+        """Project the K largest interior holes of the walk raster into
+        memory tokens (coordinate = hole centroid, feature = normalized
+        geometry through a small MLP + a learned type embedding)."""
+        from room_slam_tpu.ops.refine import hole_components
+
+        B, N, D = memory.shape
+        K = self.hole_tokens
+        if mask is None:
+            mask = jnp.ones((B, N), dtype=bool)
+        # stop_gradient: the raster stats are piecewise-constant in the
+        # coords (no useful cotangent), and reverse-mode through the
+        # 2x2G flood/label fori_loops would otherwise drag a ~160-step
+        # residual chain into the backward graph (minutes of compile)
+        h = jax.lax.stop_gradient(jax.vmap(
+            lambda c, m: hole_components(c[:, 0], c[:, 2], m, K))(
+            coords, mask))                             # dict of [B, K]
+        valid = h["area_m2"] > 0.02                    # kill jitter slots
+        # empty slots read +/-inf extents from the segment min/max —
+        # sanitize BEFORE the MLP (a masked NaN still poisons the
+        # decoder's masked global mean via 0 * NaN)
+        def safe(a):
+            return jnp.where(valid, jnp.nan_to_num(a, posinf=0.0,
+                                                   neginf=0.0), 0.0)
+        c_x, c_z = safe(h["c_x"]), safe(h["c_z"])
+        s_x, s_z = safe(h["s_x"]), safe(h["s_z"])
+        area = safe(h["area_m2"])
+        sc = scale[:, :, 0]                            # [B, 1]
+        geom = jnp.stack([
+            (c_x - mean[:, :, 0]) / sc,
+            (c_z - mean[:, :, 2]) / sc,
+            s_x / sc,
+            s_z / sc,
+            jnp.log1p(area),
+            jnp.minimum(s_x, s_z) / jnp.maximum(jnp.maximum(s_x, s_z),
+                                                1e-3),
+        ], axis=-1)                                    # [B, K, 6]
+        h_emb = self.param("hole_embed",
+                           nn.initializers.normal(0.02), (D,))
+        h_feat = MLP(D, D, 2, name="hole_proj")(geom) + h_emb
+        y_mid = jnp.broadcast_to(mean[:, :, 1], (B, K))
+        h_coords = jnp.stack([c_x, y_mid, c_z], axis=-1)  # [B, K, 3]
+        return (jnp.concatenate([memory, h_feat.astype(memory.dtype)], 1),
+                jnp.concatenate([coords, h_coords], 1),
+                jnp.concatenate([mask, valid], 1))

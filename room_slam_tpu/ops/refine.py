@@ -343,6 +343,109 @@ def y_planes_from_colliders(path: str, min_h: float = 1.8):
     return min(bottoms), max(tops)
 
 
+def hole_components(
+    x: jnp.ndarray,              # [L] trace x
+    z: jnp.ndarray,              # [L] trace z
+    pmask: jnp.ndarray,          # [L] bool valid
+    k: int,
+    grid: int = 40,
+):
+    """Largest-``k`` interior holes of the visited XZ raster.
+
+    A walker cannot pass through solids, so floor-standing furniture
+    shows up as INTERIOR HOLES of the visited region (measured on
+    synthetic eval rooms: 58% of LOW/MID GT centers lie in an interior
+    unvisited cell vs 14% of random envelope points — 4x enrichment).
+    Fully jittable at fixed shapes: rasterize visited cells on a
+    ``grid`` x ``grid`` envelope raster, dilate one cell (walker body),
+    flood-fill outside-connected unvisited space by iterated 3x3
+    dilation, label the remaining components by iterated
+    max-propagation of cell ids, and read per-component stats via
+    segment ops. Shared by the inference-time candidate injector
+    (``synthesize_furniture``/``_v2``) and the model-side hole-token
+    path (models/lstm.py ``hole_tokens``).
+
+    Returns a dict of [k] arrays sorted by descending area: ``c_x``,
+    ``c_z`` (component centroid), ``s_x``, ``s_z`` (component extent +
+    one cell, unclipped), ``area_m2``; plus scalars ``span_x``,
+    ``span_z`` (envelope spans) — slots beyond the number of real
+    components read ``area_m2`` == 0.
+    """
+    G = grid
+    big = jnp.float32(1e9)
+    x_min = jnp.min(jnp.where(pmask, x, big))
+    x_max = jnp.max(jnp.where(pmask, x, -big))
+    z_min = jnp.min(jnp.where(pmask, z, big))
+    z_max = jnp.max(jnp.where(pmask, z, -big))
+    dx = (x_max - x_min) / G
+    dz = (z_max - z_min) / G
+    cell_area = dx * dz
+
+    ix = jnp.clip(((x - x_min) / jnp.maximum(dx, 1e-6)).astype(jnp.int32),
+                  0, G - 1)
+    iz = jnp.clip(((z - z_min) / jnp.maximum(dz, 1e-6)).astype(jnp.int32),
+                  0, G - 1)
+    visited = jnp.zeros((G, G), jnp.float32).at[ix, iz].max(
+        jnp.where(pmask, 1.0, 0.0))
+
+    def dilate(a):
+        return jax.lax.reduce_window(
+            a, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+
+    visited = dilate(visited)                      # walker body radius
+    unvisited = visited < 0.5
+
+    border = jnp.zeros((G, G), bool).at[0, :].set(True).at[-1, :].set(
+        True).at[:, 0].set(True).at[:, -1].set(True)
+    outside0 = (border & unvisited).astype(jnp.float32)
+
+    def flood(_, o):
+        return jnp.where(unvisited, dilate(o), 0.0)
+
+    outside = jax.lax.fori_loop(0, 2 * G, flood, outside0) > 0.5
+    hole = unvisited & ~outside
+
+    ids = jnp.arange(1, G * G + 1, dtype=jnp.float32).reshape(G, G)
+    lab0 = jnp.where(hole, ids, 0.0)
+
+    def prop(_, l):
+        return jnp.where(hole, dilate(l), 0.0)
+
+    lab = jax.lax.fori_loop(0, 2 * G, prop, lab0).astype(jnp.int32)  # [G,G]
+
+    flat = lab.ravel()
+    ones = hole.ravel().astype(jnp.float32)
+    n_seg = G * G + 1
+    area = jax.ops.segment_sum(ones, flat, num_segments=n_seg)
+    cxs = x_min + (jnp.arange(G, dtype=jnp.float32) + 0.5) * dx
+    czs = z_min + (jnp.arange(G, dtype=jnp.float32) + 0.5) * dz
+    cell_x = jnp.broadcast_to(cxs[:, None], (G, G)).ravel()
+    cell_z = jnp.broadcast_to(czs[None, :], (G, G)).ravel()
+    sum_x = jax.ops.segment_sum(ones * cell_x, flat, num_segments=n_seg)
+    sum_z = jax.ops.segment_sum(ones * cell_z, flat, num_segments=n_seg)
+    min_x = jax.ops.segment_min(
+        jnp.where(ones > 0, cell_x, jnp.inf), flat, num_segments=n_seg)
+    max_x = jax.ops.segment_max(
+        jnp.where(ones > 0, cell_x, -jnp.inf), flat, num_segments=n_seg)
+    min_z = jax.ops.segment_min(
+        jnp.where(ones > 0, cell_z, jnp.inf), flat, num_segments=n_seg)
+    max_z = jax.ops.segment_max(
+        jnp.where(ones > 0, cell_z, -jnp.inf), flat, num_segments=n_seg)
+    area = area.at[0].set(0.0)                     # kill the background
+
+    top_area, top_seg = jax.lax.top_k(area, k)
+    n_cells = jnp.maximum(top_area, 1.0)
+    return {
+        "c_x": sum_x[top_seg] / n_cells,
+        "c_z": sum_z[top_seg] / n_cells,
+        "s_x": max_x[top_seg] - min_x[top_seg] + dx,
+        "s_z": max_z[top_seg] - min_z[top_seg] + dz,
+        "area_m2": top_area * cell_area,
+        "span_x": x_max - x_min,
+        "span_z": z_max - z_min,
+    }
+
+
 def synthesize_furniture(
     boxes: jnp.ndarray,          # [Q, 6] (post-refine) predictions
     logits: jnp.ndarray,         # [Q, C] class logits
@@ -390,78 +493,13 @@ def synthesize_furniture(
     valid [Q+k] bool).
     """
     Q = boxes.shape[0]
-    G = grid
-    x_min, x_max, z_min, z_max = trace_extent(raw, length)
-    extent_ok = ((x_max - x_min) > min_span) & ((z_max - z_min) > min_span)
-    dx = (x_max - x_min) / G
-    dz = (z_max - z_min) / G
-    cell_area = dx * dz
-
-    # --- visited raster over the envelope (masked by length)
     idx = jnp.arange(raw.shape[0])
-    pmask = idx < length
-    ix = jnp.clip(((raw[:, 0] - x_min) / jnp.maximum(dx, 1e-6)).astype(
-        jnp.int32), 0, G - 1)
-    iz = jnp.clip(((raw[:, 2] - z_min) / jnp.maximum(dz, 1e-6)).astype(
-        jnp.int32), 0, G - 1)
-    visited = jnp.zeros((G, G), jnp.float32).at[ix, iz].max(
-        jnp.where(pmask, 1.0, 0.0))
-
-    def dilate(a):
-        return jax.lax.reduce_window(
-            a, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
-
-    visited = dilate(visited)                      # walker body radius
-    unvisited = visited < 0.5
-
-    # --- outside-connected flood fill
-    border = jnp.zeros((G, G), bool).at[0, :].set(True).at[-1, :].set(
-        True).at[:, 0].set(True).at[:, -1].set(True)
-    outside0 = (border & unvisited).astype(jnp.float32)
-
-    def flood(_, o):
-        return jnp.where(unvisited, dilate(o), 0.0)
-
-    outside = jax.lax.fori_loop(0, 2 * G, flood, outside0) > 0.5
-    hole = unvisited & ~outside
-
-    # --- component labeling by max-propagation of cell ids
-    ids = jnp.arange(1, G * G + 1, dtype=jnp.float32).reshape(G, G)
-    lab0 = jnp.where(hole, ids, 0.0)
-
-    def prop(_, l):
-        return jnp.where(hole, dilate(l), 0.0)
-
-    lab = jax.lax.fori_loop(0, 2 * G, prop, lab0).astype(jnp.int32)  # [G,G]
-
-    # --- per-component stats via segment ops (segment 0 = non-hole)
-    flat = lab.ravel()
-    ones = hole.ravel().astype(jnp.float32)
-    n_seg = G * G + 1
-    area = jax.ops.segment_sum(ones, flat, num_segments=n_seg)
-    cxs = x_min + (jnp.arange(G, dtype=jnp.float32) + 0.5) * dx
-    czs = z_min + (jnp.arange(G, dtype=jnp.float32) + 0.5) * dz
-    cell_x = jnp.broadcast_to(cxs[:, None], (G, G)).ravel()
-    cell_z = jnp.broadcast_to(czs[None, :], (G, G)).ravel()
-    sum_x = jax.ops.segment_sum(ones * cell_x, flat, num_segments=n_seg)
-    sum_z = jax.ops.segment_sum(ones * cell_z, flat, num_segments=n_seg)
-    min_x = jax.ops.segment_min(
-        jnp.where(ones > 0, cell_x, jnp.inf), flat, num_segments=n_seg)
-    max_x = jax.ops.segment_max(
-        jnp.where(ones > 0, cell_x, -jnp.inf), flat, num_segments=n_seg)
-    min_z = jax.ops.segment_min(
-        jnp.where(ones > 0, cell_z, jnp.inf), flat, num_segments=n_seg)
-    max_z = jax.ops.segment_max(
-        jnp.where(ones > 0, cell_z, -jnp.inf), flat, num_segments=n_seg)
-    area = area.at[0].set(0.0)                     # kill the background
-
-    top_area, top_seg = jax.lax.top_k(area, k_new)
-    area_m2 = top_area * cell_area
-    n_cells = jnp.maximum(top_area, 1.0)
-    c_x = sum_x[top_seg] / n_cells
-    c_z = sum_z[top_seg] / n_cells
-    s_x = jnp.clip(max_x[top_seg] - min_x[top_seg] + dx, 0.2, max_side)
-    s_z = jnp.clip(max_z[top_seg] - min_z[top_seg] + dz, 0.2, max_side)
+    h = hole_components(raw[:, 0], raw[:, 2], idx < length, k_new, grid)
+    extent_ok = (h["span_x"] > min_span) & (h["span_z"] > min_span)
+    area_m2 = h["area_m2"]
+    c_x, c_z = h["c_x"], h["c_z"]
+    s_x = jnp.clip(h["s_x"], 0.2, max_side)
+    s_z = jnp.clip(h["s_z"], 0.2, max_side)
     is_low = jnp.maximum(s_x, s_z) < low_mid_split  # [k]
 
     # --- y/height + logits from the model's own rows (datum inheritance)
